@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+UTC session timezone is load-bearing: the reference pins all times to
+UTC (reference internal/domain/transform.go:108-111,314), and the
+DuckDB oracle compares naive timestamps.
+
+AQE is on so that at real cluster scale skewed shuffle partitions are
+split and small ones coalesced at runtime; locally it also trims the
+tail of the 32 shuffle partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "storm-data-etl-service-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session with scale-appropriate defaults.
+
+    Defaults target the test harness (single JVM ``local[N]``); on a
+    real cluster the same settings are sane starting points — AQE
+    re-plans shuffle parallelism at runtime so the static
+    ``shuffle.partitions`` value only seeds the initial plan.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
