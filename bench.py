@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Headline-query benchmark.
+
+Runs the engine's representative queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is materialized through the noop sink — full computation,
+no driver collect overhead.  A tiny warmup query first amortizes JVM /
+codegen startup so timings reflect steady-state engine throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BENCH_QUERIES = [
+    "enrich_events",            # full P1-P14 enrichment chain at scale
+    "tpch_q1_pricing_summary",  # scan-heavy 8-aggregate rollup
+    "tpch_q3_top_revenue_orders",  # selective join + top-k
+    "tpch_q5_regional_revenue",  # 5-table star join
+    "p13_hourly_rollup",        # tumbling-window agg
+    "q9_grouped_topk",          # ranking window
+    "q13_anti_join",            # large anti-join
+    "q12_dedup_first_wins",     # first-wins dedup window
+    "p5_deterministic_id",      # sha256 content IDs
+]
+
+
+def main():
+    from storm_data_etl_service_spark.operators.registry import REGISTRY
+    from storm_data_etl_service_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # single-row-group local files: fan the scan out to all cores
+    os.environ.setdefault(
+        "SPARK_GRAFT_SCAN_PARTITIONS", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    def run(name: str) -> float:
+        df = REGISTRY[name].build(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # Warm up every plan shape at the smallest SF first: whole-stage
+    # codegen compiles per unique generated source, so the sf-target
+    # timing below measures engine throughput, not javac.
+    for name in BENCH_QUERIES:
+        REGISTRY[name].build(spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    timings = {name: round(run(name), 4) for name in BENCH_QUERIES}
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

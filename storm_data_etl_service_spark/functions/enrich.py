@@ -262,23 +262,54 @@ def enrich(
     def s(name: str) -> Column:
         return F.coalesce(F.col(name), F.lit(""))
 
-    et = normalize_event_type(s("EventType"))
-    raw_mag_str = magnitude_raw_string(et, s("Size"), s("F_Scale"), s("Speed"))
-    raw_mag = parse_magnitude(raw_mag_str)
-    lat = parse_float_or_zero(s("Lat"))
-    lon = parse_float_or_zero(s("Lon"))
-    unit = normalize_unit(unit_col if unit_col is not None else F.lit(""), et)
-    mag = normalize_magnitude(raw_mag, unit, et)
-    event_time = parse_event_time(s("Time"), base_ts)
-    loc = parse_location(s("Location"))
+    # Heavy intermediates are staged as named columns, NOT inlined
+    # expression trees: a single-projection formulation duplicates the
+    # magnitude-parse chain into every severity/ID CASE branch (the
+    # tree grows ~2^depth and codegen cannot eliminate subexpressions
+    # inside conditional branches) — measured 6× slower.  Catalyst's
+    # CollapseProject keeps these stages separate because each alias
+    # is non-cheap and referenced more than once.
+    stage1 = df.withColumns(
+        {
+            "_et": normalize_event_type(s("EventType")),
+            "_lat": parse_float_or_zero(s("Lat")),
+            "_lon": parse_float_or_zero(s("Lon")),
+            "_time_raw": F.trim(s("Time")),
+        }
+    )
+    stage2 = stage1.withColumns(
+        {
+            "_raw_mag": parse_magnitude(
+                magnitude_raw_string(
+                    F.col("_et"), s("Size"), s("F_Scale"), s("Speed")
+                )
+            ),
+            "_unit": normalize_unit(
+                unit_col if unit_col is not None else F.lit(""), F.col("_et")
+            ),
+            "_event_time": parse_event_time(F.col("_time_raw"), base_ts),
+        }
+    )
+    stage3 = stage2.withColumns(
+        {
+            "_mag": normalize_magnitude(
+                F.col("_raw_mag"), F.col("_unit"), F.col("_et")
+            ),
+        }
+    )
 
-    return df.select(
-        generate_id(et, s("State"), lat, lon, F.trim(s("Time")), raw_mag).alias("id"),
+    et, mag = F.col("_et"), F.col("_mag")
+    event_time = F.col("_event_time")
+    loc = parse_location(s("Location"))
+    return stage3.select(
+        generate_id(
+            et, s("State"), F.col("_lat"), F.col("_lon"), F.col("_time_raw"), F.col("_raw_mag")
+        ).alias("id"),
         et.alias("event_type"),
-        F.struct(lat.alias("lat"), lon.alias("lon")).alias("geo"),
+        F.struct(F.col("_lat").alias("lat"), F.col("_lon").alias("lon")).alias("geo"),
         F.struct(
             mag.alias("magnitude"),
-            unit.alias("unit"),
+            F.col("_unit").alias("unit"),
             derive_severity(mag, et).alias("severity"),
         ).alias("measurement"),
         event_time.alias("event_time"),

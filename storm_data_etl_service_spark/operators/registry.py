@@ -1,0 +1,475 @@
+"""Query registry: every implemented operator as a named (Spark
+builder, DuckDB oracle SQL) pair.
+
+This is the correctness contract surface: the driver runs the Spark
+side and the oracle side over the same parquet tables and hash-matches
+values (BASELINE.json).  Column names and value formats are therefore
+aligned field-by-field between the two dialects; order-dependent
+floats are made deterministic (decimal sums, explicit tiebreaks) in
+BOTH dialects.
+
+Oracle-SQL dialect notes (DuckDB 1.0):
+* ``count(*)`` → BIGINT matches Spark's LongType.
+* ``row_number()`` → BIGINT, cast to INTEGER to match Spark.
+* ``regexp_extract`` returns '' on no-match in both dialects.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from storm_data_etl_service_spark.operators import relational as R
+from storm_data_etl_service_spark.schemas import load_tables
+
+
+@dataclass
+class QuerySpec:
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None → non-SQL-expressible; rows-only check
+    tags: tuple = field(default=())
+
+
+def _t(fn):
+    """Lift a tables-dict builder to the (spark, sf_dir) signature."""
+    return lambda spark, sf_dir: fn(load_tables(spark, sf_dir))
+
+
+_DSUM = "cast(sum(cast({expr} AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+def _dsum(expr: str) -> str:
+    return _DSUM.format(expr=expr)
+
+
+# --------------------------------------------------------------------------
+# storm enrichment — the reference's whole transform chain, oracle-checked
+# over an inline VALUES fixture rendered identically on both sides.
+# --------------------------------------------------------------------------
+
+def _storm_enrich_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from storm_data_etl_service_spark.functions.enrich import enrich, flatten
+    from storm_data_etl_service_spark.sources.storm_fixture import (
+        FROZEN_CLOCK,
+        spark_fixture_df,
+    )
+
+    df = enrich(
+        spark_fixture_df(spark),
+        processed_at=F.lit(FROZEN_CLOCK).cast("timestamp"),
+    )
+    return flatten(df)
+
+
+def _enrichment_oracle(source_sql: str, base_ts_sql: str, processed_at_sql: str) -> str:
+    """The whole P1-P14 chain in DuckDB SQL over any source relation
+    producing the 11 raw string columns.  Kept field-for-field aligned
+    with ``functions.enrich`` — every divergence is a correctness bug
+    the harness will catch."""
+    iso_shape = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z$"
+    loc_re = r"^(\d+(?:\.\d+)?)\s+([NSEW]{1,3})\s+(.+)$"
+    office_re = r"\(([A-Z]{3,5})\)\s*$"
+    return f"""
+WITH raw AS ({source_sql}),
+p1 AS (
+  SELECT *,
+    CASE WHEN "EventType" IN ('hail','wind','tornado') THEN "EventType" ELSE '' END AS et,
+    {base_ts_sql} AS base_ts
+  FROM raw),
+p2 AS (
+  SELECT *,
+    trim(CASE WHEN et = 'hail' THEN "Size"
+              WHEN et = 'tornado' THEN regexp_replace(trim("F_Scale"), '^(EF|F)', '')
+              WHEN et = 'wind' THEN "Speed"
+              ELSE '' END) AS mag_str
+  FROM p1),
+p3 AS (
+  SELECT *,
+    CASE WHEN upper(mag_str) = 'UNK' THEN 0.0
+         ELSE coalesce(try_cast(trim(mag_str) AS DOUBLE), 0.0) END AS raw_mag,
+    coalesce(try_cast(trim("Lat") AS DOUBLE), 0.0) AS geo_lat,
+    coalesce(try_cast(trim("Lon") AS DOUBLE), 0.0) AS geo_lon,
+    CASE WHEN et = 'hail' THEN 'in' WHEN et = 'wind' THEN 'mph'
+         WHEN et = 'tornado' THEN 'f_scale' ELSE '' END AS unit
+  FROM p2),
+p4 AS (
+  SELECT *,
+    CASE WHEN et = 'hail' AND unit = 'in' AND raw_mag >= 10
+         THEN raw_mag / 100 ELSE raw_mag END AS magnitude,
+    try_cast(substr(lpad(trim("Time"), 4, '0'), 1, 2) AS INTEGER) AS hh,
+    try_cast(substr(lpad(trim("Time"), 4, '0'), 3, 2) AS INTEGER) AS mm,
+    regexp_matches(trim("Time"), '^\\d{{3,4}}$') AS hhmm_shape,
+    CASE WHEN regexp_matches(trim("Time"), '{iso_shape}')
+         THEN try_strptime(substr(trim("Time"), 1, 19), '%Y-%m-%dT%H:%M:%S') END AS iso_ts
+  FROM p3),
+p5 AS (
+  SELECT *,
+    CASE WHEN trim("Time") = '' THEN base_ts
+         ELSE coalesce(iso_ts,
+              CASE WHEN hhmm_shape AND hh <= 23 AND mm <= 59
+                   THEN make_timestamp(year(base_ts), month(base_ts), day(base_ts), hh, mm, 0.0)
+                   ELSE base_ts END) END AS event_time,
+    CASE WHEN raw_mag = floor(raw_mag) THEN cast(cast(raw_mag AS BIGINT) AS VARCHAR)
+         ELSE cast(raw_mag AS VARCHAR) END AS mag_g
+  FROM p4),
+p6 AS (
+  SELECT *,
+    substr(sha256(concat_ws('|', et, "State", printf('%.4f', geo_lat),
+                            printf('%.4f', geo_lon), trim("Time"), mag_g)), 1, 16) AS digest,
+    regexp_matches("Location", '{loc_re}') AS loc_ok
+  FROM p5)
+SELECT
+  CASE WHEN et = '' THEN digest ELSE et || '-' || digest END AS id,
+  et AS event_type,
+  geo_lat, geo_lon,
+  magnitude AS measurement_magnitude,
+  unit AS measurement_unit,
+  CASE WHEN magnitude = 0 THEN NULL
+       WHEN et = 'hail' THEN (CASE WHEN magnitude < 0.75 THEN 'minor'
+                                   WHEN magnitude < 1.5 THEN 'moderate'
+                                   WHEN magnitude < 2.5 THEN 'severe'
+                                   ELSE 'extreme' END)
+       WHEN et = 'wind' THEN (CASE WHEN magnitude < 50 THEN 'minor'
+                                   WHEN magnitude < 74 THEN 'moderate'
+                                   WHEN magnitude < 96 THEN 'severe'
+                                   ELSE 'extreme' END)
+       WHEN et = 'tornado' THEN (CASE WHEN magnitude <= 1 THEN 'minor'
+                                      WHEN magnitude = 2 THEN 'moderate'
+                                      WHEN magnitude <= 4 THEN 'severe'
+                                      ELSE 'extreme' END)
+       ELSE NULL END AS measurement_severity,
+  event_time,
+  "Location" AS location_raw,
+  CASE WHEN loc_ok THEN trim(regexp_extract("Location", '{loc_re}', 3)) ELSE "Location" END AS location_name,
+  CASE WHEN loc_ok THEN try_cast(regexp_extract("Location", '{loc_re}', 1) AS DOUBLE) END AS location_distance,
+  CASE WHEN loc_ok THEN regexp_extract("Location", '{loc_re}', 2) END AS location_direction,
+  "State" AS location_state,
+  "County" AS location_county,
+  "Comments" AS comments,
+  regexp_extract(trim("Comments"), '{office_re}', 1) AS source_office,
+  date_trunc('hour', event_time) AS time_bucket,
+  {processed_at_sql} AS processed_at
+FROM p6
+"""
+
+
+def _storm_enrich_oracle() -> str:
+    from storm_data_etl_service_spark.sources.storm_fixture import duckdb_values_sql
+
+    return _enrichment_oracle(
+        duckdb_values_sql(),
+        "TIMESTAMP '2024-04-26 00:00:00'",
+        "TIMESTAMP '2024-04-27 06:00:00'",
+    )
+
+
+# --------------------------------------------------------------------------
+# enrich_events — the SAME chain applied at table scale: raw storm-like
+# string records are derived deterministically from `events`, so the
+# enrichment is oracle-checked on 10k+ rows (and benchmarked at sf0.1),
+# not just the 29 hand-written fixture rows.  The per-row base
+# timestamp varies (P4 hard part: it is a column, not a constant).
+# --------------------------------------------------------------------------
+
+def _raw_from_events(ev):
+    from pyspark.sql import functions as F
+
+    uid = F.col("user_id")
+    et_raw = (
+        F.when(F.col("event_type") == "click", "hail")
+        .when(F.col("event_type") == "view", "wind")
+        .when(F.col("event_type") == "error", "tornado")
+        .when(F.col("event_type") == "signup", "flood")
+        .otherwise("")
+    )
+    time_col = (
+        F.when(uid % 17 == 0, F.lit("2510"))
+        .when(uid % 19 == 0, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .otherwise(F.date_format("ts", "HHmm"))
+    )
+    size = F.when(et_raw == "hail", F.format_string("%.2f", F.col("value"))).otherwise("")
+    fscale = F.when(
+        et_raw == "tornado",
+        F.when(uid % 13 == 0, F.lit("UNK")).otherwise(
+            F.concat(F.lit("EF"), (uid % 6).cast("string"))
+        ),
+    ).otherwise("")
+    speed = F.when(
+        et_raw == "wind",
+        F.when(uid % 13 == 0, F.lit("UNK")).otherwise((uid % 70 + 40).cast("string")),
+    ).otherwise("")
+    loc = (
+        F.when(uid % 4 == 0, F.concat((uid % 15 + 1).cast("string"), F.lit(" NW Springfield")))
+        .when(uid % 4 == 1, F.concat(F.format_string("%.1f", (uid % 30) / F.lit(2.0)), F.lit(" ESE Austin")))
+        .when(uid % 4 == 2, F.lit("Anthon"))
+        .otherwise("")
+    )
+    state = (
+        F.when(uid % 5 == 0, "TX")
+        .when(uid % 5 == 1, "OK")
+        .when(uid % 5 == 2, "NE")
+        .when(uid % 5 == 3, "IA")
+        .otherwise("KS")
+    )
+    comments = (
+        F.when(uid % 3 == 0, "auto report (SJT)")
+        .when(uid % 3 == 1, "auto report (FWD)")
+        .otherwise("auto report")
+    )
+    return ev.select(
+        time_col.alias("Time"),
+        size.alias("Size"),
+        fscale.alias("F_Scale"),
+        speed.alias("Speed"),
+        loc.alias("Location"),
+        F.concat(F.lit("County"), (uid % 40).cast("string")).alias("County"),
+        state.alias("State"),
+        F.format_string("%.2f", (uid % 100) / F.lit(10.0) + 25.0).alias("Lat"),
+        F.format_string("%.2f", (uid % 200) / F.lit(10.0) - 120.0).alias("Lon"),
+        comments.alias("Comments"),
+        et_raw.alias("EventType"),
+        F.col("ts").alias("kafka_timestamp"),
+    )
+
+
+def _enrich_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from storm_data_etl_service_spark.functions.enrich import enrich, flatten
+    from storm_data_etl_service_spark.sources.storm_fixture import FROZEN_CLOCK
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    raw = _raw_from_events(ev)
+    return flatten(enrich(raw, processed_at=F.lit(FROZEN_CLOCK).cast("timestamp")))
+
+
+_EVENTS_RAW_SQL = """SELECT
+  CASE WHEN user_id % 17 = 0 THEN '2510'
+       WHEN user_id % 19 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+       ELSE strftime(ts, '%H%M') END AS "Time",
+  CASE WHEN et0 = 'hail' THEN printf('%.2f', value) ELSE '' END AS "Size",
+  CASE WHEN et0 = 'tornado' THEN
+    (CASE WHEN user_id % 13 = 0 THEN 'UNK' ELSE 'EF' || cast(user_id % 6 AS VARCHAR) END)
+  ELSE '' END AS "F_Scale",
+  CASE WHEN et0 = 'wind' THEN
+    (CASE WHEN user_id % 13 = 0 THEN 'UNK' ELSE cast(user_id % 70 + 40 AS VARCHAR) END)
+  ELSE '' END AS "Speed",
+  CASE WHEN user_id % 4 = 0 THEN cast(user_id % 15 + 1 AS VARCHAR) || ' NW Springfield'
+       WHEN user_id % 4 = 1 THEN printf('%.1f', (user_id % 30) / 2.0) || ' ESE Austin'
+       WHEN user_id % 4 = 2 THEN 'Anthon'
+       ELSE '' END AS "Location",
+  'County' || cast(user_id % 40 AS VARCHAR) AS "County",
+  CASE WHEN user_id % 5 = 0 THEN 'TX' WHEN user_id % 5 = 1 THEN 'OK'
+       WHEN user_id % 5 = 2 THEN 'NE' WHEN user_id % 5 = 3 THEN 'IA'
+       ELSE 'KS' END AS "State",
+  printf('%.2f', (user_id % 100) / 10.0 + 25.0) AS "Lat",
+  printf('%.2f', (user_id % 200) / 10.0 - 120.0) AS "Lon",
+  CASE WHEN user_id % 3 = 0 THEN 'auto report (SJT)'
+       WHEN user_id % 3 = 1 THEN 'auto report (FWD)'
+       ELSE 'auto report' END AS "Comments",
+  CASE WHEN et0 = 'flood' THEN 'flood' ELSE et0 END AS "EventType",
+  ts AS base_src
+FROM (SELECT *, CASE event_type WHEN 'click' THEN 'hail' WHEN 'view' THEN 'wind'
+                WHEN 'error' THEN 'tornado' WHEN 'signup' THEN 'flood'
+                ELSE '' END AS et0 FROM events) e"""
+
+
+def _enrich_events_oracle() -> str:
+    return _enrichment_oracle(
+        _EVENTS_RAW_SQL, "base_src", "TIMESTAMP '2024-04-27 06:00:00'"
+    )
+
+
+# --------------------------------------------------------------------------
+# the registry
+# --------------------------------------------------------------------------
+
+REGISTRY: dict[str, QuerySpec] = {
+    "storm_enrich": QuerySpec(
+        _storm_enrich_spark, _storm_enrich_oracle(), ("enrichment", "P1-P14")
+    ),
+    "enrich_events": QuerySpec(
+        _enrich_events_spark, _enrich_events_oracle(), ("enrichment", "bench")
+    ),
+    "q1_group_count": QuerySpec(
+        _t(R.q1_group_count),
+        "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority",
+        ("agg",),
+    ),
+    "q2_group_count_composite": QuerySpec(
+        _t(R.q2_group_count_composite),
+        "SELECT c_nationkey, c_mktsegment, count(*) AS n FROM customer"
+        " GROUP BY c_nationkey, c_mktsegment",
+        ("agg",),
+    ),
+    "q3_filter_eq_count": QuerySpec(
+        _t(R.q3_filter_eq_count),
+        "SELECT count(*) AS n FROM lineitem WHERE l_returnflag = 'R'",
+        ("filter",),
+    ),
+    "q4_filter_conj_count": QuerySpec(
+        _t(R.q4_filter_conj_count),
+        "SELECT count(*) AS n FROM lineitem WHERE l_returnflag = 'R'"
+        " AND l_linestatus = 'F' AND l_discount >= 0.05",
+        ("filter",),
+    ),
+    "q5_filter_in_count": QuerySpec(
+        _t(R.q5_filter_in_count),
+        "SELECT count(*) AS n FROM orders WHERE o_orderstatus IN ('O','F')",
+        ("filter",),
+    ),
+    "q6_filter_threshold_count": QuerySpec(
+        _t(R.q6_filter_threshold_count),
+        "SELECT count(*) AS n FROM lineitem WHERE l_quantity >= 30",
+        ("filter",),
+    ),
+    "q7_bounding_box_count": QuerySpec(
+        _t(R.q7_bounding_box_count),
+        "SELECT count(*) AS n FROM part WHERE abs(p_size - 25) <= 10"
+        " AND abs(p_retailprice - 1500) <= 500",
+        ("filter", "geo"),
+    ),
+    "q8_filtered_max": QuerySpec(
+        _t(R.q8_filtered_max),
+        "SELECT max(l_extendedprice) AS max_price FROM lineitem WHERE l_returnflag = 'R'",
+        ("agg",),
+    ),
+    "q9_topn": QuerySpec(
+        _t(R.q9_topn),
+        "SELECT c_nationkey, count(*) AS n FROM customer GROUP BY c_nationkey"
+        " ORDER BY n DESC, c_nationkey LIMIT 5",
+        ("agg", "topk"),
+    ),
+    "q9_grouped_topk": QuerySpec(
+        _t(R.q9_grouped_topk),
+        "SELECT c_custkey, c_nationkey, c_acctbal, rk FROM ("
+        "  SELECT c_custkey, c_nationkey, c_acctbal,"
+        "         cast(row_number() OVER (PARTITION BY c_nationkey"
+        "              ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rk"
+        "  FROM customer) WHERE rk <= 3",
+        ("window", "topk"),
+    ),
+    "q10_first_row": QuerySpec(
+        _t(R.q10_first_row),
+        "SELECT * FROM orders ORDER BY o_orderkey LIMIT 1",
+        ("sort",),
+    ),
+    "q11_conditional_count": QuerySpec(
+        _t(R.q11_conditional_count),
+        "SELECT count(*) AS n_total,"
+        " count(CASE WHEN value > 250 THEN 1 END) AS n_high_value FROM events",
+        ("agg",),
+    ),
+    "q12_dup_detect": QuerySpec(
+        _t(R.q12_dup_detect),
+        "SELECT user_id, event_type, count(*) AS n FROM events"
+        " GROUP BY user_id, event_type HAVING count(*) > 1",
+        ("dedup",),
+    ),
+    "q12_dedup_first_wins": QuerySpec(
+        _t(R.q12_dedup_first_wins),
+        "SELECT event_id, user_id, event_type, value FROM ("
+        "  SELECT event_id, user_id, event_type, value,"
+        "         row_number() OVER (PARTITION BY user_id, event_type"
+        "                            ORDER BY event_id) AS rk"
+        "  FROM events) WHERE rk = 1",
+        ("dedup", "window"),
+    ),
+    "q13_anti_join": QuerySpec(
+        _t(R.q13_anti_join),
+        "SELECT o.* FROM orders o WHERE NOT EXISTS ("
+        "  SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)",
+        ("join",),
+    ),
+    "q14_join_compare": QuerySpec(
+        _t(R.q14_join_compare),
+        "SELECT c_custkey, c_name, n_name, c_acctbal FROM customer"
+        " JOIN nation ON c_nationkey = n_nationkey",
+        ("join",),
+    ),
+    "q15_except_all": QuerySpec(
+        _t(R.q15_except_all),
+        "SELECT * FROM region EXCEPT ALL SELECT * FROM region WHERE r_regionkey < 3",
+        ("setop",),
+    ),
+    "q16_domain_violations": QuerySpec(
+        _t(R.q16_domain_violations),
+        "SELECT count(*) AS n FROM orders WHERE o_orderstatus NOT IN ('O','F','P')",
+        ("validation",),
+    ),
+    "q16_crossfield_check": QuerySpec(
+        _t(R.q16_crossfield_check),
+        "SELECT count(*) AS n FROM events WHERE (value > 0) != (props IS NOT NULL)",
+        ("validation",),
+    ),
+    "q17_count_parity": QuerySpec(
+        _t(R.q17_count_parity),
+        "WITH a AS (SELECT event_type, count(*) AS n_a FROM events"
+        "           WHERE user_id % 2 = 0 GROUP BY event_type),"
+        "     b AS (SELECT event_type, count(*) AS n_b FROM events"
+        "           WHERE user_id % 2 = 1 GROUP BY event_type)"
+        " SELECT coalesce(a.event_type, b.event_type) AS event_type, n_a, n_b"
+        " FROM a FULL OUTER JOIN b ON a.event_type = b.event_type"
+        " WHERE n_a IS DISTINCT FROM n_b",
+        ("validation", "join"),
+    ),
+    "p13_hourly_rollup": QuerySpec(
+        _t(R.p13_hourly_rollup),
+        "SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,"
+        f" {_dsum('value')} AS sum_value FROM events GROUP BY date_trunc('hour', ts)",
+        ("agg", "window-time"),
+    ),
+    "p5_deterministic_id": QuerySpec(
+        _t(R.p5_deterministic_id),
+        "SELECT event_id, substr(sha256(concat_ws('|', event_type,"
+        " cast(user_id AS VARCHAR), printf('%.4f', value))), 1, 16) AS content_id"
+        " FROM events",
+        ("id",),
+    ),
+    "tpch_q1_pricing_summary": QuerySpec(
+        _t(R.tpch_q1_pricing_summary),
+        f"""WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+    {_dsum('l_quantity')} AS sum_qty,
+    {_dsum('l_extendedprice')} AS sum_base_price,
+    {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+    {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+    {_dsum('l_discount')} AS sum_disc,
+    count(*) AS count_order
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+       sum_charge, sum_qty / count_order AS avg_qty,
+       sum_base_price / count_order AS avg_price,
+       sum_disc / count_order AS avg_disc, count_order
+FROM agg""",
+        ("bench", "agg"),
+    ),
+    "tpch_q3_top_revenue_orders": QuerySpec(
+        _t(R.tpch_q3_top_revenue_orders),
+        f"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+        ("bench", "join"),
+    ),
+    "tpch_q5_regional_revenue": QuerySpec(
+        _t(R.tpch_q5_regional_revenue),
+        f"""SELECT n_name, {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' GROUP BY n_name""",
+        ("bench", "join"),
+    ),
+}

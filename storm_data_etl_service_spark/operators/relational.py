@@ -1,0 +1,352 @@
+"""Relational query operators Q1-Q17.
+
+The reference's analytical query surface — everything its fixture
+generator and cross-repo validator compute over the enriched data
+(reference cmd/genmock/main.go:204-354, cmd/validate/main.go:111-538)
+— re-expressed as DataFrame builders over the synthetic star schema
+(FIXTURES.md §3 fixes the canonical mapping).
+
+Scale notes are attached per operator: these run against Catalyst/AQE
+so grouped counts get map-side partial aggregation, small dimensions
+broadcast, and skewed shuffles re-split at runtime.  Determinism
+notes: every ordered/limited query carries an explicit total-order
+tiebreak (the reference relies on file order, which does not exist on
+a cluster — SURVEY.md §7 hard part 3), and floating sums go through
+a decimal cast so results are bit-stable under any partitioning /
+addition order (a plain double sum is order-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dsum(c, alias):
+    """Order-insensitive double sum: cast to decimal, sum exactly,
+    cast back.  Makes aggregate values reproducible across partition
+    counts — required both for the DuckDB oracle hash-match and for
+    run-to-run stability on a real cluster."""
+    return F.sum(c.cast("decimal(25,6)")).cast("double").alias(alias)
+
+
+# --- grouped counts (Q1, Q2) -------------------------------------------------
+
+def q1_group_count(t) -> DataFrame:
+    """Q1 — count by single key (reference cmd/genmock/main.go:204-226).
+    Map-side combine then one shuffle on a low-cardinality key."""
+    return t["orders"].groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+def q2_group_count_composite(t) -> DataFrame:
+    """Q2 — count by composite key (reference cmd/genmock/main.go:215)."""
+    return (
+        t["customer"]
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- filtered counts (Q3-Q7) -------------------------------------------------
+
+def q3_filter_eq_count(t) -> DataFrame:
+    """Q3 — equality-predicate count (reference cmd/genmock/main.go:290-292).
+    The filter pushes down to the parquet scan."""
+    return (
+        t["lineitem"].filter(F.col("l_returnflag") == "R").agg(F.count("*").alias("n"))
+    )
+
+
+def q4_filter_conj_count(t) -> DataFrame:
+    """Q4 — conjunctive filter count (reference cmd/genmock/main.go:293-295)."""
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_linestatus") == "F")
+            & (F.col("l_discount") >= 0.05)
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q5_filter_in_count(t) -> DataFrame:
+    """Q5 — IN-list filter count (reference cmd/genmock/main.go:296-298)."""
+    return (
+        t["orders"]
+        .filter(F.col("o_orderstatus").isin("O", "F"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q6_filter_threshold_count(t) -> DataFrame:
+    """Q6 — threshold count (reference cmd/genmock/main.go:221-223)."""
+    return t["lineitem"].filter(F.col("l_quantity") >= 30).agg(F.count("*").alias("n"))
+
+
+def q7_bounding_box_count(t) -> DataFrame:
+    """Q7 — 2-D box filter, the geo-bounding-box pattern
+    (reference cmd/genmock/main.go:304-322)."""
+    return (
+        t["part"]
+        .filter(
+            (F.abs(F.col("p_size") - 25) <= 10)
+            & (F.abs(F.col("p_retailprice") - 1500) <= 500)
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- aggregates / ordering (Q8-Q11) -----------------------------------------
+
+def q8_filtered_max(t) -> DataFrame:
+    """Q8 — max with filter (reference cmd/genmock/main.go:346-353)."""
+    return (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .agg(F.max("l_extendedprice").alias("max_price"))
+    )
+
+
+def q9_topn(t) -> DataFrame:
+    """Q9 — top-N groups by count (reference cmd/genmock/main.go:252-281).
+    Explicit key tiebreak: the reference's ranking relies on stable
+    iteration order, which a cluster does not have.  Catalyst compiles
+    orderBy+limit to TakeOrderedAndProject — no full sort at scale."""
+    return (
+        t["customer"]
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("c_nationkey"))
+        .limit(5)
+    )
+
+
+def q9_grouped_topk(t) -> DataFrame:
+    """Q9b — grouped top-k via ranking window (per-state county ranking
+    in the reference, cmd/genmock/main.go:268-281).  One shuffle on the
+    partition key; row_number needs a total order per group."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        t["customer"]
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+def q10_first_row(t) -> DataFrame:
+    """Q10 — first-match lookup with a pinned total order
+    (reference cmd/genmock/main.go:325-344 relies on file order)."""
+    return t["orders"].orderBy("o_orderkey").limit(1)
+
+
+def q11_conditional_count(t) -> DataFrame:
+    """Q11 — total + conditional non-null count
+    (reference cmd/genmock/main.go:217-220, 236-243)."""
+    return t["events"].agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("value") > 250, 1)).alias("n_high_value"),
+    )
+
+
+# --- dedup (Q12 / D8) --------------------------------------------------------
+
+def q12_dup_detect(t) -> DataFrame:
+    """Q12 — duplicate detection by key
+    (reference cmd/validate/main.go:357-373)."""
+    return (
+        t["events"]
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def q12_dedup_first_wins(t) -> DataFrame:
+    """D8 — deterministic first-wins dedup: rank by an explicit
+    arrival-order column (event_id ≙ kafka offset) within each key
+    (reference cmd/validate/main.go:357-391; SURVEY.md §7 hard part 3).
+    Single shuffle on the dedup key; at scale this is the idempotent-
+    replay compaction."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        t["events"]
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+# --- joins / set ops (Q13-Q15, Q17) -----------------------------------------
+
+def q13_anti_join(t) -> DataFrame:
+    """Q13 — referential cross-check as anti-join
+    (reference cmd/validate/main.go:298-313).  Catalyst picks
+    sort-merge for two large sides; AQE converts to broadcast when the
+    right side turns out small."""
+    return t["orders"].join(
+        t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey, "left_anti"
+    )
+
+
+def q14_join_compare(t) -> DataFrame:
+    """Q14 — key-equi join for record-level comparison
+    (reference cmd/validate/main.go:379-462).  Nation is a dimension —
+    broadcast explicitly; no shuffle of the fact side."""
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name", "c_acctbal")
+    )
+
+
+def q15_except_all(t) -> DataFrame:
+    """Q15 — dataset parity diff as a multiset difference
+    (reference cmd/validate/main.go:228-252)."""
+    region = t["region"]
+    return region.exceptAll(region.filter(F.col("r_regionkey") < 3))
+
+
+def q16_domain_violations(t) -> DataFrame:
+    """Q16a — enum-membership violation count
+    (reference cmd/validate/main.go:467-538)."""
+    return (
+        t["orders"]
+        .filter(~F.col("o_orderstatus").isin("O", "F", "P"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q16_crossfield_check(t) -> DataFrame:
+    """Q16b — cross-field implication violations: (value>0) must match
+    props presence (reference mag>0 ⇔ severity non-null,
+    cmd/validate/main.go:528-536)."""
+    return (
+        t["events"]
+        .filter((F.col("value") > 0) != F.col("props").isNotNull())
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q17_count_parity(t) -> DataFrame:
+    """Q17 — per-group count parity across two sources
+    (reference cmd/validate/main.go:268-285).  Compares even/odd user
+    halves; keeps groups whose counts differ (null-safe inequality)."""
+    ev = t["events"]
+    a = ev.filter(F.col("user_id") % 2 == 0).groupBy("event_type").agg(
+        F.count("*").alias("n_a")
+    )
+    b = ev.filter(F.col("user_id") % 2 == 1).groupBy("event_type").agg(
+        F.count("*").alias("n_b")
+    )
+    return (
+        a.join(b, "event_type", "full_outer")
+        .filter(~F.col("n_a").eqNullSafe(F.col("n_b")))
+        .select("event_type", "n_a", "n_b")
+    )
+
+
+# --- time bucketing (P13 generalized) ---------------------------------------
+
+def p13_hourly_rollup(t) -> DataFrame:
+    """P13 — tumbling-hour rollup (reference
+    internal/domain/transform.go:309-315 generalized to an agg).
+    One shuffle on the bucket; decimal-sum for bit-stable values."""
+    return (
+        t["events"]
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.count("*").alias("n"), _dsum(F.col("value"), "sum_value"))
+    )
+
+
+# --- deterministic content IDs (P5 generalized) ------------------------------
+
+def p5_deterministic_id(t) -> DataFrame:
+    """P5 — deterministic sha256 content IDs over an arbitrary table
+    (reference internal/domain/transform.go:134-142 generalized).
+    Pure projection; printf-style float formatting keeps the pre-image
+    engine-portable."""
+    pre = F.concat_ws(
+        "|",
+        F.col("event_type"),
+        F.col("user_id").cast("string"),
+        F.format_string("%.4f", F.col("value")),
+    )
+    return t["events"].select(
+        "event_id", F.substring(F.sha2(pre, 256), 1, 16).alias("content_id")
+    )
+
+
+# --- headline join/agg queries (bench anchors) -------------------------------
+
+def tpch_q1_pricing_summary(t) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan-heavy agg with 8 aggregates
+    over lineitem.  Partial aggregation reduces 60k/600k/... rows to 6
+    groups map-side; the shuffle is negligible at any scale.  Averages
+    are derived from the decimal-stable sums so values are
+    partitioning-independent."""
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity"), "sum_qty"),
+        _dsum(F.col("l_extendedprice"), "sum_base_price"),
+        _dsum(disc_price, "sum_disc_price"),
+        _dsum(charge, "sum_charge"),
+        _dsum(F.col("l_discount"), "sum_disc"),
+        F.count("*").alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+        (F.col("sum_disc") / F.col("count_order")).alias("avg_disc"),
+        "count_order",
+    )
+
+
+def tpch_q3_top_revenue_orders(t) -> DataFrame:
+    """TPC-H Q3-style shipping priority: selective dimension filter,
+    two joins, agg, top-10.  customer(BUILDING) is filtered before the
+    join (predicate pushdown) and broadcast; lineitem only shuffles on
+    l_orderkey."""
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < F.lit("1999-01-01"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1996-01-01"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def tpch_q5_regional_revenue(t) -> DataFrame:
+    """TPC-H Q5-style regional revenue: 5-table star join.  The entire
+    dimension chain region→nation→customer stays broadcast; only
+    orders⨝lineitem shuffles — the plan a 1000-executor cluster wants."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dims = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey", "n_name")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(_dsum(revenue, "revenue"))
+    )

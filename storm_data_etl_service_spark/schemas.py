@@ -102,10 +102,70 @@ TESTDATA_TABLES = (
 )
 
 
+#: Columns stored as parquet TIMESTAMP(NANOS) in the synthetic tables.
+#: Spark has no nanosecond timestamp type; we read them as raw int64
+#: (``nanosAsLong``) and truncate to microseconds — *integer* division,
+#: because double division would round where DuckDB truncates.
+_NANO_TS_COLUMNS = {"events": ("ts",)}
+
+
+#: Dimension tables that never benefit from a bench-mode fan-out.
+_SMALL_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+
+def _read_table(spark, sf_dir: str, name: str):
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANO_TS_COLUMNS.get(name, ()):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    # The synthetic tables are single-file/single-row-group parquet, so
+    # a scan yields ONE input partition and serializes the scan stage.
+    # SPARK_GRAFT_SCAN_PARTITIONS opts into a post-scan repartition for
+    # local benchmarking; real multi-file datasets parallelize at the
+    # scan and don't need (or want) this extra shuffle.
+    scan_parts = int(os.environ.get("SPARK_GRAFT_SCAN_PARTITIONS", "0"))
+    if scan_parts > 0 and name not in _SMALL_TABLES:
+        df = df.repartition(scan_parts)
+    return df
+
+
+class LazyTables(dict):
+    """Dict of table-name → DataFrame, read on first access so a query
+    only pays schema/IO setup for the tables it actually touches."""
+
+    def __init__(self, spark, sf_dir: str, names=TESTDATA_TABLES):
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._names = set(names)
+
+    def __missing__(self, name):
+        if name not in self._names:
+            raise KeyError(name)
+        df = _read_table(self._spark, self._sf_dir, name)
+        self[name] = df
+        return df
+
+
 def load_tables(spark, sf_dir: str, names=TESTDATA_TABLES):
-    """Read the synthetic parquet tables as a dict of DataFrames.
+    """Lazily read the synthetic parquet tables as a dict of DataFrames.
 
     Plain ``spark.read.parquet`` so Catalyst gets pushdown/pruning on
-    the scans; no caching here — callers decide persistence.
+    the scans; no caching here — callers decide persistence.  Two
+    timestamp normalizations (cheap projections on top of the scan):
+
+    * TIMESTAMP(NANOS) columns arrive as int64 via ``nanosAsLong`` and
+      are truncated to microsecond timestamps;
+    * TIMESTAMP_NTZ columns (parquet ``isAdjustedToUTC=false``) are
+      cast to TimestampType — the session TZ is pinned UTC, so wall
+      values are unchanged and all engine surfaces use one type.
     """
-    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return LazyTables(spark, sf_dir, names)
