@@ -239,6 +239,7 @@ def enrich(
     base_ts_col: str = "kafka_timestamp",
     processed_at: Column | None = None,
     unit_col: Column | None = None,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Full enrichment: raw CSV-shaped columns → nested StormEvent.
 
@@ -325,6 +326,7 @@ def enrich(
         extract_source_office(s("Comments")).alias("source_office"),
         derive_time_bucket(event_time).alias("time_bucket"),
         processed_at.alias("processed_at"),
+        *[F.col(c) for c in passthrough],
     )
 
 

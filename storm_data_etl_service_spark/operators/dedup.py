@@ -1,0 +1,204 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash/LSH, SimHash.
+
+Beyond-reference surface (BASELINE.json north star): the dedup suite a
+large-scale training-data pipeline needs, generalizing the reference's
+idempotent-ID first-wins dedup (D8, reference
+docs/Architecture.md:99-102, cmd/validate/main.go:357-391) to content-
+level near-duplicate detection.
+
+Scale design:
+* exact dedup is a hash-groupBy — one shuffle on the content hash,
+  map-side partial agg;
+* n-gram Jaccard is the exact method: explode shingles → self-join on
+  shingle → count intersections.  At 100 TB the shingle join dominates
+  — that's what MinHash/LSH is for: signatures are a map-only stage,
+  the only shuffle is on (band, key), and candidate pairs are a tiny
+  fraction of the n² space;
+* all hashing is sha256-based and lexicographic-min, so signatures are
+  engine-portable (the DuckDB oracle reproduces them bit-for-bit) and
+  cluster-reproducible (no JVM-hash dependence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from storm_data_etl_service_spark.operators.text import tokens_col
+
+#: MinHash configuration: 12 permutations in 4 bands of 3.
+MINHASH_SEEDS = 12
+LSH_BANDS = 4
+LSH_ROWS = 3
+
+JACCARD_THRESHOLD = 0.8
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (empty array when < n tokens)."""
+    toks = tokens_col(text)
+    size = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), size - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+        ),
+    )
+    return F.array_distinct(F.when(size >= n, grams).otherwise(F.array().cast("array<string>")))
+
+
+def dedup_exact(t) -> DataFrame:
+    """Exact dedup by content sha256: one group per distinct text,
+    first-wins keeper = min doc_id (deterministic under any
+    partitioning — the reference's file-order 'first' does not exist
+    on a cluster)."""
+    return (
+        t["documents"]
+        .groupBy(F.sha2(F.col("text"), 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _doc_shingles(t) -> DataFrame:
+    return (
+        t["documents"]
+        .select("doc_id", shingles_col(F.col("text")).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+
+
+def dedup_ngram_jaccard(t) -> DataFrame:
+    """Exact near-dup pairs by word-3-gram Jaccard ≥ 0.8.
+
+    explode → self-join on shingle → |intersection| per pair → join
+    per-doc shingle counts → J = c/(na+nb-c).  Exact but O(sum df²) in
+    the shingle join; the scale path is ``dedup_minhash_lsh`` below.
+    """
+    sh = _doc_shingles(t)
+    counts = sh.select("doc_id", F.size("shingles").alias("ns"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nb"))
+    jaccard = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _seed_minhash(shingles: Column, seed: int) -> Column:
+    # NB: the salt must be bound OUTSIDE the lambda — a default-arg
+    # parameter (lambda s, j=j: ...) makes PySpark treat the lambda as
+    # the 2-arg (value, index) form and silently overrides the default
+    # with the element index.
+    salt = F.lit(f"{seed}|")
+    return F.array_min(F.transform(shingles, lambda s: F.sha2(F.concat(salt, s), 256)))
+
+
+def minhash_signature(shingles: Column, n_seeds: int = MINHASH_SEEDS) -> Column:
+    """MinHash signature as an array of lexicographic-min sha256 hex
+    digests under per-seed salts.  String-min avoids any hex→int
+    conversion divergence between engines; min over a set is
+    permutation-invariant, so shingle order never matters."""
+    return F.array(*[_seed_minhash(shingles, j) for j in range(n_seeds)])
+
+
+def dedup_minhash_lsh(t) -> DataFrame:
+    """MinHash + LSH candidate pairs: signature (map-only) → band keys
+    → shuffle on (band, key) → pairs within a bucket.
+
+    With J≈threshold pairs, P(candidate) = 1-(1-J^r)^b; r=3, b=4
+    catches J≥0.8 with ≥99.7% probability.  The only shuffle is the
+    band-bucket join — this is the 100 TB dedup path.
+    """
+    sig = _doc_shingles(t).select(
+        "doc_id", minhash_signature(F.col("shingles")).alias("mh")
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.sha2(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(F.col("mh"), i * LSH_ROWS + k + 1)
+                                for k in range(LSH_ROWS)
+                            ],
+                        ),
+                        256,
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dedup_simhash(t) -> DataFrame:
+    """Per-document 64-bit SimHash as a 16-char hex string.
+
+    Per-token sha256 → two portable 32-bit halves → per-bit ±1 votes
+    summed over tokens → sign bits → hex.  All integer arithmetic, so
+    the DuckDB oracle reproduces it exactly.  Near-dup candidates
+    follow by banding the 4 16-bit chunks (hamming ≤ 3 ⇒ some chunk
+    equal); the signature itself is the oracle-checked contract.
+
+    The token-hash arrays are staged as real columns: inlining them
+    would duplicate the sha256 transform into all 64 per-bit
+    aggregates (64× the hashing work).
+    """
+    def token_half(offset: int):
+        # factory closure: see the lambda-default-arg note above
+        return F.transform(
+            F.col("_toks"),
+            lambda x: F.conv(F.substring(F.sha2(x, 256), offset, 8), 16, 10).cast(
+                "long"
+            ),
+        )
+
+    def bit_vote(half: Column, shift: int) -> Column:
+        return F.aggregate(
+            half,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.shiftright(x, shift).bitwiseAND(F.lit(1)) * 2 - 1,
+        )
+
+    staged = (
+        t["documents"]
+        .select("doc_id", tokens_col(F.col("text")).alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .withColumns({"_h1": token_half(1), "_h2": token_half(9)})
+    )
+    nibbles = []
+    for half in (F.col("_h1"), F.col("_h2")):
+        for nib in range(8):  # 8 nibbles per 32-bit half, MSB first
+            bits = []
+            for bit in range(4):
+                vote = bit_vote(half, 31 - (nib * 4 + bit))
+                bits.append(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)))
+            val = bits[0] * 8 + bits[1] * 4 + bits[2] * 2 + bits[3]
+            nibbles.append(F.lit("0123456789abcdef").substr(val + 1, F.lit(1)))
+    return staged.select("doc_id", F.concat(*nibbles).alias("simhash"))

@@ -21,7 +21,10 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from storm_data_etl_service_spark.operators import dedup as D
 from storm_data_etl_service_spark.operators import relational as R
+from storm_data_etl_service_spark.operators import similarity as S
+from storm_data_etl_service_spark.operators import text as X
 from storm_data_etl_service_spark.schemas import load_tables
 
 
@@ -285,6 +288,165 @@ def _enrich_events_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# oracles for the training-data operators (dedup / text / similarity)
+# --------------------------------------------------------------------------
+
+#: Shared CTE prefix: whitespace tokens and distinct word-3-gram
+#: shingles — the DuckDB twin of text.tokens_col / dedup.shingles_col.
+_TOKS_CTE = r"""toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+    THEN list_transform(generate_series(1, len(t) - 2),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ELSE [] END) AS shingles
+  FROM toks),
+shf AS (SELECT * FROM sh WHERE len(shingles) > 0)"""
+
+_NGRAM_JACCARD_ORACLE = f"""WITH {_TOKS_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+counts AS (SELECT doc_id, len(shingles) AS ns FROM shf),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+FROM common
+JOIN (SELECT doc_id AS doc_a, ns AS na FROM counts) USING (doc_a)
+JOIN (SELECT doc_id AS doc_b, ns AS nb FROM counts) USING (doc_b)
+WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.8"""
+
+_MINHASH_ORACLE = f"""WITH {_TOKS_CTE},
+sig AS (
+  SELECT doc_id, list_transform(generate_series(0, 11),
+    j -> list_min(list_transform(shingles,
+         s -> sha256(cast(j AS VARCHAR) || '|' || s)))) AS mh
+  FROM shf),
+bands AS (
+  SELECT doc_id, i AS band,
+         sha256(mh[3*i+1] || ',' || mh[3*i+2] || ',' || mh[3*i+3]) AS key
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS i)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b FROM pairs"""
+
+
+def _simhash_oracle() -> str:
+    """Programmatically build the 64-bit SimHash in SQL, mirroring
+    dedup.dedup_simhash bit-for-bit."""
+    nibbles = []
+    for half in ("h1", "h2"):
+        for nib in range(8):
+            bits = []
+            for bit in range(4):
+                shift = 31 - (nib * 4 + bit)
+                vote = (
+                    f"coalesce(list_sum(list_transform({half},"
+                    f" x -> ((x >> {shift}) & 1) * 2 - 1)), 0)"
+                )
+                bits.append(f"(CASE WHEN {vote} > 0 THEN 1 ELSE 0 END)")
+            val = f"({bits[0]}*8 + {bits[1]}*4 + {bits[2]}*2 + {bits[3]})"
+            nibbles.append(f"substr('0123456789abcdef', {val} + 1, 1)")
+    hex_expr = " || ".join(nibbles)
+    return f"""WITH {_TOKS_CTE},
+hashed AS (
+  SELECT doc_id,
+    list_transform(t, x -> ('0x' || substr(sha256(x), 1, 8))::BIGINT) AS h1,
+    list_transform(t, x -> ('0x' || substr(sha256(x), 9, 8))::BIGINT) AS h2
+  FROM toks WHERE len(t) > 0)
+SELECT doc_id, {hex_expr} AS simhash FROM hashed"""
+
+
+_TEXT_STATS_ORACLE = rf"""WITH {_TOKS_CTE}
+SELECT doc_id,
+  len(t) AS n_tokens,
+  length(text) AS n_chars,
+  CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS DOUBLE)
+    / greatest(len(t), 1) AS avg_token_len,
+  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+    / greatest(length(text), 1) AS punct_ratio,
+  CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE)
+    / greatest(len(t), 1) AS stopword_ratio
+FROM toks"""
+
+
+def _lang_id_oracle() -> str:
+    from storm_data_etl_service_spark.operators.text import CJK_PATTERN, LANG_PATTERNS
+
+    score = {
+        lang: f"len(regexp_extract_all(lower(text), '{pat}'))"
+        for lang, pat in LANG_PATTERNS.items()
+    }
+    zh = f"len(regexp_extract_all(text, '{CJK_PATTERN}'))"
+    return f"""SELECT doc_id,
+  {score['en']} AS en_score, {score['es']} AS es_score,
+  {score['de']} AS de_score, {score['fr']} AS fr_score,
+  {zh} AS zh_score,
+  CASE WHEN {zh} > 0 THEN 'zh'
+       WHEN {score['en']} >= {score['es']} AND {score['en']} >= {score['de']}
+            AND {score['en']} >= {score['fr']} THEN 'en'
+       WHEN {score['es']} >= {score['de']} AND {score['es']} >= {score['fr']} THEN 'es'
+       WHEN {score['de']} >= {score['fr']} THEN 'de'
+       ELSE 'fr' END AS lang_pred
+FROM documents"""
+
+
+_FINGERPRINT_ORACLE = f"""WITH {_TOKS_CTE},
+hashed AS (
+  SELECT doc_id,
+    list_transform(t, x -> ('0x' || substr(sha256(x), 1, 15))::BIGINT % 2147483647) AS hs
+  FROM toks)
+SELECT doc_id,
+  CASE WHEN len(hs) = 0 THEN 0
+       ELSE list_reduce(hs, (acc, x) -> (acc * 131 + x) % 2147483647) END AS fingerprint
+FROM hashed"""
+
+_COSINE_SQL = """list_reduce(list_transform(generate_series(1, len({b})), i -> {a}[i]*{b}[i]), (x,y) -> x+y)
+   / (sqrt(list_reduce(list_transform(generate_series(1, len({a})), i -> {a}[i]*{a}[i]), (x,y) -> x+y))
+      * sqrt(list_reduce(list_transform(generate_series(1, len({b})), i -> {b}[i]*{b}[i]), (x,y) -> x+y)))"""
+
+_ANN_TOPK_ORACLE = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+p AS (
+  SELECT query_id, vec_id,
+    {_COSINE_SQL.format(a='qv', b='v')} AS cosine
+  FROM q, e WHERE vec_id != query_id)
+SELECT query_id, vec_id, cosine, rk FROM (
+  SELECT *, cast(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk FROM p)
+WHERE rk <= 10"""
+
+_NEAR_DUP_ORACLE = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  {_COSINE_SQL.format(a='a.v', b='b.v')} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COSINE_SQL.format(a='a.v', b='b.v')} >= 0.95"""
+
+
+def _lsh_buckets_oracle() -> str:
+    from storm_data_etl_service_spark.operators.similarity import (
+        LSH_PLANES,
+        plane_components,
+    )
+
+    bits = []
+    for p in range(LSH_PLANES):
+        lits = ", ".join(repr(c) for c in plane_components(p))
+        proj = (
+            f"list_reduce(list_transform(generate_series(1, len(v)),"
+            f" i -> v[i] * ([{lits}]::DOUBLE[])[i]), (x,y) -> x+y)"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
+    bucket = " || ".join(bits)
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, {bucket} AS bucket FROM e"""
+
+
+# --------------------------------------------------------------------------
 # the registry
 # --------------------------------------------------------------------------
 
@@ -461,6 +623,35 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         ("bench", "join"),
+    ),
+    "dedup_exact": QuerySpec(
+        _t(D.dedup_exact),
+        "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_doc_id,"
+        " count(*) AS n_copies FROM documents GROUP BY sha256(text)",
+        ("dedup",),
+    ),
+    "dedup_ngram_jaccard": QuerySpec(
+        _t(D.dedup_ngram_jaccard), _NGRAM_JACCARD_ORACLE, ("dedup", "neardup")
+    ),
+    "dedup_minhash_lsh": QuerySpec(
+        _t(D.dedup_minhash_lsh), _MINHASH_ORACLE, ("dedup", "neardup", "lsh")
+    ),
+    "dedup_simhash": QuerySpec(
+        _t(D.dedup_simhash), _simhash_oracle(), ("dedup", "neardup")
+    ),
+    "text_stats": QuerySpec(_t(X.text_stats), _TEXT_STATS_ORACLE, ("text",)),
+    "text_lang_id": QuerySpec(_t(X.text_lang_id), _lang_id_oracle(), ("text",)),
+    "text_fingerprint": QuerySpec(
+        _t(X.text_fingerprint), _FINGERPRINT_ORACLE, ("text",)
+    ),
+    "ann_cosine_topk": QuerySpec(
+        _t(S.ann_cosine_topk), _ANN_TOPK_ORACLE, ("similarity",)
+    ),
+    "embedding_near_dup": QuerySpec(
+        _t(S.embedding_near_dup), _NEAR_DUP_ORACLE, ("similarity", "neardup")
+    ),
+    "ann_lsh_buckets": QuerySpec(
+        _t(S.ann_lsh_buckets), _lsh_buckets_oracle(), ("similarity", "lsh")
     ),
     "tpch_q5_regional_revenue": QuerySpec(
         _t(R.tpch_q5_regional_revenue),

@@ -1,0 +1,124 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language ID,
+quality scoring, token counting, and document fingerprinting over the
+``documents`` table.  These generalize the reference's scalar string
+operators (regex extraction P11/P12, deterministic hashing P5 —
+reference internal/domain/transform.go) to corpus scale.
+
+Everything is built-in column expressions / higher-order functions —
+no UDFs, so the hot path stays inside WholeStageCodegen and scales
+linearly with partitions.  Each operator has an exactly-matching
+DuckDB oracle in the registry; arithmetic is engine-portable
+(integer counts, left-fold sums, IEEE double division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword probes for the n-gram heuristic.
+LANG_PATTERNS = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "es": r"\b(el|la|de|los|que)\b",
+    "de": r"\b(der|die|das|und|nicht)\b",
+    "fr": r"\b(le|les|des|et|est)\b",
+}
+#: CJK unified ideographs — literal codepoint range works in both
+#: Java regex (Spark) and RE2 (DuckDB oracle).
+CJK_PATTERN = f"[{chr(0x4E00)}-{chr(0x9FFF)}]"
+
+PUNCT_PATTERN = r"[.,!?;:]"
+STOPWORD_PATTERN = r"\b(the|a|and|of|to|in|is|it)\b"
+
+#: Fingerprint fold: h = (h*131 + tok_hash) mod (2^31-1).
+FP_MOD = 2147483647
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens with empties dropped ('' → 0 tokens)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != "")
+
+
+def text_stats(t) -> DataFrame:
+    """Quality-scoring metrics per document: token count, char count,
+    average token length, punctuation ratio, stopword ratio.
+
+    Pure projection over the scan — the 100 TB plan is a map-only
+    stage with full column pruning (only ``doc_id``/``text`` read).
+    """
+    toks = tokens_col(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    sum_tok_len = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    n_punct = F.regexp_count("text", F.lit(PUNCT_PATTERN)).cast("long")
+    n_stop = F.regexp_count(F.lower("text"), F.lit(STOPWORD_PATTERN)).cast("long")
+    return t["documents"].select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        (sum_tok_len.cast("double") / F.greatest(n_tokens, F.lit(1))).alias("avg_token_len"),
+        (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))).alias("stopword_ratio"),
+    )
+
+
+def text_lang_id(t) -> DataFrame:
+    """N-gram-heuristic language ID: stopword-probe hit counts per
+    language + CJK character presence; argmax with a fixed tie-break
+    order (zh > en > es > de > fr).  A deterministic heuristic — the
+    oracle checks prediction equality, not accuracy."""
+    lowered = F.lower("text")
+    scores = {
+        lang: F.regexp_count(lowered, F.lit(pat)).cast("long")
+        for lang, pat in LANG_PATTERNS.items()
+    }
+    zh = F.regexp_count("text", F.lit(CJK_PATTERN)).cast("long")
+    pred = (
+        F.when(zh > 0, "zh")
+        .when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"]),
+            "en",
+        )
+        .when((scores["es"] >= scores["de"]) & (scores["es"] >= scores["fr"]), "es")
+        .when(scores["de"] >= scores["fr"], "de")
+        .otherwise("fr")
+    )
+    return t["documents"].select(
+        "doc_id",
+        scores["en"].alias("en_score"),
+        scores["es"].alias("es_score"),
+        scores["de"].alias("de_score"),
+        scores["fr"].alias("fr_score"),
+        zh.alias("zh_score"),
+        pred.alias("lang_pred"),
+    )
+
+
+def token_hash(tok: Column) -> Column:
+    """Portable 60-bit token hash: first 15 hex chars of sha256 as an
+    integer (DuckDB twin: ``('0x' || substr(sha256(t),1,15))::BIGINT``)."""
+    return F.conv(F.substring(F.sha2(tok, 256), 1, 15), 16, 10).cast("long")
+
+
+def text_fingerprint(t) -> DataFrame:
+    """Document fingerprint: left-fold rolling hash over per-token
+    sha256-derived integers, ``h = (h*131 + tok_hash%M) % M``.
+
+    Order-sensitive (unlike a content sha over the raw text, it is
+    robust to formatting-only whitespace changes) and engine-portable:
+    the fold emulates DuckDB's ``list_reduce`` (first element is the
+    initial accumulator)."""
+    toks = tokens_col(F.col("text"))
+    hashes = F.transform(toks, lambda x: token_hash(x) % FP_MOD)
+    folded = F.aggregate(
+        F.slice(hashes, 2, F.greatest(F.size(hashes) - 1, F.lit(0))),
+        F.element_at(hashes, 1),
+        lambda acc, x: (acc * 131 + x) % FP_MOD,
+    )
+    return t["documents"].select(
+        "doc_id", F.coalesce(folded, F.lit(0).cast("long")).alias("fingerprint")
+    )

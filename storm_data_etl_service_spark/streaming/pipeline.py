@@ -1,0 +1,231 @@
+"""Structured-Streaming ETL pipeline: the reference's Kafka→Kafka
+micro-batch loop (reference internal/pipeline/pipeline.go:63-159,
+operators D1-D9 in SURVEY.md §2.3) on Spark's streaming engine.
+
+Semantics mapping:
+
+* D1 micro-batch driver    → the Structured Streaming engine itself
+  (trigger interval ≙ BATCH_FLUSH_INTERVAL, maxOffsetsPerTrigger ≙
+  BATCH_SIZE);
+* D2 poison-pill routing   → corrupt-record split in ``foreachBatch``:
+  malformed records are counted and written to a dead-letter sink,
+  the batch continues, and the checkpoint advances past them —
+  exactly the reference's warn-log + skip + commit policy
+  (reference docs/Architecture.md:110-114);
+* D3 commit-after-load     → checkpoint WAL/commit-log ordering: the
+  offset range is committed only after the batch's sink write
+  returns, giving the same at-least-once contract;
+* D8 idempotent replay     → deterministic IDs (P5) + first-wins
+  dedup by (id, arrival order) inside each batch; cross-batch
+  replays are absorbed downstream by the deterministic IDs, the
+  reference's own design (docs/Architecture.md:99-102);
+* D6 readiness / D9 metrics→ foreachBatch-updated counters
+  (consumed/produced/errors) with a readiness latch that flips after
+  the first successful batch;
+* D7 graceful shutdown     → ``stop()`` on the query handle drains
+  the in-flight batch before returning.
+
+The enrichment applied per batch is the *same* expression-only
+``enrich()`` used in batch mode — nothing is reimplemented.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from storm_data_etl_service_spark.functions.enrich import (
+    enrich,
+    flatten,
+    parse_raw_events,
+)
+from storm_data_etl_service_spark.schemas import RAW_EVENT_SCHEMA
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    batch_size: int = 50,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S1 — Kafka micro-batch source (reference
+    internal/adapter/kafka/reader.go:22-72): consumer-group reads,
+    earliest start, per-trigger batch bound."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("maxOffsetsPerTrigger", str(batch_size))
+        .option("includeHeaders", "true")
+        .load()
+    )
+
+
+def file_source(spark: SparkSession, path: str) -> DataFrame:
+    """File-based test source: JSON-lines files of Kafka-envelope rows
+    (one micro-batch per trigger).  Lets the D2/D3/D8 semantics be
+    exercised without a broker."""
+    return spark.readStream.schema(RAW_EVENT_SCHEMA).json(path)
+
+
+def split_poison(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """D2 — parse the envelope payload and fork valid / dead-letter."""
+    parsed = parse_raw_events(raw)
+    poison = parsed.filter(F.col("is_poison")).select(
+        F.col("value").cast("string").alias("raw_value"),
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+    )
+    valid = (
+        parsed.filter(~F.col("is_poison"))
+        .select(
+            "parsed.*",
+            F.col("timestamp").alias("kafka_timestamp"),
+            F.col("offset").alias("kafka_offset"),
+        )
+        .drop("_corrupt_record")
+    )
+    return valid, poison
+
+
+def dedup_first_wins(enriched: DataFrame, order_col: str = "kafka_offset") -> DataFrame:
+    """D8 — deterministic first-wins dedup by id: rank by the explicit
+    arrival-order column (the reference's 'first occurrence' is file
+    order, which does not exist under parallelism — SURVEY.md §7)."""
+    w = Window.partitionBy("id").orderBy(F.col(order_col).asc())
+    return (
+        enriched.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def kafka_sink_frame(enriched: DataFrame) -> DataFrame:
+    """S3/S5 — shape the enriched event for the Kafka sink: key = id,
+    value = wire JSON (omitempty via ignoreNullFields), headers
+    event_type + processed_at (reference
+    internal/adapter/kafka/writer.go:55-68)."""
+    payload = F.to_json(
+        F.struct(*[F.col(c) for c in enriched.columns if not c.startswith("kafka_")]),
+        {"ignoreNullFields": "true"},
+    )
+    headers = F.array(
+        F.struct(F.lit("event_type").alias("key"), F.col("event_type").cast("binary").alias("value")),
+        F.struct(
+            F.lit("processed_at").alias("key"),
+            F.date_format("processed_at", "yyyy-MM-dd'T'HH:mm:ssX").cast("binary").alias("value"),
+        ),
+    )
+    return enriched.select(
+        F.col("id").cast("binary").alias("key"),
+        payload.alias("value"),
+        headers.alias("headers"),
+    )
+
+
+@dataclass
+class PipelineMetrics:
+    """D6/D9 — consumed/produced/error counters + readiness latch
+    (reference internal/observability/metrics.go:20-66,
+    pipeline.go:37-60).  Updated from ``foreachBatch`` after each
+    batch's sink write returns, so ``ready`` flips exactly when the
+    reference's atomic readiness bool does: after the first
+    successfully processed batch (reference pipeline.go:116)."""
+
+    consumed: int = 0
+    produced: int = 0
+    transform_errors: int = 0
+    batches: int = 0
+    ready: bool = False
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    def record_batch(self, consumed: int, produced: int, errors: int) -> None:
+        with self._lock:
+            self.consumed += consumed
+            self.produced += produced
+            self.transform_errors += errors
+            self.batches += 1
+            self.ready = True
+
+
+class StormStreamPipeline:
+    """The end-to-end pipeline: source → parse/split → enrich →
+    first-wins dedup → sink + dead-letter, with metrics.
+
+    ``sink_writer(df, batch_id)`` and ``dlq_writer(df, batch_id)`` are
+    injected (parquet dir, Kafka frame, memory table...) mirroring the
+    reference's consumer-defined Extractor/Loader interfaces
+    (reference internal/pipeline/pipeline.go:16-28) that made its
+    pipeline unit-testable.
+    """
+
+    def __init__(
+        self,
+        raw_stream: DataFrame,
+        sink_writer,
+        dlq_writer=None,
+        metrics: PipelineMetrics | None = None,
+        processed_at=None,
+    ):
+        self.raw_stream = raw_stream
+        self.sink_writer = sink_writer
+        self.dlq_writer = dlq_writer
+        self.metrics = metrics or PipelineMetrics()
+        self.processed_at = processed_at
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        valid, poison = split_poison(batch_df)
+        n_poison = poison.count()
+        if n_poison and self.dlq_writer is not None:
+            self.dlq_writer(poison, batch_id)
+        enriched = enrich(
+            valid, processed_at=self.processed_at, passthrough=("kafka_offset",)
+        )
+        deduped = dedup_first_wins(enriched).drop("kafka_offset")
+        n_out = deduped.count()
+        self.sink_writer(deduped, batch_id)
+        self.metrics.record_batch(
+            consumed=n_out + n_poison, produced=n_out, errors=n_poison
+        )
+
+    def start(
+        self,
+        checkpoint_dir: str,
+        trigger: dict | None = None,
+        query_name: str = "storm_etl",
+    ):
+        """Run the stream; D3 at-least-once comes from the checkpoint:
+        offsets WAL'd before the batch, committed after the sink write
+        (our ``foreachBatch`` raises on sink failure, so the offset
+        range is retried — never skipped)."""
+        writer = (
+            self.raw_stream.writeStream.queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self._process_batch)
+        )
+        trigger = trigger or {"availableNow": True}
+        return writer.trigger(**trigger).start()
+
+
+def parquet_sink(out_dir: str):
+    """Simple exactly-once-per-batch parquet sink for tests/batch jobs."""
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        flatten(df).write.mode("append").parquet(out_dir)
+
+    return write
+
+
+def parquet_dlq(dlq_dir: str):
+    def write(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").parquet(dlq_dir)
+
+    return write

@@ -1,0 +1,168 @@
+"""Streaming-pipeline semantics tests (D1-D9) over a file-based source
+— the reference's integration-test matrix without a broker (reference
+internal/integration/kafka_pipeline_test.go: counts, poison-pill skip,
+dedup, record-level spot checks)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from storm_data_etl_service_spark.sources.storm_fixture import (
+    BASE_TS,
+    FROZEN_CLOCK,
+    RAW_COLUMNS,
+    RAW_ROWS,
+)
+from storm_data_etl_service_spark.streaming.pipeline import (
+    PipelineMetrics,
+    StormStreamPipeline,
+    file_source,
+    kafka_sink_frame,
+    parquet_dlq,
+    parquet_sink,
+)
+
+
+@pytest.fixture()
+def workdir():
+    d = Path(tempfile.mkdtemp(prefix="storm_stream_"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _b64(s: str) -> str:
+    # the JSON file source decodes BinaryType fields from base64 —
+    # exactly how a binary Kafka payload round-trips through JSON
+    import base64
+
+    return base64.b64encode(s.encode()).decode()
+
+
+def _envelope(row, offset):
+    return {
+        "value": _b64(json.dumps(dict(zip(RAW_COLUMNS, row)))),
+        "topic": "storm.raw",
+        "partition": 0,
+        "offset": offset,
+        "timestamp": BASE_TS.isoformat(),
+    }
+
+
+def _write_stream_files(src_dir: Path):
+    """Two micro-batch files: batch 0 has a poison pill, batch 1
+    replays the first record (duplicate id) plus fresh rows."""
+    src_dir.mkdir(parents=True, exist_ok=True)
+    batch0 = [_envelope(r, i) for i, r in enumerate(RAW_ROWS[:10])]
+    batch0.insert(3, {"value": _b64("{not valid json"), "topic": "storm.raw",
+                      "partition": 0, "offset": 999,
+                      "timestamp": BASE_TS.isoformat()})
+    batch1 = [_envelope(RAW_ROWS[0], 1000)]  # duplicate of the golden record
+    batch1 += [_envelope(r, 1001 + i) for i, r in enumerate(RAW_ROWS[10:16])]
+    for i, batch in enumerate([batch0, batch1]):
+        with open(src_dir / f"batch{i}.json", "w") as f:
+            for rec in batch:
+                f.write(json.dumps(rec) + "\n")
+
+
+def _run_pipeline(spark, workdir):
+    src = workdir / "src"
+    _write_stream_files(src)
+    metrics = PipelineMetrics()
+    pipe = StormStreamPipeline(
+        file_source(spark, str(src)),
+        sink_writer=parquet_sink(str(workdir / "out")),
+        dlq_writer=parquet_dlq(str(workdir / "dlq")),
+        metrics=metrics,
+        processed_at=F.lit(FROZEN_CLOCK).cast("timestamp"),
+    )
+    q = pipe.start(str(workdir / "ckpt"))
+    q.awaitTermination(120)
+    return metrics
+
+
+def test_end_to_end_counts_and_dedup(spark, workdir):
+    metrics = _run_pipeline(spark, workdir)
+    out = spark.read.parquet(str(workdir / "out"))
+    # 16 distinct records + 1 duplicate + 1 poison consumed
+    assert metrics.transform_errors == 1
+    assert metrics.consumed == 17
+    # the duplicate replay may land in a separate micro-batch (file
+    # source => both files can be one batch with availableNow, so the
+    # in-batch first-wins dedup must collapse it either way)
+    ids = [r["id"] for r in out.select("id").collect()]
+    assert len(ids) == len(set(ids)) == 16
+
+    golden = out.filter(F.col("id") == "hail-5d91dda0f56ba124").collect()
+    assert len(golden) == 1
+    g = golden[0]
+    assert g["measurement_magnitude"] == 1.25
+    assert g["measurement_severity"] == "moderate"
+    assert g["source_office"] == "SJT"
+
+
+def test_dead_letter_contents(spark, workdir):
+    _run_pipeline(spark, workdir)
+    dlq = spark.read.parquet(str(workdir / "dlq"))
+    rows = dlq.collect()
+    assert len(rows) == 1
+    assert rows[0]["raw_value"] == "{not valid json"
+    assert rows[0]["offset"] == 999
+
+
+def test_metrics_and_readiness(spark, workdir):
+    metrics = _run_pipeline(spark, workdir)
+    assert metrics.ready
+    assert metrics.batches >= 1
+    assert metrics.produced == 16
+    assert metrics.consumed == metrics.produced + metrics.transform_errors
+
+
+def test_restart_is_idempotent(spark, workdir):
+    """D3/D8 — restarting over the same checkpoint must not reprocess
+    committed batches (offsets advanced past the poison pill too)."""
+    _run_pipeline(spark, workdir)
+    n_before = spark.read.parquet(str(workdir / "out")).count()
+    metrics2 = PipelineMetrics()
+    pipe = StormStreamPipeline(
+        file_source(spark, str(workdir / "src")),
+        sink_writer=parquet_sink(str(workdir / "out")),
+        dlq_writer=parquet_dlq(str(workdir / "dlq")),
+        metrics=metrics2,
+        processed_at=F.lit(FROZEN_CLOCK).cast("timestamp"),
+    )
+    q = pipe.start(str(workdir / "ckpt"))
+    q.awaitTermination(120)
+    assert metrics2.produced == 0
+    assert spark.read.parquet(str(workdir / "out")).count() == n_before
+
+
+def test_kafka_sink_frame_shape(spark):
+    """S3/S5 — wire shape: binary key=id, JSON value with omitempty,
+    event_type/processed_at headers."""
+    from storm_data_etl_service_spark.functions.enrich import enrich
+    from storm_data_etl_service_spark.sources.storm_fixture import spark_fixture_df
+
+    enriched = enrich(
+        spark_fixture_df(spark), processed_at=F.lit(FROZEN_CLOCK).cast("timestamp")
+    )
+    frame = kafka_sink_frame(enriched)
+    assert [f.name for f in frame.schema.fields] == ["key", "value", "headers"]
+    row = frame.filter(
+        F.col("key").cast("string") == "hail-5d91dda0f56ba124"
+    ).first()
+    payload = json.loads(row["value"])
+    assert payload["event_type"] == "hail"
+    assert payload["measurement"]["severity"] == "moderate"
+    # null distance/direction are dropped (Go omitempty), empty strings kept
+    unk = json.loads(
+        frame.filter(F.col("key").cast("string").startswith("tornado-")).first()["value"]
+    )
+    hdrs = {h["key"]: bytes(h["value"]).decode() for h in row["headers"]}
+    assert hdrs["event_type"] == "hail"
+    assert hdrs["processed_at"].startswith("2024-04-27T06:00:00")

@@ -1,0 +1,116 @@
+"""Tests for the beyond-reference training-data operators (dedup,
+similarity, text analysis) at sf0.001, asserting the semantic
+relationships the oracle comparison can't see (e.g. LSH recall vs the
+exact method)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from storm_data_etl_service_spark.operators.registry import REGISTRY
+from storm_data_etl_service_spark.schemas import load_tables
+
+
+def run(name, spark, sf_dir):
+    return REGISTRY[name].build(spark, sf_dir)
+
+
+def test_minhash_catches_jaccard_pairs(spark, sf_dir):
+    """LSH candidates must contain every true near-dup pair at the
+    J≥0.8 threshold (r=3,b=4 ⇒ P(miss|J=0.8) ≈ 0.3% per pair)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in run("dedup_ngram_jaccard", spark, sf_dir).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in run("dedup_minhash_lsh", spark, sf_dir).collect()
+    }
+    assert exact, "fixture should contain planted near-dup documents"
+    missed = exact - cand
+    assert len(missed) <= max(1, len(exact) // 20), f"LSH missed {missed}"
+
+
+def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
+    sims = {r["doc_id"]: r["simhash"] for r in run("dedup_simhash", spark, sf_dir).collect()}
+    pairs = run("dedup_ngram_jaccard", spark, sf_dir).collect()
+    assert pairs
+
+    def hamming(a, b):
+        return sum(
+            bin(int(x, 16) ^ int(y, 16)).count("1") for x, y in zip(a, b)
+        )
+
+    for r in pairs:
+        h = hamming(sims[r["doc_a"]], sims[r["doc_b"]])
+        assert h <= 12, f"near-dup pair {r} has hamming {h}"
+
+
+def test_dedup_exact_partitions_docs(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n_docs = docs.count()
+    groups = run("dedup_exact", spark, sf_dir).collect()
+    assert sum(g["n_copies"] for g in groups) == n_docs
+    # keeper is always a member of its own group: min(doc_id) semantics
+    assert all(g["keep_doc_id"] >= 0 for g in groups)
+
+
+def test_ann_topk_matches_brute_force(spark, sf_dir):
+    """Driver-side numpy recomputation of the top-k for one query."""
+    np = pytest.importorskip("numpy")
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[0]
+    sims = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in vecs.items()
+        if vid != 0
+    }
+    expected = sorted(sims, key=lambda v: (-sims[v], v))[:10]
+    got = (
+        run("ann_cosine_topk", spark, sf_dir)
+        .filter(F.col("query_id") == 0)
+        .orderBy("rk")
+        .collect()
+    )
+    assert [r["vec_id"] for r in got] == expected
+
+
+def test_lsh_bucket_groups_are_nonempty_strings(spark, sf_dir):
+    rows = run("ann_lsh_buckets", spark, sf_dir).collect()
+    assert all(len(r["bucket"]) == 8 and set(r["bucket"]) <= {"0", "1"} for r in rows)
+    # buckets should split the space, not collapse into one
+    assert len({r["bucket"] for r in rows}) > 1
+
+
+def test_text_stats_ranges(spark, sf_dir):
+    rows = run("text_stats", spark, sf_dir).collect()
+    for r in rows:
+        assert r["n_tokens"] >= 0 and r["n_chars"] >= 0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+
+
+def test_lang_id_deterministic_and_total(spark, sf_dir):
+    rows = run("text_lang_id", spark, sf_dir).collect()
+    assert all(r["lang_pred"] in {"en", "es", "de", "fr", "zh"} for r in rows)
+
+
+def test_fingerprint_order_sensitivity(spark):
+    from storm_data_etl_service_spark.operators.text import text_fingerprint
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in text_fingerprint({"documents": docs}).collect()}
+    assert fps[1] == fps[3]  # same content -> same fingerprint
+    assert fps[1] != fps[2]  # order matters
+
+
+def test_registry_complete():
+    for name, spec in REGISTRY.items():
+        assert callable(spec.build), name
+        assert spec.oracle is None or isinstance(spec.oracle, str), name
