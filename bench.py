@@ -27,10 +27,14 @@ BENCH_QUERIES = [
     "tpch_q3_top_revenue_orders",  # selective join + top-k
     "tpch_q5_regional_revenue",  # 5-table star join
     "p13_hourly_rollup",        # tumbling-window agg
+    "session_window_agg",       # session windows (stateful-sort agg)
     "q9_grouped_topk",          # ranking window
     "q13_anti_join",            # large anti-join
     "q12_dedup_first_wins",     # first-wins dedup window
     "p5_deterministic_id",      # sha256 content IDs
+    "dedup_minhash_lsh",        # MinHash signature + LSH band join
+    "ann_cosine_topk",          # brute-force cosine top-k
+    "multimodal_decode_stats",  # Arrow-batched mapInPandas path
 ]
 
 

@@ -34,9 +34,13 @@ LSH_ROWS = 3
 JACCARD_THRESHOLD = 0.8
 
 
-def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (empty array when < n tokens)."""
-    toks = tokens_col(text)
+def shingles_col(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (empty array when < n tokens).
+
+    ``toks`` must be a STAGED column (not an inline ``tokens_col(text)``
+    tree): higher-order functions are interpreted, so an inlined token
+    expression re-tokenizes the text on every ``element_at`` access —
+    O(tokens²) per document, measured 10× slower at sf0.1."""
     size = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), size - n),
@@ -60,10 +64,16 @@ def dedup_exact(t) -> DataFrame:
 
 
 def _doc_shingles(t) -> DataFrame:
+    # Filter on the cheap token-count predicate, NOT on
+    # size(shingles) > 0: Catalyst pushes the filter below the staging
+    # projection and would inline the whole shingle expression into it
+    # (re-tokenizing per row — measured 20× slower).  < 3 tokens ⇔ no
+    # shingles, so the predicates are equivalent.
     return (
         t["documents"]
-        .select("doc_id", shingles_col(F.col("text")).alias("shingles"))
-        .filter(F.size("shingles") > 0)
+        .select("doc_id", tokens_col(F.col("text")).alias("_toks"))
+        .filter(F.size("_toks") >= 3)
+        .select("doc_id", shingles_col(F.col("_toks")).alias("shingles"))
     )
 
 
@@ -95,21 +105,48 @@ def dedup_ngram_jaccard(t) -> DataFrame:
     )
 
 
-def _seed_minhash(shingles: Column, seed: int) -> Column:
-    # NB: the salt must be bound OUTSIDE the lambda — a default-arg
-    # parameter (lambda s, j=j: ...) makes PySpark treat the lambda as
-    # the 2-arg (value, index) form and silently overrides the default
-    # with the element index.
-    salt = F.lit(f"{seed}|")
-    return F.array_min(F.transform(shingles, lambda s: F.sha2(F.concat(salt, s), 256)))
+#: Universal-hash modulus for MinHash permutations (2^31 - 1, prime).
+MINHASH_P = 2147483647
 
 
-def minhash_signature(shingles: Column, n_seeds: int = MINHASH_SEEDS) -> Column:
-    """MinHash signature as an array of lexicographic-min sha256 hex
-    digests under per-seed salts.  String-min avoids any hex→int
-    conversion divergence between engines; min over a set is
-    permutation-invariant, so shingle order never matters."""
-    return F.array(*[_seed_minhash(shingles, j) for j in range(n_seeds)])
+def minhash_params(n_seeds: int = MINHASH_SEEDS) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) permutation coefficients derived from
+    sha256 — computed driver-side, embedded as literals in both the
+    Spark plan and the DuckDB oracle."""
+    import hashlib
+
+    def h(tag: str) -> int:
+        return int(hashlib.sha256(tag.encode()).hexdigest()[:8], 16)
+
+    return [(h(f"a|{j}") % (MINHASH_P - 1) + 1, h(f"b|{j}") % MINHASH_P) for j in range(n_seeds)]
+
+
+def shingle_base_hashes(shingles: Column) -> Column:
+    """One sha256-derived integer hash per shingle, reduced mod p —
+    computed ONCE and staged as a column (inlining it into every
+    permutation would re-run the sha256 per seed: 12× the work)."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("long")
+        % MINHASH_P,
+    )
+
+
+def minhash_signature(base_hashes: Column, n_seeds: int = MINHASH_SEEDS) -> Column:
+    """MinHash signature via n_seeds cheap universal-hash permutations
+    ``(a_j*h + b_j) mod p`` over the staged base hashes.
+
+    Integer-only and int64-safe (h < p < 2^31, a < 2^31 ⇒ a*h < 2^62),
+    so the DuckDB oracle reproduces it exactly.  Min over a set is
+    permutation-invariant — shingle order never matters.
+    """
+
+    def perm_min(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(base_hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+        )
+
+    return F.array(*[perm_min(a, b) for a, b in minhash_params(n_seeds)])
 
 
 def dedup_minhash_lsh(t) -> DataFrame:
@@ -120,8 +157,10 @@ def dedup_minhash_lsh(t) -> DataFrame:
     catches J≥0.8 with ≥99.7% probability.  The only shuffle is the
     band-bucket join — this is the 100 TB dedup path.
     """
-    sig = _doc_shingles(t).select(
-        "doc_id", minhash_signature(F.col("shingles")).alias("mh")
+    sig = (
+        _doc_shingles(t)
+        .withColumn("_base", shingle_base_hashes(F.col("shingles")))
+        .select("doc_id", minhash_signature(F.col("_base")).alias("mh"))
     )
     bands = sig.select(
         "doc_id",
@@ -134,7 +173,9 @@ def dedup_minhash_lsh(t) -> DataFrame:
                         F.concat_ws(
                             ",",
                             *[
-                                F.element_at(F.col("mh"), i * LSH_ROWS + k + 1)
+                                F.element_at(F.col("mh"), i * LSH_ROWS + k + 1).cast(
+                                    "string"
+                                )
                                 for k in range(LSH_ROWS)
                             ],
                         ),

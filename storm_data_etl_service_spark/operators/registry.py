@@ -22,9 +22,11 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from storm_data_etl_service_spark.operators import dedup as D
+from storm_data_etl_service_spark.operators import multimodal as M
 from storm_data_etl_service_spark.operators import relational as R
 from storm_data_etl_service_spark.operators import similarity as S
 from storm_data_etl_service_spark.operators import text as X
+from storm_data_etl_service_spark.operators import windows as W
 from storm_data_etl_service_spark.schemas import load_tables
 
 
@@ -318,15 +320,26 @@ JOIN (SELECT doc_id AS doc_a, ns AS na FROM counts) USING (doc_a)
 JOIN (SELECT doc_id AS doc_b, ns AS nb FROM counts) USING (doc_b)
 WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.8"""
 
-_MINHASH_ORACLE = f"""WITH {_TOKS_CTE},
-sig AS (
-  SELECT doc_id, list_transform(generate_series(0, 11),
-    j -> list_min(list_transform(shingles,
-         s -> sha256(cast(j AS VARCHAR) || '|' || s)))) AS mh
+def _minhash_oracle() -> str:
+    from storm_data_etl_service_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_params,
+    )
+
+    perms = ", ".join(
+        f"list_min(list_transform(base, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        for a, b in minhash_params()
+    )
+    return f"""WITH {_TOKS_CTE},
+hashed AS (
+  SELECT doc_id, list_transform(shingles,
+    s -> ('0x' || substr(sha256(s), 1, 15))::BIGINT % {MINHASH_P}) AS base
   FROM shf),
+sig AS (SELECT doc_id, [{perms}] AS mh FROM hashed),
 bands AS (
   SELECT doc_id, i AS band,
-         sha256(mh[3*i+1] || ',' || mh[3*i+2] || ',' || mh[3*i+3]) AS key
+         sha256(cast(mh[3*i+1] AS VARCHAR) || ',' || cast(mh[3*i+2] AS VARCHAR)
+                || ',' || cast(mh[3*i+3] AS VARCHAR)) AS key
   FROM sig, (SELECT unnest(generate_series(0, 3)) AS i)),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -624,6 +637,51 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         ("bench", "join"),
     ),
+    "tumbling_window_agg": QuerySpec(
+        _t(W.tumbling_window_agg),
+        f"""WITH b AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts)/21600)*21600 AS BIGINT)*1000000) AS bucket_start,
+         value FROM events)
+SELECT bucket_start, bucket_start + INTERVAL 6 HOUR AS bucket_end,
+       count(*) AS n, {_dsum('value')} AS sum_value
+FROM b GROUP BY bucket_start""",
+        ("window-time",),
+    ),
+    "sliding_window_agg": QuerySpec(
+        _t(W.sliding_window_agg),
+        """WITH starts AS (
+  SELECT make_timestamp((CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) - off)*1000000) AS bucket_start
+  FROM events, (VALUES (0), (3600)) AS o(off))
+SELECT bucket_start, bucket_start + INTERVAL 2 HOUR AS bucket_end, count(*) AS n
+FROM starts GROUP BY bucket_start""",
+        ("window-time",),
+    ),
+    "session_window_agg": QuerySpec(
+        _t(W.session_window_agg),
+        f"""WITH o AS (
+  SELECT user_id, ts, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) < INTERVAL 5 MINUTE
+         THEN 0 ELSE 1 END AS new_s
+  FROM events),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 5 MINUTE AS session_end,
+       count(*) AS n, {_dsum('value')} AS sum_value
+FROM s GROUP BY user_id, sid""",
+        ("window-time", "session"),
+    ),
+    "multimodal_decode_stats": QuerySpec(
+        _t(M.multimodal_decode_stats),
+        """SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS content_sha,
+       lower(hex(encode(substr(text, 1, 4)))) AS byte_signature
+FROM documents""",
+        ("multimodal", "pandas-udf"),
+    ),
     "dedup_exact": QuerySpec(
         _t(D.dedup_exact),
         "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_doc_id,"
@@ -634,7 +692,7 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         _t(D.dedup_ngram_jaccard), _NGRAM_JACCARD_ORACLE, ("dedup", "neardup")
     ),
     "dedup_minhash_lsh": QuerySpec(
-        _t(D.dedup_minhash_lsh), _MINHASH_ORACLE, ("dedup", "neardup", "lsh")
+        _t(D.dedup_minhash_lsh), _minhash_oracle(), ("dedup", "neardup", "lsh")
     ),
     "dedup_simhash": QuerySpec(
         _t(D.dedup_simhash), _simhash_oracle(), ("dedup", "neardup")

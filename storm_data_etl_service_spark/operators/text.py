@@ -48,19 +48,23 @@ def text_stats(t) -> DataFrame:
     Pure projection over the scan — the 100 TB plan is a map-only
     stage with full column pruning (only ``doc_id``/``text`` read).
     """
-    toks = tokens_col(F.col("text"))
+    toks = F.col("_toks")  # staged: HOFs are interpreted, see shingles_col
     n_tokens = F.size(toks).cast("long")
     n_chars = F.length("text").cast("long")
     sum_tok_len = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
     n_punct = F.regexp_count("text", F.lit(PUNCT_PATTERN)).cast("long")
     n_stop = F.regexp_count(F.lower("text"), F.lit(STOPWORD_PATTERN)).cast("long")
-    return t["documents"].select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_chars.alias("n_chars"),
-        (sum_tok_len.cast("double") / F.greatest(n_tokens, F.lit(1))).alias("avg_token_len"),
-        (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
-        (n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))).alias("stopword_ratio"),
+    return (
+        t["documents"]
+        .withColumn("_toks", tokens_col(F.col("text")))
+        .select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            n_chars.alias("n_chars"),
+            (sum_tok_len.cast("double") / F.greatest(n_tokens, F.lit(1))).alias("avg_token_len"),
+            (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+            (n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))).alias("stopword_ratio"),
+        )
     )
 
 
@@ -112,13 +116,15 @@ def text_fingerprint(t) -> DataFrame:
     robust to formatting-only whitespace changes) and engine-portable:
     the fold emulates DuckDB's ``list_reduce`` (first element is the
     initial accumulator)."""
-    toks = tokens_col(F.col("text"))
-    hashes = F.transform(toks, lambda x: token_hash(x) % FP_MOD)
+    hashes = F.col("_hs")  # staged: HOFs are interpreted, see shingles_col
     folded = F.aggregate(
         F.slice(hashes, 2, F.greatest(F.size(hashes) - 1, F.lit(0))),
         F.element_at(hashes, 1),
         lambda acc, x: (acc * 131 + x) % FP_MOD,
     )
-    return t["documents"].select(
-        "doc_id", F.coalesce(folded, F.lit(0).cast("long")).alias("fingerprint")
+    return (
+        t["documents"]
+        .withColumn("_toks", tokens_col(F.col("text")))
+        .withColumn("_hs", F.transform(F.col("_toks"), lambda x: token_hash(x) % FP_MOD))
+        .select("doc_id", F.coalesce(folded, F.lit(0).cast("long")).alias("fingerprint"))
     )

@@ -1,0 +1,53 @@
+"""File sources and sinks (S6-S8): the reference's batch-tool IO
+surface (reference cmd/genmock/main.go:96-192,
+cmd/validate/main.go:175-215) on Spark readers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storm_data_etl_service_spark.schemas import RAW_CSV_SCHEMA
+
+#: SPC CSV magnitude column per event type
+#: (reference cmd/genmock/main.go:74-80).
+MAGNITUDE_COLUMNS = {"hail": "Size", "tornado": "F_Scale", "wind": "Speed"}
+
+
+def read_spc_csv(spark: SparkSession, path: str, event_type: str) -> DataFrame:
+    """S6 — header-mapped SPC CSV scan: trim every cell, inject the
+    per-file event type, emit the 11-column raw record shape
+    (reference cmd/genmock/main.go:96-172 'processCSV': header
+    name→index mapping, cell trimming, short-row skip — the header
+    mapping and short-row handling are what ``spark.read.csv`` with
+    ``header=True`` already does).
+    """
+    raw = spark.read.option("header", True).option("mode", "PERMISSIVE").csv(path)
+    mag_col = MAGNITUDE_COLUMNS.get(event_type)
+    cols = []
+    for field in RAW_CSV_SCHEMA.fieldNames():
+        if field == "EventType":
+            cols.append(F.lit(event_type).alias(field))
+        elif field in MAGNITUDE_COLUMNS.values():
+            # only the type's own magnitude column is populated
+            # (per-type exclusivity invariant, cmd/validate/main.go:316-347)
+            src = F.trim(F.col(field)) if field == mag_col and field in raw.columns else F.lit("")
+            cols.append(src.alias(field))
+        elif field in raw.columns:
+            cols.append(F.coalesce(F.trim(F.col(field)), F.lit("")).alias(field))
+        else:
+            cols.append(F.lit("").alias(field))
+    return raw.select(*cols)
+
+
+def read_json_records(spark: SparkSession, path: str) -> DataFrame:
+    """S7 — whole-file JSON array of raw records
+    (reference cmd/validate/main.go:205-215 'loadJSON')."""
+    return spark.read.option("multiLine", True).schema(RAW_CSV_SCHEMA).json(path)
+
+
+def write_json_fixture(df: DataFrame, path: str) -> None:
+    """S8 — JSON fixture sink (reference cmd/genmock/main.go:182-192;
+    indentation there is cosmetic — the contract is the records)."""
+    df.write.mode("overwrite").json(path)

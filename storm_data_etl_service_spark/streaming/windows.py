@@ -1,0 +1,50 @@
+"""Streaming windowed aggregations with watermark-based late-data
+handling — P13 (reference internal/domain/transform.go:309-315)
+generalized from a per-record bucket assignment to stateful streaming
+rollups.
+
+The reference has no late-data policy: legacy HHMM records adopt the
+Kafka message timestamp, so "late" data is simply processed on
+arrival and absorbed by idempotent IDs (SURVEY.md §2.5).  At 100 TB
+streaming scale that is not enough — state must be bounded — so the
+rollups here carry explicit watermarks: state for windows older than
+the watermark is dropped, and events arriving later than that are
+discarded (observable in the metrics of the test harness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-hour rollup with a late-data watermark: the streaming
+    twin of operators.relational.p13_hourly_rollup (same grouping,
+    same aggregates) — the batch/stream parity the reference gets by
+    sharing its transform function."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("bucket_start"), "n", "sum_value")
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-user streaming session windows (stateful merge with
+    inactivity gap); sessions finalize once the watermark passes
+    their end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+    )

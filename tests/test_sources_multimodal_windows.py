@@ -1,0 +1,190 @@
+"""Tests for file sources (S6-S8), multimodal plumbing, and windowed
+aggregations (batch + streaming watermarks)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+from datetime import datetime
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from storm_data_etl_service_spark.operators.multimodal import (
+    decode_media,
+    frame_sample,
+    image_resize,
+    media_from_documents,
+)
+from storm_data_etl_service_spark.schemas import load_tables
+from storm_data_etl_service_spark.sources.files import (
+    read_json_records,
+    read_spc_csv,
+    write_json_fixture,
+)
+
+
+@pytest.fixture()
+def workdir():
+    d = Path(tempfile.mkdtemp(prefix="storm_files_"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# --- S6-S8 file sources ------------------------------------------------------
+
+CSV_HEADER = "Time,Size,Location,County,State,Lat,Lon,Comments"
+CSV_ROW = '1510,125,8 ESE Chappel,San Saba,TX,31.02,-98.44,"1.25 inch hail reported at Colorado Bend State Park. (SJT)"'
+
+
+def test_read_spc_csv_enriches_to_golden(spark, workdir):
+    """S6 + enrichment: the genmock CSV path reproduces the golden ID
+    (reference cmd/genmock/main.go:96-172)."""
+    from storm_data_etl_service_spark.functions.enrich import enrich
+    from storm_data_etl_service_spark.sources.storm_fixture import BASE_TS
+
+    csv = workdir / "hail.csv"
+    csv.write_text(CSV_HEADER + "\n" + CSV_ROW + "\n")
+    df = read_spc_csv(spark, str(csv), "hail").withColumn(
+        "kafka_timestamp", F.lit(BASE_TS).cast("timestamp")
+    )
+    row = enrich(df).first()
+    assert row["id"] == "hail-5d91dda0f56ba124"
+    assert row["measurement"]["magnitude"] == 1.25
+    # per-type exclusivity: F_Scale/Speed stay empty for hail files
+    raw = read_spc_csv(spark, str(csv), "hail").first()
+    assert raw["F_Scale"] == "" and raw["Speed"] == ""
+
+
+def test_json_roundtrip(spark, workdir):
+    """S7/S8 — fixture sink then whole-file JSON scan round-trips."""
+    from storm_data_etl_service_spark.sources.storm_fixture import spark_fixture_df
+
+    raw = spark_fixture_df(spark).drop("kafka_timestamp")
+    out = workdir / "fixture"
+    write_json_fixture(raw, str(out))
+    back = read_json_records(spark, str(out))
+    assert back.count() == raw.count()
+    assert sorted(back.columns) == sorted(raw.columns)
+
+
+# --- multimodal --------------------------------------------------------------
+
+def test_decode_media_matches_python(spark, sf_dir):
+    import hashlib
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    texts = {r["doc_id"]: r["text"] for r in docs.limit(20).collect()}
+    media = media_from_documents({"documents": docs.limit(20)})
+    stats = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert len(stats) == len(texts)
+    for doc_id, text in texts.items():
+        b = text.encode()
+        assert stats[doc_id]["n_bytes"] == len(b)
+        assert stats[doc_id]["content_sha"] == hashlib.sha256(b).hexdigest()
+        assert stats[doc_id]["byte_signature"] == b[:4].hex()
+
+
+def test_frame_sample_fans_out(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].limit(5)
+    media = media_from_documents({"documents": docs})
+    frames = frame_sample(media, every_ms=1000).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for mid, idxs in by_media.items():
+        assert sorted(idxs) == list(range(len(idxs)))  # dense frame indices
+    assert any(len(v) > 1 for v in by_media.values())  # real fan-out
+
+
+def test_image_resize_stub_fails_loudly_without_pil(spark, sf_dir):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; stub not reachable")
+    except ImportError:
+        pass
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].limit(1)
+    media = media_from_documents({"documents": docs})
+    with pytest.raises(Exception) as exc_info:
+        image_resize(media, 32, 32).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+# --- streaming windows -------------------------------------------------------
+
+def _write_events_file(path: Path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_streaming_hourly_rollup_watermark_semantics(spark, workdir):
+    """Append-mode watermark guarantees: the watermark advances with
+    event time, and ONLY finalized windows (end <= watermark) are
+    emitted, exactly once each.  (Dropping of very-late rows is
+    explicitly best-effort in Spark — not asserted.)"""
+    from storm_data_etl_service_spark.streaming.windows import hourly_rollup_stream
+
+    src = workdir / "events"
+    src.mkdir()
+    ev = lambda i, ts, v: {"event_id": i, "ts": ts, "user_id": 1,
+                           "event_type": "click", "value": v, "props": "{}"}
+    # batch 0: events 10:00-13:30 -> watermark advances to 11:30
+    _write_events_file(src / "b0.json", [
+        ev(1, "2024-01-01T10:15:00.000Z", 1.0),
+        ev(2, "2024-01-01T12:20:00.000Z", 1.0),
+        ev(3, "2024-01-01T13:30:00.000Z", 1.0),
+    ])
+    # batch 1: one in-time event + one too-late event (09:05; its
+    # window end 10:00 < watermark 11:30 -> dropped)
+    _write_events_file(src / "b1.json", [
+        ev(4, "2024-01-01T14:00:00.000Z", 1.0),
+        ev(5, "2024-01-01T09:05:00.000Z", 99.0),
+    ])
+    # the file source orders batches by modification time — make the
+    # ordering deterministic so b1 really arrives after b0
+    import os
+    import time
+
+    now = time.time()
+    os.utime(src / "b0.json", (now - 60, now - 60))
+    os.utime(src / "b1.json", (now, now))
+    schema = ("event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    # append mode: windows emit once the watermark passes their end,
+    # and late rows are guaranteed-dropped (update mode does NOT give
+    # that guarantee for windows whose state was never created)
+    q = (
+        hourly_rollup_stream(stream, watermark="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rollup_test")
+        .option("checkpointLocation", str(workdir / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # the watermark advanced to max(event_time) - 2h as batches ran
+    watermarks = [p["eventTime"].get("watermark") for p in q.recentProgress]
+    assert "2024-01-01T12:00:00.000Z" in watermarks
+    rows = spark.sql("SELECT * FROM rollup_test").collect()
+    buckets = {}
+    for r in rows:
+        buckets.setdefault(r["bucket_start"], []).append(r)
+    # exactly-once per finalized window
+    assert all(len(v) == 1 for v in buckets.values())
+    assert buckets[datetime(2024, 1, 1, 10, 0)][0]["n"] == 1
+    # windows not yet passed by the watermark (12:00/13:00/14:00) are
+    # withheld — append emits only finalized windows
+    for hour in (12, 13, 14):
+        assert datetime(2024, 1, 1, hour, 0) not in buckets
