@@ -1,0 +1,65 @@
+"""Physical-plan audits: assert the plans Catalyst produces are the
+plans a 100 TB cluster needs — broadcasts on dimension joins, filter
+pushdown into the parquet scan, column pruning, top-k without a full
+sort, and a UDF-free enrichment path."""
+
+from __future__ import annotations
+
+import pytest
+
+from storm_data_etl_service_spark.operators.registry import REGISTRY
+
+
+def plan_of(name, spark, sf_dir) -> str:
+    df = REGISTRY[name].build(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    for q in ["q14_join_compare", "tpch_q5_regional_revenue", "tpch_q3_top_revenue_orders"]:
+        plan = plan_of(q, spark, sf_dir)
+        assert "BroadcastHashJoin" in plan, f"{q} lost its broadcast:\n{plan[:2000]}"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of("q3_filter_eq_count", spark, sf_dir)
+    assert "PushedFilters" in plan
+    assert "l_returnflag" in plan.split("PushedFilters")[1][:200], (
+        "l_returnflag filter not pushed to parquet:\n" + plan[:2000]
+    )
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = plan_of("tpch_q1_pricing_summary", spark, sf_dir)
+    scan = plan[plan.index("ReadSchema") :][:400]
+    assert "l_extendedprice" in scan
+    # unused columns must not be read
+    assert "l_partkey" not in scan and "l_suppkey" not in scan, scan
+
+
+def test_topn_uses_take_ordered(spark, sf_dir):
+    plan = plan_of("q9_topn", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_enrichment_has_no_python_eval(spark, sf_dir):
+    plan = plan_of("enrich_events", spark, sf_dir)
+    assert "EvalPython" not in plan
+    # '*(n)' prefixes mark whole-stage-codegen'd operators
+    assert "WholeStageCodegen" in plan or "*(" in plan, plan[:1200]
+
+
+def test_only_multimodal_uses_python(spark, sf_dir):
+    python_ops = []
+    for name in REGISTRY:
+        plan = plan_of(name, spark, sf_dir)
+        if "EvalPython" in plan or "MapInPandas" in plan:
+            python_ops.append(name)
+    assert python_ops == ["multimodal_decode_stats"], python_ops
+
+
+def test_exact_dedup_has_partial_aggregation(spark, sf_dir):
+    """Hash-groupBy dedup must partial-aggregate map-side (the whole
+    point of groupBy-over-window for exact dedup at scale)."""
+    plan = plan_of("dedup_exact", spark, sf_dir)
+    assert plan.count("HashAggregate") >= 2, plan[:1500]
