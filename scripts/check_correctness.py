@@ -43,7 +43,10 @@ def norm(v):
 def normalize_result(col_names, rows):
     order = sorted(range(len(col_names)), key=lambda i: col_names[i])
     cols = [col_names[i] for i in order]
-    data = sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    data = sorted(
+        (tuple(norm(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
     return cols, data
 
 

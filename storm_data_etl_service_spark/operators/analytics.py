@@ -1,0 +1,83 @@
+"""Multi-dimensional aggregation / set-operation surface.
+
+Beyond the reference (it has none of these — SURVEY.md §2.5): rollup,
+cube, grouping sets, pivot, multiset intersection, exact and
+approximate distinct counts.  All built-in Catalyst operators — the
+expansion (rollup/cube emit one row per grouping set per input group)
+happens inside the Expand operator before the single shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _typed_halves(t) -> DataFrame:
+    return t["events"].select(
+        "event_type", (F.col("user_id") % 2).alias("half"), "value"
+    )
+
+
+def rollup_agg(t) -> DataFrame:
+    """ROLLUP (event_type, half): per-pair, per-type, and grand-total
+    rows in one pass."""
+    return _typed_halves(t).rollup("event_type", "half").agg(F.count("*").alias("n"))
+
+
+def cube_agg(t) -> DataFrame:
+    """CUBE (event_type, half): all 2^2 grouping sets."""
+    return _typed_halves(t).cube("event_type", "half").agg(F.count("*").alias("n"))
+
+
+def grouping_sets_sql(spark, t) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (the engine exposes
+    both APIs; Catalyst compiles them to the same Expand plan)."""
+    t["events"].createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type, user_id % 2 AS half, count(*) AS n
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id % 2), ())
+        """
+    )
+
+
+def pivot_agg(t) -> DataFrame:
+    """Pivot event types into columns (explicit value list so the plan
+    needs no extra distinct-collection pass — required at scale)."""
+    return (
+        t["events"]
+        .select((F.col("user_id") % 3).alias("grp"), "event_type")
+        .groupBy("grp")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, subset=list(EVENT_TYPES))  # absent combos: 0, not null
+    )
+
+
+def intersect_all_op(t) -> DataFrame:
+    """Multiset intersection (companion of Q15's exceptAll)."""
+    region = t["region"]
+    return region.intersectAll(region.filter(F.col("r_regionkey") >= 2))
+
+
+def distinct_counts(t) -> DataFrame:
+    """Exact distinct counts (two-level aggregation under the hood)."""
+    return t["events"].agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+def approx_distinct_counts(t) -> DataFrame:
+    """HyperLogLog++ sketch counts — the 100 TB path for cardinality
+    (single pass, fixed memory, no exact shuffle).  Approximate by
+    design, so no SQL oracle: the harness records a rows-only check,
+    and the unit test bounds the error against the exact counts."""
+    return t["events"].agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+        F.approx_count_distinct("event_type", 0.02).alias("n_types_approx"),
+    )

@@ -21,6 +21,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from storm_data_etl_service_spark.operators import analytics as A
 from storm_data_etl_service_spark.operators import dedup as D
 from storm_data_etl_service_spark.operators import multimodal as M
 from storm_data_etl_service_spark.operators import relational as R
@@ -440,23 +441,50 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_COSINE_SQL.format(a='a.v', b='b.v')} >= 0.95"""
 
 
-def _lsh_buckets_oracle() -> str:
-    from storm_data_etl_service_spark.operators.similarity import (
-        LSH_PLANES,
-        plane_components,
-    )
+def _bucket_sql(n_planes: int) -> str:
+    from storm_data_etl_service_spark.operators.similarity import plane_components
 
     bits = []
-    for p in range(LSH_PLANES):
+    for p in range(n_planes):
         lits = ", ".join(repr(c) for c in plane_components(p))
         proj = (
             f"list_reduce(list_transform(generate_series(1, len(v)),"
             f" i -> v[i] * ([{lits}]::DOUBLE[])[i]), (x,y) -> x+y)"
         )
         bits.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
-    bucket = " || ".join(bits)
+    return " || ".join(bits)
+
+
+def _lsh_buckets_oracle() -> str:
+    from storm_data_etl_service_spark.operators.similarity import LSH_PLANES
+
     return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT vec_id, {bucket} AS bucket FROM e"""
+SELECT vec_id, {_bucket_sql(LSH_PLANES)} AS bucket FROM e"""
+
+
+def _lsh_search_oracle() -> str:
+    from storm_data_etl_service_spark.operators.similarity import SEARCH_PREFIX_BITS
+
+    bits = SEARCH_PREFIX_BITS
+    flips = []
+    for i in range(1, bits + 1):
+        flipped = f"(CASE WHEN substr(qpfx, {i}, 1) = '1' THEN '0' ELSE '1' END)"
+        flips.append(
+            f"substr(qpfx, 1, {i - 1}) || {flipped} || substr(qpfx, {i + 1}, {bits - i})"
+        )
+    probes = "[qpfx, " + ", ".join(flips) + "]"
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (SELECT vec_id, v, {_bucket_sql(SEARCH_PREFIX_BITS)} AS pfx FROM e),
+q0 AS (SELECT vec_id AS query_id, v AS qv, pfx AS qpfx FROM bucketed WHERE vec_id < 5),
+q AS (SELECT query_id, qv, unnest({probes}) AS probe_pfx FROM q0),
+cands AS (
+  SELECT query_id, b.vec_id,
+    {_COSINE_SQL.format(a='qv', b='b.v')} AS cosine
+  FROM q JOIN bucketed b ON b.pfx = q.probe_pfx AND b.vec_id != q.query_id)
+SELECT query_id, vec_id, cosine, rk FROM (
+  SELECT *, cast(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk FROM cands)
+WHERE rk <= 5"""
 
 
 # --------------------------------------------------------------------------
@@ -636,6 +664,57 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         ("bench", "join"),
+    ),
+    "rollup_agg": QuerySpec(
+        _t(A.rollup_agg),
+        "SELECT event_type, half, count(*) AS n FROM"
+        " (SELECT event_type, user_id % 2 AS half FROM events)"
+        " GROUP BY ROLLUP(event_type, half)",
+        ("multidim",),
+    ),
+    "cube_agg": QuerySpec(
+        _t(A.cube_agg),
+        "SELECT event_type, half, count(*) AS n FROM"
+        " (SELECT event_type, user_id % 2 AS half FROM events)"
+        " GROUP BY CUBE(event_type, half)",
+        ("multidim",),
+    ),
+    "grouping_sets_sql": QuerySpec(
+        lambda spark, sf_dir: A.grouping_sets_sql(spark, load_tables(spark, sf_dir)),
+        "SELECT event_type, user_id % 2 AS half, count(*) AS n FROM events"
+        " GROUP BY GROUPING SETS ((event_type), (user_id % 2), ())",
+        ("multidim", "sql-api"),
+    ),
+    "pivot_agg": QuerySpec(
+        _t(A.pivot_agg),
+        "SELECT user_id % 3 AS grp,"
+        " count(CASE WHEN event_type = 'click' THEN 1 END) AS click,"
+        " count(CASE WHEN event_type = 'error' THEN 1 END) AS error,"
+        " count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,"
+        " count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,"
+        " count(CASE WHEN event_type = 'view' THEN 1 END) AS view"
+        " FROM events GROUP BY user_id % 3",
+        ("multidim", "pivot"),
+    ),
+    "intersect_all": QuerySpec(
+        _t(A.intersect_all_op),
+        "SELECT * FROM region INTERSECT ALL"
+        " SELECT * FROM region WHERE r_regionkey >= 2",
+        ("setop",),
+    ),
+    "distinct_counts": QuerySpec(
+        _t(A.distinct_counts),
+        "SELECT count(DISTINCT user_id) AS n_users,"
+        " count(DISTINCT event_type) AS n_types FROM events",
+        ("agg",),
+    ),
+    "approx_distinct_counts": QuerySpec(
+        _t(A.approx_distinct_counts),
+        None,  # HLL sketch: approximate by design; error bounded in tests
+        ("agg", "sketch"),
+    ),
+    "ann_lsh_search": QuerySpec(
+        _t(S.ann_lsh_search), _lsh_search_oracle(), ("similarity", "lsh")
     ),
     "tumbling_window_agg": QuerySpec(
         _t(W.tumbling_window_agg),

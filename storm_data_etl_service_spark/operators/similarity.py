@@ -137,3 +137,61 @@ def ann_lsh_buckets(t) -> DataFrame:
     oracle-checked contract (vec_id → bucket)."""
     emb = t["embeddings"].select("vec_id", _vec(F.col("embedding")).alias("v"))
     return emb.select("vec_id", lsh_bucket_col(F.col("v")).alias("bucket"))
+
+
+#: Probe with a 4-bit bucket prefix: coarser buckets → enough
+#: candidates per query at test scale; at production scale you tune
+#: bits (and multi-probe neighboring buckets) for the recall target.
+SEARCH_PREFIX_BITS = 4
+
+
+def _probe_prefixes(qpfx: Column, bits: int = SEARCH_PREFIX_BITS) -> Column:
+    """Multi-probe expansion: the query's own bucket plus every bucket
+    at hamming distance 1 (flip each bit once).  Standard remedy for
+    hyperplane-LSH recall on near-orthogonal data — probing 1+bits
+    buckets instead of 1 trades a small candidate-set growth for a
+    large recall gain."""
+    flips = []
+    for i in range(1, bits + 1):
+        flipped = F.when(F.substring(qpfx, i, 1) == "1", "0").otherwise("1")
+        flips.append(
+            F.concat(F.substring(qpfx, 1, i - 1), flipped, F.substring(qpfx, i + 1, bits - i))
+        )
+    return F.array(qpfx, *flips)
+
+
+def ann_lsh_search(t) -> DataFrame:
+    """Bucketed ANN search — the scale path end-to-end: queries hash to
+    a bucket prefix and multi-probe its hamming-1 neighborhood;
+    candidates come from those buckets only (an equi-join on the
+    prefix instead of a cross join), then exact cosine ranks them.
+
+    Versus brute force: the data side is scanned once and shuffled on
+    a bucket key; the per-query candidate set is (1+bits)·|bucket| ≪ N.
+    Approximate by construction — recall is bounded in the unit test
+    against `ann_cosine_topk`."""
+    emb = t["embeddings"].select("vec_id", _vec(F.col("embedding")).alias("v"))
+    bucketed = emb.select(
+        "vec_id",
+        "v",
+        F.substring(lsh_bucket_col(F.col("v")), 1, SEARCH_PREFIX_BITS).alias("pfx"),
+    )
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(_probe_prefixes(F.col("pfx"))).alias("probe_pfx"),
+    )
+    cands = (
+        F.broadcast(q)
+        .join(bucketed, F.col("pfx") == F.col("probe_pfx"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )

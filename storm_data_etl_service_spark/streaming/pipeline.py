@@ -215,6 +215,47 @@ class StormStreamPipeline:
         return writer.trigger(**trigger).start()
 
 
+def retry_with_backoff(
+    fn,
+    base_ms: int = 200,
+    cap_ms: int = 5000,
+    max_attempts: int = 6,
+    sleep=None,
+):
+    """D4 — exponential backoff: 200 ms → ×2 → cap 5 s, reset on
+    success (reference internal/pipeline/pipeline.go:68-71,164-173).
+
+    Spark already retries *tasks* (``spark.task.maxFailures``); this
+    wraps driver-side sink calls in ``foreachBatch`` where the
+    reference's extract/load retry loop lives.  Returns a wrapped
+    callable with the same signature."""
+    import time as _time
+
+    do_sleep = sleep or _time.sleep
+
+    def wrapped(*args, **kwargs):
+        delay = base_ms
+        for attempt in range(max_attempts):
+            try:
+                return fn(*args, **kwargs)
+            except Exception:
+                if attempt == max_attempts - 1:
+                    raise
+                do_sleep(delay / 1000.0)
+                delay = min(delay * 2, cap_ms)
+
+    return wrapped
+
+
+def stop_gracefully(query, timeout_ms: int = 10_000) -> bool:
+    """D7 — graceful shutdown: drain the in-flight micro-batch within
+    the deadline, then stop (reference cmd/etl/main.go:37-68,
+    SHUTDOWN_TIMEOUT).  Returns True if the query terminated inside
+    the deadline."""
+    query.stop()
+    return query.awaitTermination(timeout_ms / 1000.0)
+
+
 def parquet_sink(out_dir: str):
     """Simple exactly-once-per-batch parquet sink for tests/batch jobs."""
 

@@ -1,0 +1,126 @@
+"""Tests for the multi-dimensional analytics operators, the
+approximate sketch bound, LSH search recall, and the custom stateful
+streaming operator."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from storm_data_etl_service_spark.operators.registry import REGISTRY
+
+
+def run(name, spark, sf_dir):
+    return REGISTRY[name].build(spark, sf_dir)
+
+
+def test_rollup_totals_consistent(spark, sf_dir):
+    rows = run("rollup_agg", spark, sf_dir).collect()
+    grand = [r for r in rows if r["event_type"] is None and r["half"] is None]
+    per_type = [r for r in rows if r["event_type"] is not None and r["half"] is None]
+    leaves = [r for r in rows if r["event_type"] is not None and r["half"] is not None]
+    assert len(grand) == 1
+    assert grand[0]["n"] == sum(r["n"] for r in per_type) == sum(r["n"] for r in leaves)
+
+
+def test_cube_has_all_grouping_sets(spark, sf_dir):
+    rows = run("cube_agg", spark, sf_dir).collect()
+    shapes = {(r["event_type"] is None, r["half"] is None) for r in rows}
+    assert shapes == {(True, True), (True, False), (False, True), (False, False)}
+
+
+def test_pivot_row_sums_match_totals(spark, sf_dir):
+    rows = run("pivot_agg", spark, sf_dir).collect()
+    total = sum(sum(r[c] for c in r.asDict() if c != "grp") for r in rows)
+    n_events = run("q11_conditional_count", spark, sf_dir).first()["n_total"]
+    assert total == n_events
+
+
+def test_approx_distinct_within_bound(spark, sf_dir):
+    exact = run("distinct_counts", spark, sf_dir).first()
+    approx = run("approx_distinct_counts", spark, sf_dir).first()
+    assert approx["n_types_approx"] == exact["n_types"]  # tiny cardinality: exact
+    rel_err = abs(approx["n_users_approx"] - exact["n_users"]) / exact["n_users"]
+    assert rel_err < 0.1, (exact, approx)
+
+
+def test_lsh_search_recall_vs_brute_force(spark, sf_dir):
+    """Bucketed search must find a reasonable share of the true top-5
+    (same-bucket probing is approximate by construction)."""
+    brute = run("ann_cosine_topk", spark, sf_dir).filter(F.col("rk") <= 5).collect()
+    lsh = run("ann_lsh_search", spark, sf_dir).collect()
+    truth = {}
+    for r in brute:
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    found = {}
+    for r in lsh:
+        found.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(truth[q] & found.get(q, set())) / len(truth[q]) for q in truth
+    ]
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
+    # every returned candidate must be rank-consistent (desc cosine)
+    for q in found:
+        rows = sorted((r for r in lsh if r["query_id"] == q), key=lambda r: r["rk"])
+        cos = [r["cosine"] for r in rows]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_stateful_running_totals_across_batches(spark):
+    """applyInPandasWithState accumulates per-user state across
+    micro-batches."""
+    import os
+    import time
+
+    from storm_data_etl_service_spark.streaming.stateful import user_running_totals
+
+    wd = Path(tempfile.mkdtemp(prefix="stateful_"))
+    try:
+        src = wd / "src"
+        src.mkdir()
+        ev = lambda i, u, v: {"event_id": i, "ts": "2024-01-01T10:00:00.000Z",
+                              "user_id": u, "event_type": "click", "value": v,
+                              "props": "{}"}
+        (src / "b0.json").write_text(
+            "\n".join(json.dumps(r) for r in [ev(1, 1, 10.0), ev(2, 1, 5.0), ev(3, 2, 7.0)])
+        )
+        (src / "b1.json").write_text(
+            "\n".join(json.dumps(r) for r in [ev(4, 1, 20.0), ev(5, 3, 1.0)])
+        )
+        now = time.time()
+        os.utime(src / "b0.json", (now - 60, now - 60))
+        os.utime(src / "b1.json", (now, now))
+        schema = ("event_id long, ts timestamp, user_id long,"
+                  " event_type string, value double, props string")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            user_running_totals(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("running_totals")
+            .option("checkpointLocation", str(wd / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(
+            "SELECT * FROM running_totals"
+        ).collect()
+        # last emitted row per user = final accumulated state
+        final = {}
+        for r in rows:
+            final[r["user_id"]] = r  # memory sink appends in batch order
+        assert final[1]["n_events"] == 3 and final[1]["total_value"] == 35.0
+        assert final[1]["max_value"] == 20.0
+        assert final[2]["n_events"] == 1 and final[3]["n_events"] == 1
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)

@@ -142,6 +142,51 @@ def test_restart_is_idempotent(spark, workdir):
     assert spark.read.parquet(str(workdir / "out")).count() == n_before
 
 
+def test_retry_with_backoff_delays_and_recovers():
+    """D4 — 200ms -> x2 -> 5s cap; reset on success; raises after
+    exhaustion (reference pipeline.go:68-71, 164-173)."""
+    from storm_data_etl_service_spark.streaming.pipeline import retry_with_backoff
+
+    sleeps = []
+    attempts = {"n": 0}
+
+    def flaky():
+        attempts["n"] += 1
+        if attempts["n"] < 4:
+            raise RuntimeError("transient")
+        return "ok"
+
+    wrapped = retry_with_backoff(flaky, sleep=sleeps.append)
+    assert wrapped() == "ok"
+    assert sleeps == [0.2, 0.4, 0.8]
+
+    def always_fails():
+        raise RuntimeError("permanent")
+
+    sleeps.clear()
+    with pytest.raises(RuntimeError, match="permanent"):
+        retry_with_backoff(always_fails, max_attempts=7, sleep=sleeps.append)()
+    # doubling caps at 5s
+    assert sleeps == [0.2, 0.4, 0.8, 1.6, 3.2, 5.0]
+
+
+def test_graceful_shutdown_drains(spark, workdir):
+    """D7 — stop() returns after the in-flight batch drains."""
+    from storm_data_etl_service_spark.streaming.pipeline import stop_gracefully
+
+    src = workdir / "src"
+    _write_stream_files(src)
+    pipe = StormStreamPipeline(
+        file_source(spark, str(src)),
+        sink_writer=parquet_sink(str(workdir / "out")),
+        processed_at=F.lit(FROZEN_CLOCK).cast("timestamp"),
+    )
+    q = pipe.start(str(workdir / "ckpt"), trigger={"processingTime": "1 second"})
+    q.awaitTermination(5)  # let at least one batch run
+    assert stop_gracefully(q, timeout_ms=30_000)
+    assert not q.isActive
+
+
 def test_kafka_sink_frame_shape(spark):
     """S3/S5 — wire shape: binary key=id, JSON value with omitempty,
     event_type/processed_at headers."""
