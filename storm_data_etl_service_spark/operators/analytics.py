@@ -72,6 +72,32 @@ def distinct_counts(t) -> DataFrame:
     )
 
 
+def salted_group_sum(t, n_salts: int = 8) -> DataFrame:
+    """Skew-resistant two-phase aggregation: salt the hot key, partial
+    agg on (key, salt), then final agg on the key.
+
+    ``events.event_type`` has only 5 values — a direct groupBy at
+    100 TB funnels everything through 5 reducers.  Salting fans each
+    key across n_salts reducers; the second (tiny) aggregation merges
+    the partials.  Values are bit-identical to the direct plan because
+    the sums are decimal-exact — which is exactly what the oracle
+    (a plain GROUP BY) proves.  AQE's skew-join handling covers joins;
+    this is the aggregation-side idiom."""
+    from storm_data_etl_service_spark.operators.relational import _dsum
+
+    salted = t["events"].withColumn(
+        "_salt", (F.col("event_id") % n_salts).cast("int")
+    )
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("psum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("double").alias("sum_value"),
+    )
+
+
 def approx_distinct_counts(t) -> DataFrame:
     """HyperLogLog++ sketch counts — the 100 TB path for cardinality
     (single pass, fixed memory, no exact shuffle).  Approximate by

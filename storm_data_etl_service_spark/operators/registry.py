@@ -708,6 +708,12 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         " count(DISTINCT event_type) AS n_types FROM events",
         ("agg",),
     ),
+    "salted_group_sum": QuerySpec(
+        _t(A.salted_group_sum),
+        "SELECT event_type, count(*) AS n,"
+        f" {_dsum('value')} AS sum_value FROM events GROUP BY event_type",
+        ("agg", "skew"),
+    ),
     "approx_distinct_counts": QuerySpec(
         _t(A.approx_distinct_counts),
         None,  # HLL sketch: approximate by design; error bounded in tests
@@ -780,6 +786,35 @@ FROM documents""",
     "text_lang_id": QuerySpec(_t(X.text_lang_id), _lang_id_oracle(), ("text",)),
     "text_fingerprint": QuerySpec(
         _t(X.text_fingerprint), _FINGERPRINT_ORACLE, ("text",)
+    ),
+    "text_token_count": QuerySpec(
+        _t(X.text_token_count),
+        r"""WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS t
+  FROM documents)
+SELECT doc_id, len(t) AS n_ws_tokens,
+  len(list_filter(
+    regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'),
+    x -> NOT regexp_matches(x, '^\s+$'))) AS n_bpe_tokens
+FROM toks""",
+        ("text",),
+    ),
+    "asof_join_last_click": QuerySpec(
+        _t(R.asof_join_last_click),
+        """SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS last_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts""",
+        ("join", "temporal"),
+    ),
+    "range_join_pairs": QuerySpec(
+        _t(R.range_join_pairs),
+        """SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 5 MINUTE""",
+        ("join", "temporal"),
     ),
     "ann_cosine_topk": QuerySpec(
         _t(S.ann_cosine_topk), _ANN_TOPK_ORACLE, ("similarity",)

@@ -279,6 +279,57 @@ def p5_deterministic_id(t) -> DataFrame:
     )
 
 
+# --- temporal joins (beyond reference) ---------------------------------------
+
+def asof_join_last_click(t) -> DataFrame:
+    """As-of join: for every purchase, the latest click by the same
+    user at-or-before the purchase time.
+
+    Spark has no ASOF JOIN operator; the idiomatic re-expression is a
+    running ``last(..., ignorenulls)`` over a per-user time-ordered
+    window — one shuffle on user_id, no join at all.  The DuckDB
+    oracle uses its native ``ASOF JOIN``, so two completely different
+    physical strategies must agree value-for-value."""
+    ev = t["events"]
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+        )
+    )
+
+
+def range_join_pairs(t) -> DataFrame:
+    """Range join: ordered pairs of same-user events within a
+    5-minute window — the equi-key (user_id) carries the shuffle, the
+    range predicate prunes within each key group."""
+    ev = t["events"].select("event_id", "user_id", "ts")
+    a, b = ev.alias("a"), ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .select(
+            F.col("a.event_id").alias("id_a"),
+            F.col("b.event_id").alias("id_b"),
+            F.col("a.user_id").alias("user_id"),
+        )
+    )
+
+
 # --- headline join/agg queries (bench anchors) -------------------------------
 
 def tpch_q1_pricing_summary(t) -> DataFrame:

@@ -108,6 +108,35 @@ def token_hash(tok: Column) -> Column:
     return F.conv(F.substring(F.sha2(tok, 256), 1, 15), 16, 10).cast("long")
 
 
+#: BPE-ish pre-tokenizer regex (GPT-2 style, lookahead-free so it runs
+#: identically under Java regex and RE2): contraction suffixes,
+#: space-prefixed letter runs, digit runs, punctuation runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def text_token_count(t) -> DataFrame:
+    """Token counting both ways a data pipeline needs it: whitespace
+    tokens (word-ish budget) and BPE-ish regex pre-tokens (LLM token
+    budget estimate).  Whitespace-only matches are excluded from the
+    BPE count."""
+    ws = F.size(F.col("_toks")).cast("long")
+    # idx=0: whole matches (Spark defaults to capture group 1, and the
+    # pattern's only group is non-capturing)
+    bpe_matches = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
+    bpe = F.size(
+        F.filter(bpe_matches, lambda x: ~x.rlike(r"^\s+$"))
+    ).cast("long")
+    return (
+        t["documents"]
+        .withColumn("_toks", tokens_col(F.col("text")))
+        .select(
+            "doc_id",
+            ws.alias("n_ws_tokens"),
+            bpe.alias("n_bpe_tokens"),
+        )
+    )
+
+
 def text_fingerprint(t) -> DataFrame:
     """Document fingerprint: left-fold rolling hash over per-token
     sha256-derived integers, ``h = (h*131 + tok_hash%M) % M``.

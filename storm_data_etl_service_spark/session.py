@@ -34,9 +34,15 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
 
+    import tempfile
+
+    warehouse = os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", os.path.join(tempfile.gettempdir(), "spark-warehouse")
+    )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
