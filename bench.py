@@ -24,6 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 BENCH_QUERIES = [
     "enrich_events",            # full P1-P14 enrichment chain at scale
     "tpch_q1_pricing_summary",  # scan-heavy 8-aggregate rollup
+    "tpch_q6_forecast_revenue",  # pure pushdown filter + sum
     "tpch_q3_top_revenue_orders",  # selective join + top-k
     "tpch_q5_regional_revenue",  # 5-table star join
     "p13_hourly_rollup",        # tumbling-window agg

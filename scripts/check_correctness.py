@@ -12,13 +12,14 @@ Usage: python scripts/check_correctness.py [query_name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 from datetime import date, datetime
 from decimal import Decimal
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()

@@ -59,10 +59,13 @@ def _storm_enrich_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from storm_data_etl_service_spark.functions.enrich import enrich, flatten
+    from storm_data_etl_service_spark.schemas import ensure_session_confs
     from storm_data_etl_service_spark.sources.storm_fixture import (
         FROZEN_CLOCK,
         spark_fixture_df,
     )
+
+    ensure_session_confs(spark)
 
     df = enrich(
         spark_fixture_df(spark),
@@ -824,6 +827,15 @@ FROM events a JOIN events b
     ),
     "ann_lsh_buckets": QuerySpec(
         _t(S.ann_lsh_buckets), _lsh_buckets_oracle(), ("similarity", "lsh")
+    ),
+    "tpch_q6_forecast_revenue": QuerySpec(
+        _t(R.tpch_q6_forecast_revenue),
+        f"""SELECT {_dsum('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+        ("bench", "filter"),
     ),
     "tpch_q5_regional_revenue": QuerySpec(
         _t(R.tpch_q5_regional_revenue),

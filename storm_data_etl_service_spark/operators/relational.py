@@ -382,6 +382,20 @@ def tpch_q3_top_revenue_orders(t) -> DataFrame:
     )
 
 
+def tpch_q6_forecast_revenue(t) -> DataFrame:
+    """TPC-H Q6-style forecast revenue: pure filter+sum — the query
+    whose entire cost is the scan, so it measures pushdown + codegen
+    throughput.  All three predicates reach the parquet reader."""
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
 def tpch_q5_regional_revenue(t) -> DataFrame:
     """TPC-H Q5-style regional revenue: 5-table star join.  The entire
     dimension chain region→nation→customer stays broadcast; only

@@ -96,6 +96,20 @@ def split_poison(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     return valid, poison
 
 
+def dedup_stream_within_watermark(
+    enriched: DataFrame, event_time_col: str = "event_time", delay: str = "1 hour"
+) -> DataFrame:
+    """D8 (cross-batch) — streaming dedup by deterministic ID with
+    bounded state: replays arriving within the watermark delay are
+    dropped by the engine's dedup state store; older replays fall
+    through to the reference's own downstream answer (idempotent IDs,
+    docs/Architecture.md:99-102).  State size is bounded by the
+    watermark — the requirement for an unbounded stream."""
+    return enriched.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+        ["id"]
+    )
+
+
 def dedup_first_wins(enriched: DataFrame, order_col: str = "kafka_offset") -> DataFrame:
     """D8 — deterministic first-wins dedup by id: rank by the explicit
     arrival-order column (the reference's 'first occurrence' is file

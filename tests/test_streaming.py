@@ -142,6 +142,54 @@ def test_restart_is_idempotent(spark, workdir):
     assert spark.read.parquet(str(workdir / "out")).count() == n_before
 
 
+def test_cross_batch_dedup_within_watermark(spark, workdir):
+    """D8 streaming variant: a replay of the same ID in a LATER
+    micro-batch (within the watermark) is dropped by the engine's
+    dedup state — closing the cross-batch duplicate window the plain
+    per-batch dedup leaves to downstream."""
+    import os
+    import time
+
+    from storm_data_etl_service_spark.functions.enrich import enrich
+    from storm_data_etl_service_spark.streaming.pipeline import (
+        dedup_stream_within_watermark,
+        split_poison,
+    )
+
+    src = workdir / "src"
+    src.mkdir(parents=True)
+    batch0 = [_envelope(r, i) for i, r in enumerate(RAW_ROWS[:5])]
+    batch1 = [_envelope(RAW_ROWS[0], 500)]  # cross-batch replay
+    batch1 += [_envelope(r, 501 + i) for i, r in enumerate(RAW_ROWS[5:8])]
+    for i, batch in enumerate([batch0, batch1]):
+        with open(src / f"batch{i}.json", "w") as f:
+            for rec in batch:
+                f.write(json.dumps(rec) + "\n")
+    now = time.time()
+    os.utime(src / "batch0.json", (now - 60, now - 60))
+    os.utime(src / "batch1.json", (now, now))
+
+    raw = spark.readStream.schema(
+        "key binary, value binary, headers map<string,string>, topic string,"
+        " partition int, offset long, timestamp timestamp"
+    ).option("maxFilesPerTrigger", 1).json(str(src))
+    valid, _ = split_poison(raw)
+    enriched = enrich(valid, processed_at=F.lit(FROZEN_CLOCK).cast("timestamp"))
+    deduped = dedup_stream_within_watermark(enriched, delay="2 hours")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("xbatch_dedup")
+        .option("checkpointLocation", str(workdir / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = [r["id"] for r in spark.sql("SELECT id FROM xbatch_dedup").collect()]
+    assert len(ids) == 8  # 9 inputs, 1 cross-batch duplicate dropped
+    assert len(set(ids)) == 8
+
+
 def test_retry_with_backoff_delays_and_recovers():
     """D4 — 200ms -> x2 -> 5s cap; reset on success; raises after
     exhaustion (reference pipeline.go:68-71, 164-173)."""
