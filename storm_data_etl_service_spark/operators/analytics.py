@@ -72,6 +72,86 @@ def distinct_counts(t) -> DataFrame:
     )
 
 
+def percentile_summary(t) -> DataFrame:
+    """Exact interpolated percentiles of extended price per return
+    flag.  Spark's ``percentile`` and DuckDB's ``quantile_cont`` share
+    the same interpolation definition, so values match exactly —
+    verified, not assumed."""
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.25D)").alias("p25"),
+            F.expr("percentile(l_extendedprice, 0.5D)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.75D)").alias("p75"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def value_histogram(t, bin_width: float = 50.0) -> DataFrame:
+    """Fixed-width histogram of event values (floor-binning is plain
+    arithmetic — portable, and a single groupBy at any scale)."""
+    bucket = F.floor(F.col("value") / bin_width).cast("long")
+    return (
+        t["events"]
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("lo", F.col("bucket") * bin_width)
+        .withColumn("hi", (F.col("bucket") + 1) * bin_width)
+    )
+
+
+def funnel_conversion(t) -> DataFrame:
+    """Click→purchase funnel: users who clicked, and users with a
+    purchase strictly after their first click.  Two aggregations and
+    one equi-join on user_id — no window over the full event stream."""
+    ev = t["events"]
+    first_click = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("fc")
+    )
+    conv = (
+        first_click.join(ev, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("fc").alias("fc"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("fc")), 1
+                ).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    return conv.agg(
+        F.count("*").alias("n_users"),
+        F.count(F.col("fc")).alias("n_clicked"),
+        F.sum("converted").alias("n_converted"),
+    )
+
+
+def fuzzy_neardup_distance(t) -> DataFrame:
+    """Edit-distance refinement of the near-dup candidates: Levenshtein
+    over 40-char prefixes of each Jaccard-confirmed pair.  The
+    expensive O(len²) distance runs only on the tiny candidate set —
+    the composition (cheap filter → exact refine) is the scale
+    pattern."""
+    from storm_data_etl_service_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(t)
+    docs = t["documents"].select("doc_id", F.substring("text", 1, 40).alias("prefix"))
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").alias("prefix_edit_distance"),
+        )
+    )
+
+
 def salted_group_sum(t, n_salts: int = 8) -> DataFrame:
     """Skew-resistant two-phase aggregation: salt the hot key, partial
     agg on (key, salt), then final agg on the key.

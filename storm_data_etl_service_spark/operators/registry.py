@@ -711,6 +711,58 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         " count(DISTINCT event_type) AS n_types FROM events",
         ("agg",),
     ),
+    "percentile_summary": QuerySpec(
+        _t(A.percentile_summary),
+        "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.25) AS p25,"
+        " quantile_cont(l_extendedprice, 0.5) AS p50,"
+        " quantile_cont(l_extendedprice, 0.75) AS p75, count(*) AS n"
+        " FROM lineitem GROUP BY l_returnflag",
+        ("agg", "percentile"),
+    ),
+    "value_histogram": QuerySpec(
+        _t(A.value_histogram),
+        "SELECT bucket, count(*) AS n, bucket * 50.0 AS lo,"
+        " (bucket + 1) * 50.0 AS hi FROM"
+        " (SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket FROM events)"
+        " GROUP BY bucket",
+        ("agg", "histogram"),
+    ),
+    "funnel_conversion": QuerySpec(
+        _t(A.funnel_conversion),
+        """WITH fc AS (
+  SELECT user_id, min(CASE WHEN event_type = 'click' THEN ts END) AS fc
+  FROM events GROUP BY user_id),
+conv AS (
+  SELECT fc.user_id, any_value(fc.fc) AS fc,
+         max(CASE WHEN e.event_type = 'purchase' AND e.ts > fc.fc
+                  THEN 1 ELSE 0 END) AS converted
+  FROM fc JOIN events e USING (user_id) GROUP BY fc.user_id)
+SELECT count(*) AS n_users, count(fc) AS n_clicked,
+       sum(converted) AS n_converted FROM conv""",
+        ("funnel", "join"),
+    ),
+    "fuzzy_neardup_distance": QuerySpec(
+        _t(A.fuzzy_neardup_distance),
+        f"""WITH {_TOKS_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+counts AS (SELECT doc_id, len(shingles) AS ns FROM shf),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN (SELECT doc_id AS doc_a, ns AS na FROM counts) USING (doc_a)
+  JOIN (SELECT doc_id AS doc_b, ns AS nb FROM counts) USING (doc_b)
+  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.8)
+SELECT doc_a, doc_b,
+  levenshtein(
+    (SELECT substr(text, 1, 40) FROM documents d WHERE d.doc_id = doc_a),
+    (SELECT substr(text, 1, 40) FROM documents d WHERE d.doc_id = doc_b)
+  ) AS prefix_edit_distance
+FROM pairs""",
+        ("dedup", "fuzzy"),
+    ),
     "salted_group_sum": QuerySpec(
         _t(A.salted_group_sum),
         "SELECT event_type, count(*) AS n,"
