@@ -58,10 +58,25 @@ def main():
     from storm_data_etl_service_spark.session import get_spark
 
     only = set(sys.argv[1:])
-    spark = get_spark(
-        app_name="check_correctness",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
-    )
+    if os.environ.get("SPARK_GRAFT_ADVERSARIAL"):
+        # simulate the grading driver's own session: plain defaults,
+        # non-UTC timezone — builders must pin what they depend on
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check_adversarial")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = get_spark(
+            app_name="check_correctness",
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -106,6 +106,28 @@ def test_end_to_end_counts_and_dedup(spark, workdir):
     assert g["source_office"] == "SJT"
 
 
+def test_stream_output_equals_batch_path(spark, workdir):
+    """FIXTURES §4 contract: the streaming sink rows hash-match the
+    batch enrichment over the same raw records — the two paths share
+    one expression chain, and this proves it end-to-end."""
+    from storm_data_etl_service_spark.functions.enrich import enrich, flatten
+    from storm_data_etl_service_spark.sources.storm_fixture import spark_fixture_df
+
+    _run_pipeline(spark, workdir)
+    streamed = spark.read.parquet(str(workdir / "out"))
+    batch = flatten(
+        enrich(
+            spark_fixture_df(spark),
+            processed_at=F.lit(FROZEN_CLOCK).cast("timestamp"),
+        )
+    )
+    # the stream run covered RAW_ROWS[:16]; align and compare sets
+    streamed_rows = {tuple(r) for r in streamed.collect()}
+    batch_rows = {tuple(r) for r in batch.collect()}
+    assert streamed_rows <= batch_rows
+    assert len(streamed_rows) == 16
+
+
 def test_dead_letter_contents(spark, workdir):
     _run_pipeline(spark, workdir)
     dlq = spark.read.parquet(str(workdir / "dlq"))
