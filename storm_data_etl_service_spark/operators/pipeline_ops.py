@@ -1,0 +1,103 @@
+"""Training-data pipeline utilities: deterministic dataset splits,
+PII scrubbing, n-gram statistics, semi-structured extraction.
+
+Everyday operators of a 100 TB corpus pipeline, all expression-only
+(map-side, no Python) and engine-portable for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from storm_data_etl_service_spark.operators.text import tokens_col
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+LONG_DIGITS_RE = r"\b\d{9,}\b"
+
+
+def dataset_split_assign(t) -> DataFrame:
+    """Deterministic train/valid/test assignment by content-free key
+    hash: sha256("split|<doc_id>") mod 100 → <80 train, <90 valid,
+    else test.  Hash-based splits are reproducible across runs,
+    clusters, and engines — the property a shuffled random split
+    loses the moment the data moves."""
+    h = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("split|"), F.col("doc_id").cast("string")), 256),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+    )
+    return t["documents"].select("doc_id", h.alias("bucket"), split.alias("split"))
+
+
+def text_scrub_pii(t) -> DataFrame:
+    """PII scrubbing: emails, phone numbers, and long digit runs
+    replaced with typed placeholders.  The synthetic corpus contains
+    no PII, so the query plants a deterministic specimen per row
+    (derived from doc_id) and proves the scrubber removes it —
+    exercising the replacement chain on every row."""
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567 ref 1234567890123"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ),
+        LONG_DIGITS_RE,
+        "<ID>",
+    )
+    return t["documents"].select("doc_id", scrubbed.alias("scrubbed"))
+
+
+def ngram_counts(t, min_count: int = 40) -> DataFrame:
+    """Corpus bigram frequencies above a support threshold — the
+    n-gram statistics pass of a data pipeline (explode → one shuffle
+    on the bigram, map-side combine first)."""
+    toks = F.col("_toks")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        t["documents"]
+        .select(tokens_col(F.col("text")).alias("_toks"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
+def props_extract(t) -> DataFrame:
+    """Semi-structured extraction: pull the integer ``k`` out of the
+    JSON props column and histogram it — JSON path extraction stays
+    JVM-side (no UDF), pushdown-friendly."""
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
+    return (
+        t["events"]
+        .select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from storm_data_etl_service_spark.operators import analytics as A
 from storm_data_etl_service_spark.operators import dedup as D
+from storm_data_etl_service_spark.operators import pipeline_ops as P
 from storm_data_etl_service_spark.operators import multimodal as M
 from storm_data_etl_service_spark.operators import relational as R
 from storm_data_etl_service_spark.operators import similarity as S
@@ -710,6 +711,50 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         "SELECT count(DISTINCT user_id) AS n_users,"
         " count(DISTINCT event_type) AS n_types FROM events",
         ("agg",),
+    ),
+    "dataset_split_assign": QuerySpec(
+        _t(P.dataset_split_assign),
+        "SELECT doc_id,"
+        " ('0x' || substr(sha256('split|' || cast(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+        " % 100 AS bucket,"
+        " CASE WHEN ('0x' || substr(sha256('split|' || cast(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'"
+        "      WHEN ('0x' || substr(sha256('split|' || cast(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'valid'"
+        "      ELSE 'test' END AS split"
+        " FROM documents",
+        ("pipeline", "split"),
+    ),
+    "text_scrub_pii": QuerySpec(
+        _t(P.text_scrub_pii),
+        r"""SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        text || ' contact user' || cast(doc_id AS VARCHAR)
+             || '@example.com or 555-123-4567 ref 1234567890123',
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+    '\b\d{9,}\b', '<ID>', 'g') AS scrubbed
+FROM documents""",
+        ("pipeline", "text"),
+    ),
+    "ngram_counts": QuerySpec(
+        _t(P.ngram_counts),
+        r"""WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS t
+  FROM documents),
+bi AS (
+  SELECT unnest(CASE WHEN len(t) >= 2
+    THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+    ELSE [] END) AS bigram
+  FROM toks)
+SELECT bigram, count(*) AS n FROM bi GROUP BY bigram HAVING count(*) >= 40""",
+        ("pipeline", "text"),
+    ),
+    "props_extract": QuerySpec(
+        _t(P.props_extract),
+        "SELECT try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k,"
+        " count(*) AS n FROM events GROUP BY 1",
+        ("pipeline", "json"),
     ),
     "percentile_summary": QuerySpec(
         _t(A.percentile_summary),
