@@ -90,6 +90,57 @@ def ngram_counts(t, min_count: int = 40) -> DataFrame:
     )
 
 
+def upsert_merge(t) -> DataFrame:
+    """CDC-style merge (upsert) without a table format: new/changed
+    rows win over the base snapshot via a keyed full-outer join +
+    column coalesce.  The change set here is derived deterministically
+    (every 10th doc re-sourced, plus appended fresh ids) so the merge
+    semantics — update wins, inserts appear, untouched rows survive —
+    are oracle-checkable.  One shuffle on the merge key; at scale this
+    is the incremental-backfill primitive under Delta/Iceberg MERGE."""
+    docs = t["documents"]
+    updates = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.col("text"),
+        F.col("lang"),
+        F.lit("updated").alias("source"),
+        F.col("n_chars"),
+    )
+    inserts = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.col("text"),
+        F.col("lang"),
+        F.lit("inserted").alias("source"),
+        F.col("n_chars"),
+    )
+    changes = updates.unionByName(inserts)
+    base = docs.select([F.col(c).alias(f"b_{c}") for c in docs.columns])
+    chg = changes.select([F.col(c).alias(f"c_{c}") for c in changes.columns])
+    merged = base.join(chg, base["b_doc_id"] == chg["c_doc_id"], "full_outer")
+    return merged.select(
+        F.coalesce("c_doc_id", "b_doc_id").alias("doc_id"),
+        F.coalesce("c_text", "b_text").alias("text"),
+        F.coalesce("c_lang", "b_lang").alias("lang"),
+        F.coalesce("c_source", "b_source").alias("source"),
+        F.coalesce("c_n_chars", "b_n_chars").alias("n_chars"),
+    )
+
+
+def outlier_filter_count(t) -> DataFrame:
+    """Quantile-based outlier pass: count events above the exact p99 of
+    value.  Two aggregations — the percentile scalar broadcasts to the
+    filter pass; no sort of the full data."""
+    p99 = t["events"].agg(
+        F.expr("percentile(value, 0.99D)").alias("q")
+    )
+    return (
+        t["events"]
+        .crossJoin(F.broadcast(p99))
+        .filter(F.col("value") > F.col("q"))
+        .agg(F.count("*").alias("n_outliers"), F.max("value").alias("max_value"))
+    )
+
+
 def props_extract(t) -> DataFrame:
     """Semi-structured extraction: pull the integer ``k`` out of the
     JSON props column and histogram it — JSON path extraction stays

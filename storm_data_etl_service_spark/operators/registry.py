@@ -750,6 +750,30 @@ bi AS (
 SELECT bigram, count(*) AS n FROM bi GROUP BY bigram HAVING count(*) >= 40""",
         ("pipeline", "text"),
     ),
+    "upsert_merge": QuerySpec(
+        _t(P.upsert_merge),
+        """WITH updates AS (
+  SELECT doc_id, text, lang, 'updated' AS source, n_chars
+  FROM documents WHERE doc_id % 10 = 0),
+inserts AS (
+  SELECT doc_id + 100000 AS doc_id, text, lang, 'inserted' AS source, n_chars
+  FROM documents WHERE doc_id % 25 = 0),
+changes AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts)
+SELECT coalesce(c.doc_id, b.doc_id) AS doc_id,
+       coalesce(c.text, b.text) AS text,
+       coalesce(c.lang, b.lang) AS lang,
+       coalesce(c.source, b.source) AS source,
+       coalesce(c.n_chars, b.n_chars) AS n_chars
+FROM documents b FULL OUTER JOIN changes c ON b.doc_id = c.doc_id""",
+        ("pipeline", "merge"),
+    ),
+    "outlier_filter_count": QuerySpec(
+        _t(P.outlier_filter_count),
+        """WITH p AS (SELECT quantile_cont(value, 0.99) AS q FROM events)
+SELECT count(*) AS n_outliers, max(value) AS max_value
+FROM events, p WHERE value > q""",
+        ("pipeline", "percentile"),
+    ),
     "props_extract": QuerySpec(
         _t(P.props_extract),
         "SELECT try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k,"
