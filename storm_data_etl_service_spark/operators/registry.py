@@ -968,4 +968,93 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE r_name = 'ASIA' GROUP BY n_name""",
         ("bench", "join"),
     ),
+    "tpch_q4_priority_semijoin": QuerySpec(
+        _t(R.tpch_q4_priority_semijoin),
+        """SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority""",
+        ("bench", "semijoin"),
+    ),
+    "tpch_q12_priority_by_linestatus": QuerySpec(
+        _t(R.tpch_q12_priority_by_linestatus),
+        """SELECT l_linestatus,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+    AS high_line_count,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+    AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus""",
+        ("bench", "join"),
+    ),
+    "tpch_q14_promo_revenue": QuerySpec(
+        _t(R.tpch_q14_promo_revenue),
+        f"""WITH agg AS (
+  SELECT
+    {_dsum("CASE WHEN p_type = 'PROMO'"
+           " THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+      AS promo_revenue,
+    {_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00')
+SELECT promo_revenue, total_revenue,
+       100.0 * promo_revenue / total_revenue AS promo_pct
+FROM agg""",
+        ("bench", "join"),
+    ),
+    "tpch_q17_small_quantity_revenue": QuerySpec(
+        _t(R.tpch_q17_small_quantity_revenue),
+        f"""WITH thresholds AS (
+  SELECT l_partkey AS t_partkey,
+    (cast(sum(cast(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(*)) * 0.2
+      AS qty_threshold
+  FROM lineitem GROUP BY l_partkey)
+SELECT {_dsum('l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem JOIN thresholds ON l_partkey = t_partkey
+WHERE l_quantity < qty_threshold""",
+        ("bench", "decorrelate"),
+    ),
+    "tpch_q18_large_orders": QuerySpec(
+        _t(R.tpch_q18_large_orders),
+        f"""WITH big AS (
+  SELECT l_orderkey, {_dsum('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 300.0)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+        ("bench", "having"),
+    ),
+    "tpch_q19_disjunctive_filter": QuerySpec(
+        _t(R.tpch_q19_disjunctive_filter),
+        f"""SELECT {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)""",
+        ("bench", "disjunction"),
+    ),
+    "tpch_q22_idle_customers": QuerySpec(
+        _t(R.tpch_q22_idle_customers),
+        f"""WITH avg_bal AS (
+  SELECT cast(sum(cast(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+    AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT c_nationkey, count(*) AS numcust, {_dsum('c_acctbal')} AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+GROUP BY c_nationkey""",
+        ("bench", "antijoin"),
+    ),
 }

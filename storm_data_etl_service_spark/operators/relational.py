@@ -415,3 +415,179 @@ def tpch_q5_regional_revenue(t) -> DataFrame:
         .groupBy("n_name")
         .agg(_dsum(revenue, "revenue"))
     )
+
+
+def tpch_q4_priority_semijoin(t) -> DataFrame:
+    """TPC-H Q4-style order-priority check: the EXISTS correlated
+    subquery re-expressed as a left-semi join with a non-equi residual
+    (l_shipdate > o_orderdate).  Semi join never materializes lineitem
+    columns, so the shuffle carries only the join key — at 100 TB the
+    probe side streams through without row expansion."""
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def tpch_q12_priority_by_linestatus(t) -> DataFrame:
+    """TPC-H Q12-style conditional aggregation after a fact-fact join:
+    integer CASE sums (exact, order-independent) classify order
+    priority per linestatus.  Only (l_orderkey, l_linestatus) survive
+    the scan → minimal shuffle width."""
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_linestatus")
+        .join(
+            t["orders"].select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def tpch_q14_promo_revenue(t) -> DataFrame:
+    """TPC-H Q14-style promo-revenue ratio: broadcast the 2k-row part
+    dimension into the filtered lineitem scan, conditional decimal
+    sums, one-row output.  The ratio is derived from the two stable
+    sums so it is partitioning-independent."""
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(
+            F.broadcast(t["part"].select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            _dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0), "promo_revenue"),
+            _dsum(rev, "total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        ((F.lit(100.0) * F.col("promo_revenue")) / F.col("total_revenue")).alias(
+            "promo_pct"
+        ),
+    )
+
+
+def tpch_q17_small_quantity_revenue(t) -> DataFrame:
+    """TPC-H Q17-style small-quantity revenue: the correlated scalar
+    subquery (0.2 * avg qty per part) decorrelated into a per-part
+    aggregate that is broadcast back onto the fact scan.  Two passes
+    over lineitem but zero fact-fact shuffle; the threshold is the
+    same decimal-sum/count expression on both engines so the < compare
+    is bit-identical."""
+    li = t["lineitem"]
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            (
+                F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double")
+                / F.count("*")
+            )
+            * 0.2
+        ).alias("qty_threshold")
+    )
+    return (
+        li.join(
+            F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(_dsum(F.col("l_extendedprice"), "sum_small_qty_price"))
+        .select((F.col("sum_small_qty_price") / 7.0).alias("avg_yearly"))
+    )
+
+
+def tpch_q18_large_orders(t) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: HAVING on a grouped fact
+    becomes filter-after-agg; the surviving handful of order keys then
+    joins orders and customer (both effectively broadcast relative to
+    the fact).  Explicit (o_totalprice DESC, o_orderkey) total order."""
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity"), "sum_qty"))
+        .filter(F.col("sum_qty") > 300.0)
+    )
+    return (
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def tpch_q19_disjunctive_filter(t) -> DataFrame:
+    """TPC-H Q19-style disjunctive predicate join: three OR'd
+    brand/size/quantity branches evaluated after a broadcast hash join
+    with part.  Catalyst extracts the common l_partkey equi-key; the
+    disjunction stays as a residual filter inside codegen."""
+    li = t["lineitem"]
+    joined = li.join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    q = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#14") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#17") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.filter(branch).agg(_dsum(rev, "revenue"))
+
+
+def tpch_q22_idle_customers(t) -> DataFrame:
+    """TPC-H Q22-style idle high-balance customers: global-average
+    scalar subquery via a 1-row broadcast cross join, then an
+    anti-join against recent orders to keep customers with no
+    purchases since mid-2000.  Anti join ships only o_custkey after
+    the date filter pushes down; the aggregate is per-nation."""
+    cust = t["customer"]
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    recent = t["orders"].filter(F.col("o_orderdate") >= F.lit("2000-07-01")).select(
+        "o_custkey"
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )

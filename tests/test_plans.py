@@ -63,3 +63,29 @@ def test_exact_dedup_has_partial_aggregation(spark, sf_dir):
     point of groupBy-over-window for exact dedup at scale)."""
     plan = plan_of("dedup_exact", spark, sf_dir)
     assert plan.count("HashAggregate") >= 2, plan[:1500]
+
+
+def test_semi_and_anti_joins_stay_semi(spark, sf_dir):
+    """EXISTS / NOT EXISTS re-expressions must compile to semi/anti
+    hash joins (no row expansion), and the Q22 anti join against
+    filtered orders should broadcast the date-filtered build side."""
+    plan = plan_of("tpch_q4_priority_semijoin", spark, sf_dir)
+    assert "LeftSemi" in plan, plan[:1500]
+    plan = plan_of("tpch_q22_idle_customers", spark, sf_dir)
+    assert "LeftAnti" in plan, plan[:1500]
+
+
+def test_q17_threshold_join_broadcasts(spark, sf_dir):
+    """The decorrelated per-part threshold table must broadcast back
+    onto the fact scan — a shuffle join here would double-shuffle
+    lineitem at 100 TB."""
+    plan = plan_of("tpch_q17_small_quantity_revenue", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_q19_extracts_equi_key(spark, sf_dir):
+    """The disjunctive predicate must not force a cartesian product:
+    Catalyst extracts the common l_partkey = p_partkey equi-key."""
+    plan = plan_of("tpch_q19_disjunctive_filter", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
