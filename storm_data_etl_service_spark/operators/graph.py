@@ -1,0 +1,103 @@
+"""Connected components over candidate-pair graphs.
+
+Turns pairwise near-duplicate evidence (``dedup_minhash_lsh`` /
+``dedup_ngram_jaccard`` output) into duplicate CLUSTERS — the step a
+training-data pipeline actually needs: "keep one document per group",
+not "here are some pairs".  Generalizes the reference's keyed
+first-wins dedup (D8, reference docs/Architecture.md:99-102) from
+equal-key groups to transitively-connected near-dup groups.
+
+Algorithm: min-label propagation (hash-to-min).  Every node starts
+labelled with its own id; each round every node takes the minimum
+label among itself and its neighbours; at fixpoint the label is the
+minimum node id reachable in the component — a deterministic,
+partitioning-independent canonical representative.
+
+Scale design:
+* each round is one shuffle (join on src) + one partial-aggregated
+  groupBy min — both key-partitioned, no driver data;
+* rounds = graph diameter.  Near-dup graphs are dense clumps with
+  tiny diameters (pairs all share shingles), so a handful of rounds
+  converge; the cap + convergence check make termination explicit;
+* lineage is cut every round (``localCheckpoint``) so the plan does
+  not grow with iterations — on a real cluster with a checkpoint dir,
+  ``checkpoint`` swaps in transparently;
+* the convergence test is a single count(*) over changed labels —
+  the only driver-side value per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Component label (min reachable id) per node of an undirected
+    graph given as an edge list.  Returns (node, component_id).
+
+    Raises if the propagation has not converged within ``max_rounds``
+    — for near-dup clustering that means the candidate graph has a
+    pathological diameter and the caller should switch to the
+    large-star/small-star variant rather than silently mislabel.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint()
+
+    for _ in range(max_rounds):
+        neighbor_min = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("component_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds"
+    )
+
+
+def neardup_components(t) -> DataFrame:
+    """Near-duplicate clusters: MinHash/LSH candidate pairs →
+    connected components → (doc_id, component_id, is_canonical).
+
+    ``is_canonical`` marks the keeper (min doc_id per component) —
+    filtering on it is the "drop the duplicates" action.  Documents
+    with no near-dup edge are absent (they are trivially canonical).
+    """
+    from storm_data_etl_service_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(t)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component_id",
+        (F.col("node") == F.col("component_id")).alias("is_canonical"),
+    )

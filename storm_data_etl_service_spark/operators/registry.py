@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from storm_data_etl_service_spark.operators import analytics as A
 from storm_data_etl_service_spark.operators import dedup as D
+from storm_data_etl_service_spark.operators import graph as G
 from storm_data_etl_service_spark.operators import pipeline_ops as P
 from storm_data_etl_service_spark.operators import multimodal as M
 from storm_data_etl_service_spark.operators import relational as R
@@ -1057,4 +1058,22 @@ WHERE c_acctbal > avg_bal
 GROUP BY c_nationkey""",
         ("bench", "antijoin"),
     ),
+    "neardup_components": QuerySpec(
+        _t(G.neardup_components),
+        None,  # set below: needs the minhash oracle as a CTE
+        ("dedup", "neardup", "graph", "iterative"),
+    ),
 }
+
+REGISTRY["neardup_components"].oracle = f"""WITH RECURSIVE pairs AS (
+{_minhash_oracle()}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT u AS node, u AS label FROM edges
+  UNION
+  SELECT e.v AS node, r.label FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS doc_id, min(label) AS component_id,
+       node = min(label) AS is_canonical
+FROM reach GROUP BY node"""

@@ -114,3 +114,51 @@ def test_registry_complete():
     for name, spec in REGISTRY.items():
         assert callable(spec.build), name
         assert spec.oracle is None or isinstance(spec.oracle, str), name
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation: a 5-node chain (needs multiple rounds),
+    a 2-node island, and a self-contained triangle all get the min-id
+    label of their component."""
+    from storm_data_etl_service_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5),  # chain 1-2-3-4-5
+         (10, 11),                         # island
+         (20, 21), (21, 22), (20, 22)],    # triangle
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_raises_without_convergence(spark):
+    from storm_data_etl_service_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_rounds=1)
+
+
+def test_neardup_components_group_lsh_pairs(spark, sf_dir):
+    """Every LSH candidate pair must land in the same component, and
+    each component must have exactly one canonical doc (its min id)."""
+    pairs = run("dedup_minhash_lsh", spark, sf_dir).collect()
+    comp = {
+        r["doc_id"]: (r["component_id"], r["is_canonical"])
+        for r in run("neardup_components", spark, sf_dir).collect()
+    }
+    assert pairs and comp
+    for p in pairs:
+        assert comp[p["doc_a"]][0] == comp[p["doc_b"]][0]
+    by_comp = {}
+    for doc, (cid, canon) in comp.items():
+        by_comp.setdefault(cid, []).append((doc, canon))
+    for cid, members in by_comp.items():
+        canons = [d for d, c in members if c]
+        assert canons == [cid] and cid == min(d for d, _ in members)
