@@ -152,3 +152,131 @@ def props_extract(t) -> DataFrame:
         .groupBy("k")
         .agg(F.count("*").alias("n"))
     )
+
+
+def per_source_cap_sample(t, cap: int = 10) -> DataFrame:
+    """Domain balancing: keep at most ``cap`` documents per source,
+    chosen by a deterministic content-free hash order (so the sample
+    is reproducible across runs/engines, unlike rand()).  One window
+    per source partition — the shuffle is on the low-cardinality
+    source key; at scale skewed mega-domains are exactly the rows this
+    operator is there to cut."""
+    h = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit("cap|"), F.col("doc_id").cast("string")), 256), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("_h"), F.col("doc_id"))
+    return (
+        t["documents"]
+        .select("doc_id", "source", h.alias("_h"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= cap)
+        .select("doc_id", "source", "sample_rank")
+    )
+
+
+def sequence_pack_assign(t, budget: int = 2000, n_buckets: int = 8) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are hashed into
+    ``n_buckets`` independent streams, laid out in deterministic hash
+    order, and every ``budget`` characters starts a new training
+    sequence (docs may straddle a boundary — standard LLM concat
+    packing).  Each bucket packs in parallel with one window; at 100 TB
+    you raise n_buckets to O(cores) and packing stays embarrassingly
+    parallel with reproducible layout."""
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit("pack|"), F.col("doc_id").cast("string")), 256), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("_h"), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "n_chars", h.alias("_h"), (h % n_buckets).alias("bucket"))
+        .withColumn("stream_end", F.sum("n_chars").over(w))
+        .select(
+            "doc_id",
+            "bucket",
+            (F.col("stream_end") - F.col("n_chars")).alias("stream_offset"),
+            F.floor((F.col("stream_end") - F.col("n_chars")) / budget).alias("seq_id"),
+        )
+    )
+
+
+def source_blocklist_filter(t, min_avg_chars: float = 290.0) -> DataFrame:
+    """Blocklist filtering with a DERIVED blocklist: sources whose
+    average document length falls below a floor (a stand-in for any
+    per-domain quality signal) are dropped via a broadcast anti-join.
+    The blocklist aggregate is tiny (one row per source) so the fact
+    scan never shuffles; survivors are counted per language."""
+    bad = (
+        t["documents"]
+        .groupBy(F.col("source").alias("bad_source"))
+        .agg(
+            (
+                F.sum(F.col("n_chars").cast("decimal(25,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_chars")
+        )
+        .filter(F.col("avg_chars") < min_avg_chars)
+    )
+    return (
+        t["documents"]
+        .join(
+            F.broadcast(bad), F.col("source") == F.col("bad_source"), "left_anti"
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def corpus_curation_pipeline(t) -> DataFrame:
+    """End-to-end corpus curation: length/quality gate → exact dedup
+    (canonical = min doc_id per content hash) → deterministic split
+    assignment → per (lang, split) corpus stats.  The whole pipeline
+    is one scan, one dedup shuffle on the content hash, and one
+    aggregation — the minimal-shuffle shape of a real curation job."""
+    from pyspark.sql.window import Window
+
+    gated = t["documents"].filter(
+        (F.col("n_chars") >= 150) & (F.col("lang") != "zh")
+    )
+    wdedup = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy(F.col("doc_id"))
+    canonical = (
+        gated.withColumn("_rn", F.row_number().over(wdedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    split_h = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("split|"), F.col("doc_id").cast("string")), 256),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = F.when(split_h < 80, "train").when(split_h < 90, "valid").otherwise("test")
+    return (
+        canonical.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

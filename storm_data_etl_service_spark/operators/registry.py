@@ -1058,6 +1058,64 @@ WHERE c_acctbal > avg_bal
 GROUP BY c_nationkey""",
         ("bench", "antijoin"),
     ),
+    "per_source_cap_sample": QuerySpec(
+        _t(P.per_source_cap_sample),
+        """WITH ranked AS (
+  SELECT doc_id, source,
+    cast(row_number() OVER (PARTITION BY source ORDER BY
+      ('0x' || substr(sha256('cap|' || cast(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+      doc_id) AS INTEGER) AS sample_rank
+  FROM documents)
+SELECT doc_id, source, sample_rank FROM ranked WHERE sample_rank <= 10""",
+        ("pipeline", "sampling"),
+    ),
+    "sequence_pack_assign": QuerySpec(
+        _t(P.sequence_pack_assign),
+        """WITH h AS (
+  SELECT doc_id, n_chars,
+    ('0x' || substr(sha256('pack|' || cast(doc_id AS VARCHAR)), 1, 8))::BIGINT AS _h
+  FROM documents),
+laid AS (
+  SELECT doc_id, _h % 8 AS bucket,
+    sum(n_chars) OVER (PARTITION BY _h % 8 ORDER BY _h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stream_end,
+    n_chars
+  FROM h)
+SELECT doc_id, bucket, stream_end - n_chars AS stream_offset,
+       cast(floor((stream_end - n_chars) / 2000.0) AS BIGINT) AS seq_id
+FROM laid""",
+        ("pipeline", "packing"),
+    ),
+    "source_blocklist_filter": QuerySpec(
+        _t(P.source_blocklist_filter),
+        """WITH bad AS (
+  SELECT source AS bad_source
+  FROM documents GROUP BY source
+  HAVING cast(sum(cast(n_chars AS DECIMAL(25,6))) AS DOUBLE) / count(*) < 290.0)
+SELECT lang, count(*) AS n_docs
+FROM documents
+WHERE source NOT IN (SELECT bad_source FROM bad)
+GROUP BY lang""",
+        ("pipeline", "filter"),
+    ),
+    "corpus_curation_pipeline": QuerySpec(
+        _t(P.corpus_curation_pipeline),
+        """WITH gated AS (
+  SELECT * FROM documents WHERE n_chars >= 150 AND lang <> 'zh'),
+canonical AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS _rn
+    FROM gated) WHERE _rn = 1),
+assigned AS (
+  SELECT lang, n_chars,
+    CASE WHEN ('0x' || substr(sha256('split|' || cast(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+         WHEN ('0x' || substr(sha256('split|' || cast(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'valid'
+         ELSE 'test' END AS split
+  FROM canonical)
+SELECT lang, split, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM assigned GROUP BY lang, split""",
+        ("pipeline", "curation"),
+    ),
     "neardup_components": QuerySpec(
         _t(G.neardup_components),
         None,  # set below: needs the minhash oracle as a CTE

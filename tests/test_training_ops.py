@@ -162,3 +162,48 @@ def test_neardup_components_group_lsh_pairs(spark, sf_dir):
     for cid, members in by_comp.items():
         canons = [d for d, c in members if c]
         assert canons == [cid] and cid == min(d for d, _ in members)
+
+
+def test_per_source_cap_sample_invariants(spark, sf_dir):
+    rows = run("per_source_cap_sample", spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["sample_rank"])
+    for src, ranks in by_src.items():
+        assert len(ranks) <= 10 and sorted(ranks) == list(range(1, len(ranks) + 1))
+    # deterministic: same result on a re-run
+    again = run("per_source_cap_sample", spark, sf_dir).collect()
+    assert sorted((r["doc_id"]) for r in rows) == sorted((r["doc_id"]) for r in again)
+
+
+def test_sequence_pack_contiguous_streams(spark, sf_dir):
+    """Within each bucket, offsets must tile the stream with no gaps
+    or overlaps, and seq_id must be the offset's 2000-char chunk."""
+    rows = run("sequence_pack_assign", spark, sf_dir).collect()
+    docs = {
+        x["doc_id"]: x["n_chars"]
+        for x in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for b, members in by_bucket.items():
+        members.sort(key=lambda r: r["stream_offset"])
+        pos = 0
+        for r in members:
+            assert r["stream_offset"] == pos
+            assert r["seq_id"] == pos // 2000
+            pos += docs[r["doc_id"]]
+
+
+def test_source_blocklist_drops_whole_sources(spark, sf_dir):
+    from storm_data_etl_service_spark.schemas import load_tables
+
+    t = load_tables(spark, sf_dir)
+    total = t["documents"].count()
+    kept = sum(
+        r["n_docs"] for r in run("source_blocklist_filter", spark, sf_dir).collect()
+    )
+    assert 0 < kept < total
