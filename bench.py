@@ -27,6 +27,10 @@ BENCH_QUERIES = [
     "tpch_q6_forecast_revenue",  # pure pushdown filter + sum
     "tpch_q3_top_revenue_orders",  # selective join + top-k
     "tpch_q5_regional_revenue",  # 5-table star join
+    "tpch_q4_priority_semijoin",  # EXISTS → left-semi join
+    "tpch_q17_small_quantity_revenue",  # decorrelated scalar subquery
+    "tpch_q19_disjunctive_filter",  # OR-branch predicate join
+    "corpus_curation_pipeline",  # gate → dedup → split → stats
     "p13_hourly_rollup",        # tumbling-window agg
     "session_window_agg",       # session windows (stateful-sort agg)
     "q9_grouped_topk",          # ranking window
