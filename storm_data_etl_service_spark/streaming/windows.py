@@ -48,3 +48,37 @@ def sessionize_stream(
             "n",
         )
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    within: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: pair every left event with the
+    right-stream events of the same user that occur within ``within``
+    AFTER it (the streaming twin of operators.relational
+    range_join_pairs).
+
+    Both sides carry watermarks and the join condition bounds
+    right.ts relative to left.ts from BOTH directions — that is what
+    lets the engine expire buffered state: a left row older than
+    watermark+within can never match a future right row and is
+    dropped.  Without the time bound the state would grow without
+    limit; Spark rejects such a join in append mode for exactly that
+    reason."""
+    lw = left.withWatermark("ts", watermark).alias("l")
+    rw = right.withWatermark("ts", watermark).alias("r")
+    return lw.join(
+        rw,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") > F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("id_left"),
+        F.col("r.event_id").alias("id_right"),
+        F.col("l.ts").alias("ts_left"),
+        F.col("r.ts").alias("ts_right"),
+    )

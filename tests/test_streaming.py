@@ -281,3 +281,66 @@ def test_kafka_sink_frame_shape(spark):
     hdrs = {h["key"]: bytes(h["value"]).decode() for h in row["headers"]}
     assert hdrs["event_type"] == "hail"
     assert hdrs["processed_at"].startswith("2024-04-27T06:00:00")
+
+
+def test_stream_stream_interval_join_matches_batch(spark, workdir):
+    """Stream-stream interval join (watermarked, state-bounded) must
+    produce exactly the pairs the equivalent batch join produces over
+    the same files."""
+    from storm_data_etl_service_spark.streaming.windows import interval_join_stream
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    rows = []
+    base = "2026-01-01T00:{m:02d}:00"
+    for i, (m, u, et) in enumerate(
+        [(0, 1, "view"), (2, 1, "click"), (9, 1, "click"),   # 1 in-window pair
+         (0, 2, "view"), (4, 2, "click"), (5, 2, "click"),   # 2 in-window pairs
+         (0, 3, "click"), (30, 3, "view")]                   # nothing (wrong order)
+    ):
+        rows.append({"event_id": i, "ts": base.format(m=m), "user_id": u,
+                     "event_type": et})
+    src = workdir / "ev"
+    src.mkdir(parents=True)
+    with open(src / "events.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    def streams():
+        ev = spark.readStream.schema(schema).json(str(src))
+        return (ev.filter(F.col("event_type") == "view"),
+                ev.filter(F.col("event_type") == "click"))
+
+    views, clicks = streams()
+    q = (
+        interval_join_stream(views, clicks)
+        .writeStream.format("memory")
+        .queryName("ssj_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(workdir / "ckpt_ssj"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["id_left"], r["id_right"])
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+
+    ev_batch = spark.read.schema(schema).json(str(src))
+    vb = ev_batch.filter(F.col("event_type") == "view").alias("l")
+    cb = ev_batch.filter(F.col("event_type") == "click").alias("r")
+    want = {
+        (r["user_id"], r["id_left"], r["id_right"])
+        for r in vb.join(
+            cb,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") > F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.event_id").alias("id_left"),
+            F.col("r.event_id").alias("id_right"),
+        )
+        .collect()
+    }
+    assert got == want == {(1, 0, 1), (2, 3, 4), (2, 3, 5)}
