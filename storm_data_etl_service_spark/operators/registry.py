@@ -1135,3 +1135,74 @@ reach AS (
 SELECT node AS doc_id, min(label) AS component_id,
        node = min(label) AS is_canonical
 FROM reach GROUP BY node"""
+
+
+def _ivf_oracle() -> str:
+    """The whole IVF pipeline — seeded k-means (fixed rounds, ordered
+    double folds), cell assignment, nprobe probing, per-query top-k —
+    unrolled into one DuckDB CTE chain, bit-equal to the Spark side."""
+    from storm_data_etl_service_spark.operators.similarity import (
+        EMBEDDING_DIM,
+        IVF_NPROBE,
+        KMEANS_ITERS,
+        KMEANS_K,
+        N_QUERIES,
+        TOPK,
+    )
+
+    n = EMBEDDING_DIM
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {n}),"
+            f" i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])), (x,y) -> x+y)"
+        )
+
+    def assign(cent: str) -> str:
+        return f"""SELECT vec_id, v, cid FROM (
+  SELECT e.vec_id, e.v, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {l2('e.v', 'c.cv')}, c.cid) AS rk
+  FROM e, {cent} c) WHERE rk = 1"""
+
+    def update(best: str) -> str:
+        return f"""SELECT cid, list(m ORDER BY pos) AS cv FROM (
+  SELECT cid, pos,
+    list_reduce(list(val ORDER BY vec_id), (x,y) -> x+y) / count(*) AS m
+  FROM (SELECT cid, vec_id, r.pos AS pos, v[r.pos] AS val
+        FROM {best}, range(1, {n + 1}) r(pos))
+  GROUP BY cid, pos) GROUP BY cid"""
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT cast(vec_id AS INTEGER) AS cid, v AS cv FROM e"
+        f" WHERE vec_id < {KMEANS_K})",
+    ]
+    for i in range(KMEANS_ITERS):
+        ctes.append(f"a{i} AS ({assign(f'c{i}')})")
+        ctes.append(f"c{i + 1} AS ({update(f'a{i}')})")
+    final_c = f"c{KMEANS_ITERS}"
+    ctes += [
+        f"af AS ({assign(final_c)})",
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES})",
+        f"""probes AS (SELECT query_id, qv, cid FROM (
+  SELECT q.query_id, q.qv, c.cid,
+    row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {l2('q.qv', 'c.cv')}, c.cid) AS prk
+  FROM q, {final_c} c) WHERE prk <= {IVF_NPROBE})""",
+        """cand AS (SELECT p.query_id, p.qv, a.vec_id, a.v
+  FROM probes p JOIN af a ON p.cid = a.cid WHERE a.vec_id <> p.query_id)""",
+        f"""scored AS (SELECT query_id, vec_id,
+  {_COSINE_SQL.format(a='qv', b='v')} AS cosine FROM cand)""",
+    ]
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+SELECT query_id, vec_id, cosine, rk FROM (
+  SELECT *, cast(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk FROM scored)
+WHERE rk <= {TOPK}"""
+
+
+REGISTRY["ann_ivf_search"] = QuerySpec(
+    _t(S.ann_ivf_search), _ivf_oracle(), ("similarity", "ivf", "iterative")
+)

@@ -195,3 +195,121 @@ def ann_lsh_search(t) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("query_id", "vec_id", "cosine", "rk")
     )
+
+
+# --- IVF: k-means coarse quantizer + probed search ---------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+IVF_NPROBE = 2
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a sequential left fold (bit-equal to the
+    DuckDB list_reduce twin)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the K-row centroid table
+    across the vector scan, argmin by (distance, cid).  Map-side only
+    except the per-vector argmin window."""
+    d = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "_d", _l2sq(F.col("v"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("cid"))
+    return (
+        d.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("vec_id", "v", "cid")
+    )
+
+
+def _update_centroids(best: DataFrame) -> DataFrame:
+    """Element-wise mean per cell, computed as a vec_id-ordered left
+    fold over the member values (NOT a plain double sum, which is
+    partition-order-dependent, and NOT a decimal sum — DuckDB's
+    double→decimal(38,18) cast is itself double-rounded, so decimal
+    staging diverges at full float precision).  The ordered fold gives
+    one well-defined IEEE addition order that both engines and every
+    cluster layout reproduce exactly."""
+    ex = best.selectExpr("cid", "vec_id", "posexplode(v) AS (pos, val)")
+    means = (
+        ex.groupBy("cid", "pos")
+        .agg(
+            F.collect_list(F.struct("vec_id", "val")).alias("_mv"),
+            F.count("*").alias("_n"),
+        )
+        .select(
+            "cid",
+            "pos",
+            (
+                F.aggregate(
+                    F.transform(F.array_sort(F.col("_mv")), lambda s: s["val"]),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.col("_n")
+            ).alias("m"),
+        )
+    )
+    return means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    )
+
+
+def kmeans_centroids(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> DataFrame:
+    """Deterministic Lloyd k-means: centroids seeded from the k lowest
+    vec_ids, a FIXED number of assign/update rounds (no convergence
+    randomness), exact decimal means.  Each round is one broadcast
+    crossJoin + one argmin window + one grouped mean — all
+    partition-parallel; rounds don't grow the plan (localCheckpoint)."""
+    cent = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        cent = _update_centroids(_assign_cells(emb, cent)).localCheckpoint()
+    return cent
+
+
+def ann_ivf_search(t) -> DataFrame:
+    """IVF approximate nearest neighbour: k-means cells + nprobe-cell
+    probing.
+
+    Index build: every vector lands in its nearest cell (inverted
+    list keyed by cid).  Search: each query scores only the vectors of
+    its ``IVF_NPROBE`` nearest cells — at scale that is a broadcast of
+    the K-row centroid table, a shuffle on cid, and a per-query top-k,
+    scanning ~nprobe/K of the corpus instead of all of it.  Recall vs
+    the exact scan is asserted in tests; the oracle reproduces the
+    whole pipeline (model included) bit-for-bit."""
+    emb = t["embeddings"].select("vec_id", _vec(F.col("embedding")).alias("v"))
+    cent = kmeans_centroids(emb)
+    assigned = _assign_cells(emb, cent)
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.asc("_qd"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_qd", _l2sq(F.col("qv"), F.col("cv")))
+        .withColumn("_prk", F.row_number().over(wp))
+        .filter(F.col("_prk") <= IVF_NPROBE)
+        .select("query_id", "qv", "cid")
+    )
+    cand = probes.join(assigned, "cid").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )

@@ -124,3 +124,18 @@ def test_stateful_running_totals_across_batches(spark):
         assert final[2]["n_events"] == 1 and final[3]["n_events"] == 1
     finally:
         shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF with nprobe=2/8 cells must recover a solid fraction of the
+    exact top-10 (embeddings are clusterable by construction); every
+    IVF hit must carry the exact method's cosine for that pair."""
+    exact = run("ann_cosine_topk", spark, sf_dir).collect()
+    ivf = run("ann_ivf_search", spark, sf_dir).collect()
+    exact_pairs = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
+    ivf_pairs = {(r["query_id"], r["vec_id"]): r["cosine"] for r in ivf}
+    hits = set(exact_pairs) & set(ivf_pairs)
+    recall = len(hits) / len(exact_pairs)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+    for k in hits:
+        assert ivf_pairs[k] == exact_pairs[k]
