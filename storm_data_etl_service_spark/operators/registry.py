@@ -1058,6 +1058,31 @@ WHERE c_acctbal > avg_bal
 GROUP BY c_nationkey""",
         ("bench", "antijoin"),
     ),
+    "text_repetition_stats": QuerySpec(
+        _t(X.text_repetition_stats),
+        r"""WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS t
+  FROM documents),
+nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+freq AS (
+  SELECT doc_id, max(c) AS top, sum(c) AS total, count(*) AS dist FROM (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS tok FROM nz) GROUP BY doc_id, tok)
+  GROUP BY doc_id),
+bi AS (
+  SELECT doc_id, len(t) - 1 AS n_bi,
+    len(list_distinct(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1]))) AS d_bi
+  FROM nz)
+SELECT f.doc_id, total AS n_tokens,
+  cast(top AS DOUBLE) / total AS top_token_share,
+  cast(dist AS DOUBLE) / total AS type_token_ratio,
+  CASE WHEN n_bi > 0 THEN 1 - cast(d_bi AS DOUBLE) / n_bi
+       ELSE 0.0 END AS dup_bigram_frac
+FROM freq f JOIN bi USING (doc_id)""",
+        ("text", "quality"),
+    ),
     "per_source_cap_sample": QuerySpec(
         _t(P.per_source_cap_sample),
         """WITH ranked AS (

@@ -157,3 +157,59 @@ def text_fingerprint(t) -> DataFrame:
         .withColumn("_hs", F.transform(F.col("_toks"), lambda x: token_hash(x) % FP_MOD))
         .select("doc_id", F.coalesce(folded, F.lit(0).cast("long")).alias("fingerprint"))
     )
+
+
+def text_repetition_stats(t) -> DataFrame:
+    """Gopher-style repetition quality signals per document: top-token
+    share (most frequent token / total), type-token ratio, and
+    duplicate-bigram fraction.  High repetition ⇒ boilerplate/spam ⇒
+    filtered before training.
+
+    The token frequencies go through an explode + two keyed
+    aggregations (shuffle on (doc_id, token) then doc_id) — the
+    scalable shape; an array-expression nested count would be O(n²)
+    interpreted per document.  Ratios are exact bigint divisions, so
+    both engines agree bit-for-bit."""
+    staged = (
+        t["documents"]
+        .select("doc_id", tokens_col(F.col("text")).alias("_toks"))
+        .filter(F.size("_toks") > 0)
+    )
+    freq = (
+        staged.select("doc_id", F.explode("_toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("_top"),
+            F.sum("c").alias("_total"),
+            F.count("*").alias("_distinct"),
+        )
+    )
+    bigrams = staged.select(
+        "doc_id",
+        (F.size("_toks") - 1).alias("_n_bi"),
+        F.size(
+            F.array_distinct(
+                F.zip_with(
+                    F.slice(F.col("_toks"), 1, F.size("_toks") - 1),
+                    F.slice(F.col("_toks"), 2, F.size("_toks") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            )
+        ).alias("_d_bi"),
+    )
+    return (
+        freq.join(bigrams, "doc_id")
+        .select(
+            "doc_id",
+            F.col("_total").alias("n_tokens"),
+            (F.col("_top").cast("double") / F.col("_total")).alias("top_token_share"),
+            (F.col("_distinct").cast("double") / F.col("_total")).alias(
+                "type_token_ratio"
+            ),
+            F.when(F.col("_n_bi") > 0, 1 - F.col("_d_bi").cast("double") / F.col("_n_bi"))
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_frac"),
+        )
+    )

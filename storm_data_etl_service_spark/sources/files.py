@@ -51,3 +51,39 @@ def write_json_fixture(df: DataFrame, path: str) -> None:
     """S8 — JSON fixture sink (reference cmd/genmock/main.go:182-192;
     indentation there is cosmetic — the contract is the records)."""
     df.write.mode("overwrite").json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str], target_file_rows: int | None = None
+) -> None:
+    """Hive-partitioned parquet sink — the layout a 100 TB table needs
+    so that partition-key predicates prune whole directories before a
+    single byte is read.  Callers partition by low-cardinality,
+    always-filtered keys (event date, event_type); high-cardinality
+    keys would explode the file count instead.
+
+    ``target_file_rows`` repartitions by the partition columns first
+    so each partition writes few large files instead of
+    tasks × partitions small ones — the classic small-files failure
+    mode of naive partitioned writes."""
+    out = df
+    if target_file_rows is not None:
+        out = df.repartition(*partition_cols)
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Partition-discovering parquet scan: directory keys come back as
+    columns and equality/range predicates on them prune at planning
+    time (assert via PartitionFilters in the scan node)."""
+    return spark.read.parquet(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (zlib, built into Spark) — second columnar format for
+    interchange with Hive/Trino stacks."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

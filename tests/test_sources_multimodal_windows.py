@@ -188,3 +188,44 @@ def test_streaming_hourly_rollup_watermark_semantics(spark, workdir):
     # withheld — append emits only finalized windows
     for hour in (12, 13, 14):
         assert datetime(2024, 1, 1, hour, 0) not in buckets
+
+
+def test_partitioned_parquet_prunes_partitions(spark, sf_dir, tmp_path):
+    """A filter on the partition key must become a PartitionFilter
+    (pruned at planning), not a data filter over every file."""
+    from storm_data_etl_service_spark.sources.files import (
+        read_partitioned_parquet,
+        write_partitioned_parquet,
+    )
+
+    from storm_data_etl_service_spark.schemas import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "ev_part")
+    write_partitioned_parquet(ev, out, ["event_type"], target_file_rows=10_000)
+    back = read_partitioned_parquet(spark, out)
+    assert back.count() == ev.count()
+
+    q = back.filter(F.col("event_type") == "click")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "event_type" in pf, pf
+    got = q.count()
+    want = ev.filter(F.col("event_type") == "click").count()
+    assert got == want > 0
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    from storm_data_etl_service_spark.sources.files import read_orc, write_orc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs, out)
+    back = read_orc(spark, out)
+    assert back.schema == docs.schema
+    assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    )

@@ -207,3 +207,21 @@ def test_source_blocklist_drops_whole_sources(spark, sf_dir):
         r["n_docs"] for r in run("source_blocklist_filter", spark, sf_dir).collect()
     )
     assert 0 < kept < total
+
+
+def test_repetition_stats_planted_specimens(spark, sf_dir):
+    """Planted extremes: an all-same-token doc scores top share 1.0
+    and dup-bigram 1 - 1/n_bigrams (one distinct bigram); an
+    all-distinct doc scores TTR 1.0 and dup-bigram 0.0; a
+    single-token doc gets the 0.0 fallback."""
+    from storm_data_etl_service_spark.operators.text import text_repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "alpha beta gamma delta"), (3, "one")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text_repetition_stats({"documents": docs}).collect()}
+    assert got[1]["top_token_share"] == 1.0
+    assert got[1]["dup_bigram_frac"] == 1 - 1.0 / 3
+    assert got[2]["type_token_ratio"] == 1.0 and got[2]["dup_bigram_frac"] == 0.0
+    assert got[3]["n_tokens"] == 1 and got[3]["dup_bigram_frac"] == 0.0
