@@ -187,3 +187,90 @@ def approx_distinct_counts(t) -> DataFrame:
         F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
         F.approx_count_distinct("event_type", 0.02).alias("n_types_approx"),
     )
+
+
+def user_gap_stats(t) -> DataFrame:
+    """Inter-event gap analysis per user via lag(): microsecond-exact
+    gaps (unix_micros keeps sub-second precision; both engines agree
+    on integer epoch micros), aggregated to count/total/mean.  One
+    window shuffle on user_id, then a keyed agg — no driver loops."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = (
+        t["events"]
+        .select("user_id", "event_id", "ts")
+        .withColumn("gap_us", us - F.lag(us).over(w))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap_us").alias("total_gap_us"),
+        (F.sum("gap_us").cast("double") / F.count("*")).alias("avg_gap_us"),
+    )
+
+
+def scd2_history(t) -> DataFrame:
+    """SCD-type-2 dimension build from an event log: each event opens
+    a validity interval that the user's next event closes (lead());
+    the open interval is the current state.  The canonical
+    change-data-capture shape for slowly-changing dimensions — one
+    window shuffle on the business key."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t["events"].select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w).alias("effective_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+def salted_skew_join(t, n_salts: int = 8) -> DataFrame:
+    """Skew-resistant fact-dim join: the fact side's join key
+    (event_type, 5 distinct values) is maximally skewed, so a naive
+    shuffle join puts ~1/5 of the fact on single reducers.  Salting
+    splits each key into n_salts sub-keys (deterministic
+    event_id % n_salts — reproducible, unlike rand()) and replicates
+    the dim row per salt, so every reducer gets 1/(5·n_salts) of the
+    work.  The result is provably identical to the plain join — the
+    oracle runs the unsalted query."""
+    dim = t["events"].groupBy("event_type").agg(
+        F.count("*").alias("type_total")
+    )
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    fact = t["events"].withColumn(
+        "salt", (F.col("event_id") % n_salts).cast("int")
+    )
+    return (
+        fact.join(salted_dim, ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("type_total").alias("type_total"),
+        )
+    )
+
+
+def approx_quantile_summary(t) -> DataFrame:
+    """Approximate per-group quantiles (t-digest-style
+    percentile_approx): the sketch path for 100 TB where exact
+    interpolated percentiles (percentile_summary) would need a full
+    sort per group.  Sketches merge associatively across partitions —
+    map-side partial, one small shuffle.  Accuracy is asserted against
+    the exact method in tests; no SQL oracle (sketch internals are
+    engine-specific) — rows-only check."""
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10_000).alias("p50_approx"),
+            F.percentile_approx("value", 0.95, 10_000).alias("p95_approx"),
+        )
+    )

@@ -1058,6 +1058,39 @@ WHERE c_acctbal > avg_bal
 GROUP BY c_nationkey""",
         ("bench", "antijoin"),
     ),
+    "user_gap_stats": QuerySpec(
+        _t(A.user_gap_stats),
+        """WITH g AS (
+  SELECT user_id,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT user_id, count(*) AS n_gaps, sum(gap_us) AS total_gap_us,
+       cast(sum(gap_us) AS DOUBLE) / count(*) AS avg_gap_us
+FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""",
+        ("analytics", "window-func"),
+    ),
+    "scd2_history": QuerySpec(
+        _t(A.scd2_history),
+        """SELECT user_id, event_id, event_type AS state, ts AS effective_from,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM events""",
+        ("analytics", "cdc", "window-func"),
+    ),
+    "salted_skew_join": QuerySpec(
+        _t(A.salted_skew_join),
+        """WITH dim AS (
+  SELECT event_type, count(*) AS type_total FROM events GROUP BY event_type)
+SELECT e.event_type, count(*) AS n, max(type_total) AS type_total
+FROM events e JOIN dim USING (event_type) GROUP BY e.event_type""",
+        ("scale", "skew"),
+    ),
+    "approx_quantile_summary": QuerySpec(
+        _t(A.approx_quantile_summary),
+        None,  # sketch internals are engine-specific; accuracy tested vs exact
+        ("analytics", "approx"),
+    ),
     "text_repetition_stats": QuerySpec(
         _t(X.text_repetition_stats),
         r"""WITH toks AS (

@@ -139,3 +139,59 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
     for k in hits:
         assert ivf_pairs[k] == exact_pairs[k]
+
+
+def test_approx_quantiles_close_to_exact(spark, sf_dir):
+    """Rank-based accuracy: the approx quantile is a real data point,
+    so check its RANK — the fraction of the group's values at or
+    below it must sit within 1.5 percentage points of the target
+    quantile (the sketch's accuracy parameter guarantees rank, not
+    value, error)."""
+    from storm_data_etl_service_spark.schemas import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    approx = {
+        r["event_type"]: (r["p50_approx"], r["p95_approx"])
+        for r in run("approx_quantile_summary", spark, sf_dir).collect()
+    }
+    assert len(approx) == 5
+    for et, (a50, a95) in approx.items():
+        grp = ev.filter(F.col("event_type") == et)
+        n = grp.count()
+        for target, val in ((0.5, a50), (0.95, a95)):
+            rank = grp.filter(F.col("value") <= val).count() / n
+            assert abs(rank - target) <= 0.015, (et, target, val, rank)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """The salted join must be result-identical to the naive join."""
+    from storm_data_etl_service_spark.schemas import load_tables
+
+    t = load_tables(spark, sf_dir)
+    plain = (
+        t["events"]
+        .join(
+            t["events"].groupBy("event_type").agg(F.count("*").alias("type_total")),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.max("type_total").alias("type_total"))
+    )
+    got = {tuple(r) for r in run("salted_skew_join", spark, sf_dir).collect()}
+    want = {tuple(r) for r in plain.collect()}
+    assert got == want
+
+
+def test_scd2_intervals_tile_per_user(spark, sf_dir):
+    """Per user: exactly one open (current) interval; each close
+    equals the next open — intervals tile the timeline."""
+    rows = run("scd2_history", spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, evs in by_user.items():
+        evs.sort(key=lambda r: (r["effective_from"], r["event_id"]))
+        assert sum(1 for r in evs if r["is_current"]) == 1
+        for a, b in zip(evs, evs[1:]):
+            assert a["effective_to"] == b["effective_from"]
+        assert evs[-1]["effective_to"] is None
