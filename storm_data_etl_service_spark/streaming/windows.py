@@ -82,3 +82,11 @@ def interval_join_stream(
         F.col("l.ts").alias("ts_left"),
         F.col("r.ts").alias("ts_right"),
     )
+
+
+def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch hash-joins the
+    (small, broadcast) static dimension — no streaming state at all,
+    the static side is re-resolved per batch.  The streaming twin of
+    every fact⨝broadcast(dim) batch query in operators.relational."""
+    return stream.join(F.broadcast(dim), "event_type", "left")

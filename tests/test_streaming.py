@@ -344,3 +344,30 @@ def test_stream_stream_interval_join_matches_batch(spark, workdir):
         .collect()
     }
     assert got == want == {(1, 0, 1), (2, 3, 4), (2, 3, 5)}
+
+
+def test_stream_static_join_enriches_every_row(spark, workdir):
+    from storm_data_etl_service_spark.streaming.windows import enrich_stream_with_dim
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    src = workdir / "ev2"
+    src.mkdir(parents=True)
+    with open(src / "events.json", "w") as f:
+        for i, et in enumerate(["view", "click", "view", "purchase"]):
+            f.write(json.dumps({"event_id": i, "ts": "2026-01-01T00:00:00",
+                                "user_id": 1, "event_type": et}) + "\n")
+    dim = spark.createDataFrame(
+        [("view", 1.0), ("click", 5.0), ("purchase", 50.0)],
+        "event_type string, weight double",
+    )
+    q = (
+        enrich_stream_with_dim(spark.readStream.schema(schema).json(str(src)), dim)
+        .writeStream.format("memory")
+        .queryName("ssd_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(workdir / "ckpt_ssd"))
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {(r["event_id"], r["weight"]) for r in spark.sql("SELECT * FROM ssd_out").collect()}
+    assert got == {(0, 1.0), (1, 5.0), (2, 1.0), (3, 50.0)}
