@@ -274,3 +274,59 @@ def approx_quantile_summary(t) -> DataFrame:
             F.percentile_approx("value", 0.95, 10_000).alias("p95_approx"),
         )
     )
+
+
+def moving_avg_events(t, frame: int = 9) -> DataFrame:
+    """Rows-frame moving average per user: the trailing-N smoothing
+    every metrics pipeline runs.  ROWS BETWEEN (not RANGE) so the
+    frame is an exact row count; the fold-free sum is safe because
+    the frame is a deterministic ordered list — both engines add the
+    same ≤10 doubles left-to-right over the (ts, event_id) order."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-frame, Window.currentRow)
+    )
+    return t["events"].select(
+        "user_id",
+        "event_id",
+        F.avg("value").over(w).alias("trailing_avg"),
+    )
+
+
+def balance_deciles(t) -> DataFrame:
+    """Customer balance ranking surface: ntile deciles, percent_rank,
+    cume_dist in one window pass (single global sort — at scale this
+    is a range-partitioned sort, and rank families all reuse it)."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return t["customer"].select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def forward_fill_values(t) -> DataFrame:
+    """Time-series gap fill: 'error' events carry no usable value
+    (nulled), so each takes the user's last known good value —
+    last_value(ignoreNulls) over an unbounded-preceding rows frame.
+    One window shuffle on user_id; never a driver loop."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    return t["events"].select(
+        "user_id",
+        "event_id",
+        F.last(good, ignorenulls=True).over(w).alias("filled_value"),
+    )

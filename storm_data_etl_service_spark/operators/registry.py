@@ -1058,6 +1058,32 @@ WHERE c_acctbal > avg_bal
 GROUP BY c_nationkey""",
         ("bench", "antijoin"),
     ),
+    "moving_avg_events": QuerySpec(
+        _t(A.moving_avg_events),
+        """SELECT user_id, event_id,
+  avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS trailing_avg
+FROM events""",
+        ("analytics", "window-frame"),
+    ),
+    "balance_deciles": QuerySpec(
+        _t(A.balance_deciles),
+        """SELECT c_custkey, c_acctbal,
+  cast(ntile(10) OVER w AS INTEGER) AS decile,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume
+FROM customer WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)""",
+        ("analytics", "ranking"),
+    ),
+    "forward_fill_values": QuerySpec(
+        _t(A.forward_fill_values),
+        """SELECT user_id, event_id,
+  last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM events""",
+        ("analytics", "gap-fill"),
+    ),
     "user_gap_stats": QuerySpec(
         _t(A.user_gap_stats),
         """WITH g AS (

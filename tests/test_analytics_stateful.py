@@ -195,3 +195,31 @@ def test_scd2_intervals_tile_per_user(spark, sf_dir):
         for a, b in zip(evs, evs[1:]):
             assert a["effective_to"] == b["effective_from"]
         assert evs[-1]["effective_to"] is None
+
+
+def test_forward_fill_specimen(spark):
+    from storm_data_etl_service_spark.operators.analytics import forward_fill_values
+
+    from datetime import datetime
+
+    d = lambda m, s=0: datetime(2026, 1, 1, 0, m, s)
+    ev = spark.createDataFrame(
+        [(1, d(0), 7, "view", 10.0),
+         (2, d(1), 7, "error", 99.0),
+         (3, d(2), 7, "error", 98.0),
+         (4, d(3), 7, "click", 20.0),
+         (5, d(0, 30), 8, "error", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {r["event_id"]: r["filled_value"]
+           for r in forward_fill_values({"events": ev}).collect()}
+    assert got == {1: 10.0, 2: 10.0, 3: 10.0, 4: 20.0, 5: None}
+
+
+def test_deciles_are_balanced(spark, sf_dir):
+    rows = run("balance_deciles", spark, sf_dir).collect()
+    sizes = {}
+    for r in rows:
+        sizes[r["decile"]] = sizes.get(r["decile"], 0) + 1
+    assert set(sizes) == set(range(1, 11))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
