@@ -30,6 +30,9 @@ BENCH_QUERIES = [
     "tpch_q4_priority_semijoin",  # EXISTS → left-semi join
     "tpch_q17_small_quantity_revenue",  # decorrelated scalar subquery
     "tpch_q19_disjunctive_filter",  # OR-branch predicate join
+    "tpch_q8_market_share",     # 7-table broadcast-chain join
+    "tpch_q13_customer_distribution",  # outer join + double aggregate
+    "tpch_q21_waiting_suppliers",  # EXISTS/NOT-EXISTS fact self-join
     "corpus_curation_pipeline",  # gate → dedup → split → stats
     "p13_hourly_rollup",        # tumbling-window agg
     "session_window_agg",       # session windows (stateful-sort agg)

@@ -1290,3 +1290,212 @@ WHERE rk <= {TOPK}"""
 REGISTRY["ann_ivf_search"] = QuerySpec(
     _t(S.ann_ivf_search), _ivf_oracle(), ("similarity", "ivf", "iterative")
 )
+
+
+# --------------------------------------------------------------------------
+# Full TPC-H shape completion (relational.py tail): the 11 remaining
+# query shapes, adapted where the synthetic schema lacks partsupp /
+# commit dates (see builder docstrings).
+# --------------------------------------------------------------------------
+
+REGISTRY["tpch_q2_min_cost_supplier"] = QuerySpec(
+    _t(R.tpch_q2_min_cost_supplier),
+    """WITH parts AS (
+  SELECT p_partkey, p_name FROM part WHERE p_size <= 5 AND p_type = 'SMALL'),
+offers AS (
+  SELECT p_partkey, p_name, l_suppkey,
+         l_extendedprice / l_quantity AS unit_price
+  FROM lineitem JOIN parts ON l_partkey = p_partkey WHERE l_quantity > 0),
+min_price AS (
+  SELECT p_partkey AS m_partkey, min(unit_price) AS min_price
+  FROM offers GROUP BY p_partkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_price
+FROM offers
+JOIN min_price ON p_partkey = m_partkey AND unit_price = min_price
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100""",
+    ("bench", "correlated-min"),
+)
+
+REGISTRY["tpch_q7_volume_shipping"] = QuerySpec(
+    _t(R.tpch_q7_volume_shipping),
+    f"""SELECT supp_nation, cust_nation, l_year,
+       {_dsum('volume')} AS revenue
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         cast(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE ns.n_name IN ('NATION_1','NATION_2')
+    AND nc.n_name IN ('NATION_1','NATION_2')
+    AND ns.n_name <> nc.n_name
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY supp_nation, cust_nation, l_year""",
+    ("bench", "join"),
+)
+
+REGISTRY["tpch_q8_market_share"] = QuerySpec(
+    _t(R.tpch_q8_market_share),
+    f"""SELECT o_year, nation_revenue, total_revenue,
+       nation_revenue / total_revenue AS mkt_share
+FROM (
+  SELECT cast(year(o_orderdate) AS INTEGER) AS o_year,
+    {_dsum("CASE WHEN n_s.n_name = 'NATION_3'"
+           " THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+      AS nation_revenue,
+    {_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n_s ON s_nationkey = n_s.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n_c ON c_nationkey = n_c.n_nationkey
+  JOIN region ON n_c.n_regionkey = r_regionkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY o_year)""",
+    ("bench", "join"),
+)
+
+REGISTRY["tpch_q9_product_type_profit"] = QuerySpec(
+    _t(R.tpch_q9_product_type_profit),
+    f"""SELECT n_name AS nation, cast(year(o_orderdate) AS INTEGER) AS o_year,
+  {_dsum('l_extendedprice * (1 - l_discount)'
+         ' - 0.1 * p_retailprice * l_quantity')} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)""",
+    ("bench", "join"),
+)
+
+REGISTRY["tpch_q10_returned_items"] = QuerySpec(
+    _t(R.tpch_q10_returned_items),
+    f"""WITH per_cust AS (
+  SELECT o_custkey, {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY o_custkey)
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+FROM per_cust
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    ("bench", "join"),
+)
+
+REGISTRY["tpch_q11_important_values"] = QuerySpec(
+    _t(R.tpch_q11_important_values),
+    f"""WITH vals AS (
+  SELECT l_partkey, {_dsum('l_extendedprice')} AS part_value
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey IN (0, 1)
+  GROUP BY l_partkey),
+total AS (
+  SELECT cast(sum(cast(part_value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+  FROM vals)
+SELECT l_partkey, part_value FROM vals, total
+WHERE part_value > total_value * 0.001
+ORDER BY part_value DESC, l_partkey""",
+    ("bench", "scalar-threshold"),
+)
+
+REGISTRY["tpch_q13_customer_distribution"] = QuerySpec(
+    _t(R.tpch_q13_customer_distribution),
+    """WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN (SELECT o_orderkey, o_custkey FROM orders
+                   WHERE o_orderpriority <> '1-URGENT') o
+    ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC""",
+    ("bench", "outer-join"),
+)
+
+REGISTRY["tpch_q15_top_supplier"] = QuerySpec(
+    _t(R.tpch_q15_top_supplier),
+    """WITH revenue AS (
+  SELECT l_suppkey,
+         sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+           AS total_rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-10-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, cast(total_rev_dec AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_dec = (SELECT max(total_rev_dec) FROM revenue)
+ORDER BY s_suppkey""",
+    ("bench", "scalar-max"),
+)
+
+REGISTRY["tpch_q16_supplier_part_counts"] = QuerySpec(
+    _t(R.tpch_q16_supplier_part_counts),
+    """SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    ("bench", "distinct-agg"),
+)
+
+REGISTRY["tpch_q20_excess_shippers"] = QuerySpec(
+    _t(R.tpch_q20_excess_shippers),
+    f"""WITH shipped AS (
+  SELECT l_suppkey, {_dsum('l_quantity')} AS red_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey),
+avg_qty AS (
+  SELECT cast(sum(cast(red_qty AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+    AS avg_qty
+  FROM shipped)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM shipped, avg_qty
+                    WHERE red_qty > avg_qty)
+ORDER BY s_suppkey""",
+    ("bench", "semijoin"),
+)
+
+REGISTRY["tpch_q21_waiting_suppliers"] = QuerySpec(
+    _t(R.tpch_q21_waiting_suppliers),
+    """SELECT s_name, numwait FROM (
+  SELECT l_suppkey, count(*) AS numwait
+  FROM lineitem l1
+  JOIN orders ON l1.l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > l1.l_shipdate)
+  GROUP BY l_suppkey)
+JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY numwait DESC, s_name LIMIT 25""",
+    ("bench", "exists-notexists"),
+)

@@ -89,3 +89,23 @@ def test_q19_extracts_equi_key(spark, sf_dir):
     plan = plan_of("tpch_q19_disjunctive_filter", spark, sf_dir)
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan[:1500]
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_self_joins_stay_semi_anti(spark, sf_dir):
+    plan = plan_of("tpch_q21_waiting_suppliers", spark, sf_dir)
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
+
+
+def test_q8_dimension_chain_broadcasts(spark, sf_dir):
+    # part, supplier→nation, customer→nation→region must all broadcast;
+    # the only shuffle joins are fact-fact.
+    plan = plan_of("tpch_q8_market_share", spark, sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2500]
+
+
+def test_q13_outer_join_keeps_zero_order_customers(spark, sf_dir):
+    df = REGISTRY["tpch_q13_customer_distribution"].build(spark, sf_dir)
+    rows = {r["c_count"]: r["custdist"] for r in df.collect()}
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(rows.values()) == n_cust  # every customer lands in exactly one bucket
