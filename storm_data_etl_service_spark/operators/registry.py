@@ -1499,3 +1499,64 @@ JOIN supplier ON l_suppkey = s_suppkey
 ORDER BY numwait DESC, s_name LIMIT 25""",
     ("bench", "exists-notexists"),
 )
+
+
+# --------------------------------------------------------------------------
+# Corpus vocabulary / TF-IDF + full-outer reconciliation
+# --------------------------------------------------------------------------
+
+_TOKS_CTE = r"""toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       x -> x != '')) AS token
+  FROM documents)"""
+
+REGISTRY["vocab_top_tokens"] = QuerySpec(
+    _t(X.vocab_top_tokens),
+    f"""WITH {_TOKS_CTE}
+SELECT token, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
+FROM toks GROUP BY token
+ORDER BY term_freq DESC, token LIMIT 100""",
+    ("text", "vocab"),
+)
+
+REGISTRY["tfidf_top_terms"] = QuerySpec(
+    _t(X.tfidf_top_terms),
+    f"""WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+nd AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, token, tf, df, tfidf, rk FROM (
+  SELECT doc_id, token, tf, df,
+    tf * ((n_docs + 1.0) / (df + 1.0)) AS tfidf,
+    cast(row_number() OVER (
+      PARTITION BY doc_id
+      ORDER BY tf * ((n_docs + 1.0) / (df + 1.0)) DESC, token) AS INTEGER)
+      AS rk
+  FROM tf JOIN dfreq USING (token), nd)
+WHERE rk <= 3""",
+    ("text", "tfidf"),
+)
+
+REGISTRY["full_outer_reconcile"] = QuerySpec(
+    _t(R.full_outer_reconcile),
+    f"""WITH l AS (
+  SELECT o_orderkey AS l_key, o_totalprice AS l_price
+  FROM orders WHERE o_orderkey % 3 <> 0),
+r AS (
+  SELECT o_orderkey AS r_key,
+    CASE WHEN o_orderkey % 7 = 0
+         THEN cast(floor(o_totalprice) AS DOUBLE)
+         ELSE o_totalprice END AS r_price
+  FROM orders WHERE o_orderkey % 5 <> 0)
+SELECT status, count(*) AS n, {_dsum('drift')} AS total_drift
+FROM (
+  SELECT CASE WHEN l_key IS NULL THEN 'right_only'
+              WHEN r_key IS NULL THEN 'left_only'
+              WHEN l_price = r_price THEN 'match'
+              ELSE 'mismatch' END AS status,
+         coalesce(abs(l_price - r_price), 0.0) AS drift
+  FROM l FULL OUTER JOIN r ON l_key = r_key)
+GROUP BY status""",
+    ("join", "full-outer", "validation"),
+)

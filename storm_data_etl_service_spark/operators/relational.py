@@ -977,3 +977,47 @@ def tpch_q21_waiting_suppliers(t) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(25)
     )
+
+
+def full_outer_reconcile(t) -> DataFrame:
+    """Cross-source reconciliation via FULL OUTER join — the one join
+    type the rest of the suite doesn't exercise (generalizes the
+    reference's Q15 dataset-parity check, cmd/validate/main.go:228-252,
+    to sources with asymmetric coverage).  Two derived views of orders
+    (keys ∤3 vs keys ∤5, right side floor-truncated on keys ∤7)
+    full-outer-join on the key; every row classifies as match /
+    mismatch / left_only / right_only and the report aggregates counts
+    plus total absolute drift.
+
+    Scale: both sides shuffle once on the same key; the classifier is
+    a null-pattern CASE inside codegen; the final aggregate is 4 rows.
+    """
+    o = t["orders"]
+    left = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("l_key"), F.col("o_totalprice").alias("l_price")
+    )
+    right = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("r_key"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.floor("o_totalprice").cast("double")
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("r_price"),
+    )
+    status = (
+        F.when(F.col("l_key").isNull(), "right_only")
+        .when(F.col("r_key").isNull(), "left_only")
+        .when(F.col("l_price") == F.col("r_price"), "match")
+        .otherwise("mismatch")
+    )
+    return (
+        left.join(right, F.col("l_key") == F.col("r_key"), "full_outer")
+        .select(
+            status.alias("status"),
+            F.coalesce(
+                F.abs(F.col("l_price") - F.col("r_price")), F.lit(0.0)
+            ).alias("drift"),
+        )
+        .groupBy("status")
+        .agg(F.count("*").alias("n"), _dsum(F.col("drift"), "total_drift"))
+    )

