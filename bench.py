@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "q12_dedup_first_wins",     # first-wins dedup window
     "p5_deterministic_id",      # sha256 content IDs
     "dedup_minhash_lsh",        # MinHash signature + LSH band join
+    "tfidf_top_terms",          # explode → dual agg → broadcast-back → window top-k
     "ann_cosine_topk",          # brute-force cosine top-k
     "multimodal_decode_stats",  # Arrow-batched mapInPandas path
 ]

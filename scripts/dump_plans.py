@@ -93,6 +93,36 @@ ANNOTATED = {
         "probe), candidate join shuffles only on cid, per-query top-k "
         "window on the pruned candidate set (~nprobe/K of the corpus)."
     ),
+    "tpch_q21_waiting_suppliers": (
+        "EXISTS/NOT-EXISTS self-join: both re-joins are left-semi / "
+        "left-anti on the l_orderkey shuffle key with non-equi "
+        "residuals, over a 3-column projection of the fact — the probe "
+        "rows never widen, and the anti join short-circuits on first "
+        "match per row."
+    ),
+    "tpch_q8_market_share": (
+        "7-table join with one fact-fact shuffle: part, supplier→nation "
+        "and the customer→nation→region chain all broadcast; the "
+        "conditional-ratio aggregate reduces to one row per year before "
+        "the final exchange."
+    ),
+    "tpch_q13_customer_distribution": (
+        "LEFT OUTER join on o_custkey, first aggregate collapses to one "
+        "row per customer (map-side partial), second aggregate runs over "
+        "order-count cardinality (~tens of rows) — the classic "
+        "two-level distribution shape."
+    ),
+    "tfidf_top_terms": (
+        "One explode feeds both aggregates; doc-frequency collapses to "
+        "vocabulary cardinality and broadcasts back onto (doc, term) "
+        "counts with the 1-row corpus-size scalar; per-doc top-k is a "
+        "window over each doc's own terms — no global sort anywhere."
+    ),
+    "full_outer_reconcile": (
+        "Both derived views shuffle once on the shared key into a "
+        "full-outer SortMergeJoin; the null-pattern classifier and "
+        "drift arithmetic run inside codegen; final aggregate is 4 rows."
+    ),
 }
 
 
