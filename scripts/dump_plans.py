@@ -63,9 +63,10 @@ ANNOTATED = {
         "the two join columns of lineitem are scanned."
     ),
     "tpch_q17_small_quantity_revenue": (
-        "Correlated scalar subquery decorrelated by hand: per-part "
-        "thresholds aggregate once, then BroadcastHashJoin back onto the "
-        "fact scan — two passes over lineitem, zero fact-fact shuffle."
+        "Correlated scalar subquery decorrelated into an unbounded "
+        "window over l_partkey: ONE scan, ONE shuffle of a 3-column "
+        "projection. The join-back form scans twice and its threshold "
+        "table (partkey cardinality) can't broadcast at 100 TB."
     ),
     "tpch_q19_disjunctive_filter": (
         "Disjunctive brand/size/quantity predicate: Catalyst extracts the "

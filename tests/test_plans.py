@@ -75,12 +75,14 @@ def test_semi_and_anti_joins_stay_semi(spark, sf_dir):
     assert "LeftAnti" in plan, plan[:1500]
 
 
-def test_q17_threshold_join_broadcasts(spark, sf_dir):
-    """The decorrelated per-part threshold table must broadcast back
-    onto the fact scan — a shuffle join here would double-shuffle
-    lineitem at 100 TB."""
+def test_q17_threshold_is_single_pass_window(spark, sf_dir):
+    """The decorrelated per-part threshold must come from ONE window
+    pass over one scan — a join-back would scan lineitem twice, and
+    at 100 TB the threshold table (partkey cardinality) can't
+    broadcast, forcing a second fact shuffle."""
     plan = plan_of("tpch_q17_small_quantity_revenue", spark, sf_dir)
-    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "Window" in plan, plan[:1500]
+    assert plan.count("Scan parquet") == 1, plan[:1500]
 
 
 def test_q19_extracts_equi_key(spark, sf_dir):
