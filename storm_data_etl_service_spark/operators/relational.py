@@ -603,12 +603,13 @@ def tpch_q22_idle_customers(t) -> DataFrame:
 
 def tpch_q2_min_cost_supplier(t) -> DataFrame:
     """TPC-H Q2-style min-cost supplier: the correlated MIN subquery
-    (cheapest offer per part) decorrelated into a per-part aggregate
-    joined back on (part, price) equality.  Unit price is
+    (cheapest offer per part) decorrelated into an unbounded MIN
+    window over p_partkey — one scan of the offers, one shuffle (same
+    argument as tpch_q17: the per-part min table has part cardinality
+    at scale, so a join-back can't broadcast).  Unit price is
     l_extendedprice/l_quantity (no partsupp in this schema); IEEE-754
-    division is bit-identical across engines so the equality join is
-    exact.  Both passes group/join on l_partkey — one shuffle
-    partitioning reused; part and supplier dims broadcast."""
+    division is bit-identical across engines so the equality compare
+    is exact.  Part and supplier dims broadcast."""
     parts = t["part"].filter(
         (F.col("p_size") <= 5) & (F.col("p_type") == "SMALL")
     ).select("p_partkey", "p_name")
@@ -623,18 +624,13 @@ def tpch_q2_min_cost_supplier(t) -> DataFrame:
             (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
         )
     )
-    min_price = offers.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
-        F.min("unit_price").alias("min_price")
-    )
+    min_price = F.min("unit_price").over(Window.partitionBy("p_partkey"))
     supp = t["supplier"].join(
         F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey")
     )
     return (
-        offers.join(
-            min_price,
-            (F.col("p_partkey") == F.col("m_partkey"))
-            & (F.col("unit_price") == F.col("min_price")),
-        )
+        offers.withColumn("min_price", min_price)
+        .filter(F.col("unit_price") == F.col("min_price"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_price")
         .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_name"))

@@ -183,3 +183,19 @@ def load_tables(spark, sf_dir: str, names=TESTDATA_TABLES):
     """
     ensure_session_confs(spark)
     return LazyTables(spark, sf_dir, names)
+
+
+def register_views(spark, sf_dir: str, names=TESTDATA_TABLES) -> None:
+    """Register every synthetic table as a temp view so the whole
+    engine surface is drivable from plain ``spark.sql`` — the ANSI-SQL
+    twin of ``load_tables`` (temp views over lazy scans: Catalyst still
+    sees the parquet relation, so pushdown/pruning are unaffected).
+
+    This is the "switch path" for users coming from a SQL-first stack:
+    every query in the registry has a documented SQL equivalent (its
+    DuckDB oracle), and most run verbatim under Spark SQL against
+    these views.
+    """
+    tables = load_tables(spark, sf_dir, names)
+    for name in names:
+        tables[name].createOrReplaceTempView(name)

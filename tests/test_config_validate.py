@@ -128,3 +128,28 @@ def test_schema_alignment_clean_and_dirty(spark, enriched):
     )
     rep = check_schema_alignment(broken)
     assert rep.violations["severity_magnitude_implication"] > 0
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    """The SQL twin: registry oracle SQL (minus DuckDB-only syntax)
+    runs under spark.sql against the registered views and agrees with
+    the DataFrame builders."""
+    from pyspark.sql import functions as F
+
+    from storm_data_etl_service_spark.operators.registry import REGISTRY
+    from storm_data_etl_service_spark.schemas import register_views
+
+    register_views(spark, sf_dir)
+    # a portable-ANSI oracle: Q5 star join runs verbatim on Spark SQL
+    sql = REGISTRY["tpch_q5_regional_revenue"].oracle
+    via_sql = {
+        r["n_name"]: r["revenue"] for r in spark.sql(sql).collect()
+    }
+    via_df = {
+        r["n_name"]: r["revenue"]
+        for r in REGISTRY["tpch_q5_regional_revenue"].build(spark, sf_dir).collect()
+    }
+    assert via_sql == via_df
+    # and a grouped-count query
+    sql2 = REGISTRY["q1_group_count"].oracle
+    assert spark.sql(sql2).count() == REGISTRY["q1_group_count"].build(spark, sf_dir).count()
