@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -329,4 +330,88 @@ def forward_fill_values(t) -> DataFrame:
         "user_id",
         "event_id",
         F.last(good, ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+def profile_table_stats(t) -> DataFrame:
+    """Per-column profiling report over orders (the ANALYZE-TABLE /
+    data-quality pass a pipeline runs before planning joins): row
+    count, null count, distinct count, min/max, rendered as one row
+    per column.
+
+    Scale: a single full-table aggregate — every statistic is a
+    partial-aggregatable function, so the plan is scan → map-side
+    combine → 1-row exchange, then a tiny unpivot projection.  No
+    per-column scans, no collect.
+    """
+    o = t["orders"]
+    agg = o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.min("o_orderkey").cast("double").alias("min_key"),
+        F.max("o_orderkey").cast("double").alias("max_key"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+    )
+    cols = [
+        ("o_orderkey", "nn_key", "nd_key", "min_key", "max_key"),
+        ("o_totalprice", "nn_price", "nd_price", "min_price", "max_price"),
+        ("o_orderstatus", "nn_status", "nd_status", None, None),
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(nn)).alias("n_nulls"),
+                F.col(nd).alias("n_distinct"),
+                (F.col(mn) if mn else F.lit(None).cast("double")).alias("min_value"),
+                (F.col(mx) if mx else F.lit(None).cast("double")).alias("max_value"),
+            )
+            for name, nn, nd, mn, mx in cols
+        ]
+    )
+    return agg.select(F.explode(rows).alias("s")).select("s.*")
+
+
+def join_skew_report(t, top_k: int = 10) -> DataFrame:
+    """Join-key skew diagnosis for lineitem⨝orders: per-key row counts
+    on the fact side, the share of the heaviest key, and how many
+    multiples of a perfectly uniform key it carries.  The number that
+    decides between a plain shuffle join, AQE skew split, and a
+    salted join (see salted_skew_join).
+
+    Scale: groupBy on the join key (map-side combined); the top-k is
+    orderBy+limit → TakeOrderedAndProject, a distributed partial
+    top-k with no global sort and no single-partition window (a
+    global row_number window over per-key counts would funnel the
+    whole key space through one task).  The rank window then runs
+    over only the k surviving rows; global totals are a 1-row
+    broadcast.
+    """
+    counts = t["lineitem"].groupBy("l_orderkey").agg(F.count("*").alias("key_rows"))
+    totals = counts.agg(
+        F.sum("key_rows").alias("total_rows"),
+        F.count("*").alias("n_keys"),
+    )
+    top = counts.orderBy(F.desc("key_rows"), F.asc("l_orderkey")).limit(top_k)
+    w = Window.orderBy(F.desc("key_rows"), F.asc("l_orderkey"))
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .select(
+            "rk",
+            "l_orderkey",
+            "key_rows",
+            (F.col("key_rows").cast("double") / F.col("total_rows")).alias("key_share"),
+            (
+                F.col("key_rows").cast("double")
+                / (F.col("total_rows").cast("double") / F.col("n_keys"))
+            ).alias("skew_factor"),
+        )
     )

@@ -1560,3 +1560,50 @@ FROM (
 GROUP BY status""",
     ("join", "full-outer", "validation"),
 )
+
+
+# --------------------------------------------------------------------------
+# Data profiling: column stats + join-skew diagnosis
+# --------------------------------------------------------------------------
+
+REGISTRY["profile_table_stats"] = QuerySpec(
+    _t(A.profile_table_stats),
+    """WITH agg AS (
+  SELECT count(*) AS n_rows,
+    count(o_orderkey) AS nn_key, count(DISTINCT o_orderkey) AS nd_key,
+    cast(min(o_orderkey) AS DOUBLE) AS min_key,
+    cast(max(o_orderkey) AS DOUBLE) AS max_key,
+    count(o_totalprice) AS nn_price, count(DISTINCT o_totalprice) AS nd_price,
+    min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+    count(o_orderstatus) AS nn_status,
+    count(DISTINCT o_orderstatus) AS nd_status
+  FROM orders)
+SELECT 'o_orderkey' AS "column", n_rows, n_rows - nn_key AS n_nulls,
+       nd_key AS n_distinct, min_key AS min_value, max_key AS max_value
+FROM agg
+UNION ALL
+SELECT 'o_totalprice', n_rows, n_rows - nn_price, nd_price,
+       min_price, max_price FROM agg
+UNION ALL
+SELECT 'o_orderstatus', n_rows, n_rows - nn_status, nd_status,
+       NULL, NULL FROM agg""",
+    ("profiling",),
+)
+
+REGISTRY["join_skew_report"] = QuerySpec(
+    _t(A.join_skew_report),
+    """WITH counts AS (
+  SELECT l_orderkey, count(*) AS key_rows FROM lineitem GROUP BY l_orderkey),
+totals AS (
+  SELECT sum(key_rows) AS total_rows, count(*) AS n_keys FROM counts)
+SELECT rk, l_orderkey, key_rows,
+  cast(key_rows AS DOUBLE) / total_rows AS key_share,
+  cast(key_rows AS DOUBLE) / (cast(total_rows AS DOUBLE) / n_keys)
+    AS skew_factor
+FROM (
+  SELECT *, cast(row_number() OVER (ORDER BY key_rows DESC, l_orderkey)
+                 AS INTEGER) AS rk
+  FROM counts, totals)
+WHERE rk <= 10""",
+    ("profiling", "skew"),
+)

@@ -111,3 +111,10 @@ def test_q13_outer_join_keeps_zero_order_customers(spark, sf_dir):
     rows = {r["c_count"]: r["custdist"] for r in df.collect()}
     n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
     assert sum(rows.values()) == n_cust  # every customer lands in exactly one bucket
+
+
+def test_join_skew_report_distributed_topk(spark, sf_dir):
+    """Top-k over per-key counts must be TakeOrderedAndProject, not a
+    global-window funnel through one partition."""
+    plan = plan_of("join_skew_report", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
