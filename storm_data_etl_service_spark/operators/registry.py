@@ -1607,3 +1607,20 @@ FROM (
 WHERE rk <= 10""",
     ("profiling", "skew"),
 )
+
+
+REGISTRY["embedding_label_centroids"] = QuerySpec(
+    _t(S.embedding_label_centroids),
+    """WITH ex AS (
+  SELECT label, vec_id, i AS pos, cast(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+per_dim AS (
+  SELECT label, pos,
+    cast(sum(cast(floor(val * 1e9) AS DECIMAL(25,0))) AS DOUBLE)
+      / (count(*) * 1e9) AS mv,
+    count(*) AS cnt
+  FROM ex GROUP BY label, pos)
+SELECT label, list(mv ORDER BY pos) AS centroid, max(cnt) AS n_vectors
+FROM per_dim GROUP BY label ORDER BY label""",
+    ("similarity", "centroid"),
+)

@@ -313,3 +313,41 @@ def ann_ivf_search(t) -> DataFrame:
         .filter(F.col("rk") <= TOPK)
         .select("query_id", "vec_id", "cosine", "rk")
     )
+
+
+def embedding_label_centroids(t) -> DataFrame:
+    """Per-label mean embedding (the vector-mean primitive behind IVF
+    training, class prototypes, and dataset drift analysis).
+
+    Scale: posexplode fans each vector into (label, dim, value) rows,
+    the mean aggregates per (label, dim) with map-side combine, and
+    the re-assembly groupBy runs over label×dim cardinality — tiny.
+    This dimension-parallel shape beats driver-side vector math at any
+    corpus size.  Element sums use floor-based fixed-point (1e-9):
+    float addition is not associative, so a double sum would vary with
+    partition order, and double→DECIMAL quantization rounds HALF_UP in
+    Spark but half-even in DuckDB — floor(x*1e9) is the one scaling
+    both engines compute bit-identically, making the mean exact,
+    partition-order-independent, and oracle-hashable.
+    """
+    ex = t["embeddings"].select(
+        "label", "vec_id", F.posexplode(_vec(F.col("embedding"))).alias("pos", "val")
+    )
+    fixed = F.floor(F.col("val") * 1e9).cast("decimal(25,0)")
+    per_dim = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(fixed).cast("double") / (F.count("*") * F.lit(1e9))
+        ).alias("mv"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s.mv,
+            ).alias("centroid"),
+            F.max("cnt").alias("n_vectors"),
+        )
+        .orderBy("label")
+    )

@@ -258,3 +258,15 @@ def test_full_outer_reconcile_partitions_keyspace(spark, sf_dir):
     assert n_union == expect
     assert rows["mismatch"]["total_drift"] > 0
     assert rows["match"]["total_drift"] == 0.0
+
+
+def test_embedding_label_centroids_shape(spark, sf_dir):
+    rows = REGISTRY["embedding_label_centroids"].build(spark, sf_dir).collect()
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    n_labels = emb.select("label").distinct().count()
+    dim = len(emb.select("embedding").first()["embedding"])
+    assert len(rows) == n_labels
+    assert all(len(r["centroid"]) == dim for r in rows)
+    assert sum(r["n_vectors"] for r in rows) == emb.count()
+    # centroid magnitudes are bounded by the data range
+    assert all(all(abs(x) < 1.0 for x in r["centroid"]) for r in rows)
