@@ -415,3 +415,141 @@ def join_skew_report(t, top_k: int = 10) -> DataFrame:
             ).alias("skew_factor"),
         )
     )
+
+
+def event_transition_matrix(t) -> DataFrame:
+    """Markov transition matrix over per-user event streams: for every
+    consecutive (event, next event) pair within a user's timeline,
+    count occurrences per (from_type, to_type).
+
+    The clickstream primitive behind next-action models and funnel
+    mining — generalizes the reference's per-type counting
+    (cmd/genmock/main.go:204-226) to sequential structure.
+
+    Scale: one shuffle to sort each user's events (lead window), one
+    map-side-combined aggregation over at most |types|^2 groups; no
+    self-join (the naive pairing join would shuffle the fact table
+    twice and explode on active users)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t["events"]
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cohort_retention(t) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first event; for each (cohort week, week offset) the number of
+    distinct users still active that week.
+
+    The cohort week comes from an unbounded MIN window over user_id —
+    NOT a groupBy+join-back — so the whole query is one sort shuffle
+    on user_id plus one distinct-aggregate shuffle (the join-back
+    variant re-shuffles the fact table and its first-seen table can't
+    broadcast at 10^9 users)."""
+    w = Window.partitionBy("user_id")
+    ev_week = F.date_trunc("week", F.col("ts"))
+    cohort_week = F.date_trunc("week", F.min("ts").over(w))
+    return (
+        t["events"]
+        .select("user_id", "ts")
+        .withColumn("cohort_week", cohort_week)
+        .withColumn(
+            "week_offset",
+            F.floor(F.datediff(ev_week, F.col("cohort_week")) / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def linear_interpolate(t) -> DataFrame:
+    """Linear interpolation of missing values on the time axis — the
+    step past forward_fill_values: an 'error' event's value is
+    reconstructed from the straight line between its nearest valid
+    neighbours, weighted by timestamp distance; leading/trailing gaps
+    fall back to nearest-value fill.
+
+    Cross-engine float parity: the interpolation weight divides two
+    BIGINT microsecond deltas — exactly representable in double, so
+    prev + (next - prev) * ratio is the same IEEE op sequence in
+    Spark and DuckDB (see tfidf_top_terms for the libm rationale).
+
+    Scale: two window frames over the same (user_id, ts) sort — one
+    shuffle, one sort, no join against a non-null subset."""
+    masked = F.when(F.col("event_type") != "error", F.col("value"))
+    masked_ts = F.when(F.col("event_type") != "error", F.unix_micros(F.col("ts")))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last(masked, ignorenulls=True).over(wb)
+    next_v = F.first(masked, ignorenulls=True).over(wf)
+    prev_t = F.last(masked_ts, ignorenulls=True).over(wb)
+    next_t = F.first(masked_ts, ignorenulls=True).over(wf)
+    ratio = (F.unix_micros(F.col("ts")) - prev_t) / (next_t - prev_t)
+    interp = (
+        F.when(masked.isNotNull(), masked)
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * ratio)
+    )
+    return t["events"].select(
+        "user_id", "event_id", interp.alias("interp_value")
+    )
+
+
+def correlation_stats(t) -> DataFrame:
+    """Per-return-flag Pearson correlation and OLS slope of
+    (quantity, extended price) — computed from decimal-routed moment
+    sums, not the built-in ``corr`` (whose running double accumulation
+    is partition-order dependent and engine specific).
+
+    Each moment (sum x, sum y, sum xy, sum x^2, sum y^2) is a
+    DECIMAL(30,0) sum of floor-quantized (×1e6) IEEE double products
+    — floor fixed-point, not a decimal cast, because double→DECIMAL
+    rounding is HALF_UP in Spark but half-even in DuckDB (see
+    embedding_label_centroids).  Every input to the final
+    double-arithmetic formula is therefore bit-identical across
+    engines and partition counts.  One map-side-combined aggregation;
+    moments are mergeable, so the same query incrementalizes (see
+    incremental_agg_merge)."""
+
+    def _m(expr, alias):
+        return (
+            F.sum(F.floor(expr * F.lit(1e6)).cast("decimal(30,0)")).cast("double")
+            / F.lit(1e6)
+        ).alias(alias)
+
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            _m(x, "sx"),
+            _m(y, "sy"),
+            _m(x * y, "sxy"),
+            _m(x * x, "sxx"),
+            _m(y * y, "syy"),
+        )
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        (cov_n / F.sqrt(var_x * var_y)).alias("corr_qty_price"),
+        (cov_n / var_x).alias("ols_slope"),
+    )

@@ -280,3 +280,97 @@ def corpus_curation_pipeline(t) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+def incremental_agg_merge(t, cutoff: str = "1997-01-01") -> DataFrame:
+    """Incremental materialized-view refresh: partial aggregates from
+    a base partition (orders before ``cutoff``) and a delta partition
+    (orders since) are merged by a second-level aggregation — the
+    MERGE-on-read pattern that lets a 100 TB rollup absorb a day's
+    delta without rescanning history.
+
+    Exactness: the partial sums stay DECIMAL through the merge and
+    only the merged total is cast back to double, so the result is
+    bit-identical to the single-pass GROUP BY the oracle runs —
+    count/sum moments are mergeable, which is precisely why this
+    refresh is safe (contrast medians: see approx_quantile_summary).
+    """
+    orders = t["orders"]
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("s"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").cast("double").alias("total"),
+        )
+    )
+
+
+# --- Z-order clustering -----------------------------------------------------
+
+ZORDER_BITS = 16
+ZORDER_PREFIX_SHIFT = 22  # group stats by the top 10 bits of the curve
+
+
+def zorder_value(x, y):
+    """Morton (Z-order) interleave of two non-negative 16-bit
+    dimensions into one curve position — the multi-dimensional
+    clustering key behind Delta/Iceberg OPTIMIZE ZORDER: rows close
+    in (x, y) land close on the curve, so range-partitioned files
+    carry tight min/max stats on BOTH dimensions and 2-D predicates
+    prune files that a 1-D sort could not skip."""
+    z = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_oracle_expr(xs: str, ys: str) -> str:
+    """The same interleave as ``zorder_value`` in portable SQL
+    (DuckDB `>>`/`<<`/`&`), kept adjacent so the two dialects can't
+    drift."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({xs} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ys} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_cluster(t) -> DataFrame:
+    """Z-order layout report over events: curve position from
+    (user_id, quantized value), then per curve-prefix file stats
+    (row count, z range, distinct users).
+
+    In production the curve value feeds
+    ``repartitionByRange(zval).sortWithinPartitions(zval)`` before a
+    parquet write; this query surfaces the layout itself.  The
+    prefix grouping is a plain shifted-key aggregation — NOT an
+    ntile window, whose global ORDER BY would funnel every row
+    through one task."""
+    x = (F.col("user_id") % 65536).cast("long")
+    y = F.floor(F.col("value") * 10) % 65536
+    z = zorder_value(x, y)
+    return (
+        t["events"]
+        .select("user_id", "event_id", z.alias("zval"))
+        .groupBy(F.shiftright(F.col("zval"), ZORDER_PREFIX_SHIFT).alias("z_prefix"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("zval").alias("min_z"),
+            F.max("zval").alias("max_z"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -1624,3 +1624,103 @@ SELECT label, list(mv ORDER BY pos) AS centroid, max(cnt) AS n_vectors
 FROM per_dim GROUP BY label ORDER BY label""",
     ("similarity", "centroid"),
 )
+
+
+REGISTRY["event_transition_matrix"] = QuerySpec(
+    _t(A.event_transition_matrix),
+    """WITH p AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS to_type
+  FROM events)
+SELECT from_type, to_type, count(*) AS n
+FROM p WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type""",
+    ("analytics", "sequence"),
+)
+
+REGISTRY["cohort_retention"] = QuerySpec(
+    _t(A.cohort_retention),
+    """WITH e AS (
+  SELECT user_id, date_trunc('week', ts) AS ev_week,
+    cast(date_trunc('week', min(ts) OVER (PARTITION BY user_id))
+         AS TIMESTAMP) AS cohort_week
+  FROM events)
+SELECT cohort_week,
+  cast(floor(date_diff('day', cast(cohort_week AS DATE),
+                       cast(ev_week AS DATE)) / 7) AS INTEGER) AS week_offset,
+  count(DISTINCT user_id) AS n_users
+FROM e GROUP BY cohort_week, week_offset""",
+    ("analytics", "cohort"),
+)
+
+REGISTRY["linear_interpolate"] = QuerySpec(
+    _t(A.linear_interpolate),
+    """WITH m AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS tus,
+    CASE WHEN event_type <> 'error' THEN value END AS mv,
+    CASE WHEN event_type <> 'error' THEN epoch_us(ts) END AS mts
+  FROM events),
+w AS (
+  SELECT user_id, event_id, tus, mv,
+    last_value(mv IGNORE NULLS) OVER wb AS prev_v,
+    first_value(mv IGNORE NULLS) OVER wf AS next_v,
+    last_value(mts IGNORE NULLS) OVER wb AS prev_t,
+    first_value(mts IGNORE NULLS) OVER wf AS next_t
+  FROM m
+  WINDOW
+    wb AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, event_id,
+  CASE WHEN mv IS NOT NULL THEN mv
+       WHEN prev_v IS NULL THEN next_v
+       WHEN next_v IS NULL THEN prev_v
+       ELSE prev_v + (next_v - prev_v)
+            * ((tus - prev_t) / (next_t - prev_t))
+  END AS interp_value
+FROM w""",
+    ("analytics", "gap-fill"),
+)
+
+_MOM = "cast(sum(cast(floor(({e}) * 1e6) AS DECIMAL(30,0))) AS DOUBLE) / 1e6"
+
+REGISTRY["correlation_stats"] = QuerySpec(
+    _t(A.correlation_stats),
+    f"""WITH m AS (
+  SELECT l_returnflag, cast(count(*) AS DOUBLE) AS n,
+    {_MOM.format(e='l_quantity')} AS sx,
+    {_MOM.format(e='l_extendedprice')} AS sy,
+    {_MOM.format(e='l_quantity * l_extendedprice')} AS sxy,
+    {_MOM.format(e='l_quantity * l_quantity')} AS sxx,
+    {_MOM.format(e='l_extendedprice * l_extendedprice')} AS syy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, cast(n AS BIGINT) AS n,
+  (n * sxy - sx * sy)
+    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
+  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS ols_slope
+FROM m""",
+    ("analytics", "statistics"),
+)
+
+REGISTRY["incremental_agg_merge"] = QuerySpec(
+    _t(P.incremental_agg_merge),
+    f"""SELECT o_orderpriority, count(*) AS n,
+  {_dsum('o_totalprice')} AS total
+FROM orders GROUP BY o_orderpriority""",
+    ("pipeline", "incremental"),
+)
+
+REGISTRY["zorder_cluster"] = QuerySpec(
+    _t(P.zorder_cluster),
+    f"""WITH z AS (
+  SELECT user_id, event_id,
+    {P.zorder_oracle_expr('(user_id % 65536)', 'cast(floor(value * 10) AS BIGINT) % 65536')} AS zval
+  FROM events)
+SELECT zval >> {P.ZORDER_PREFIX_SHIFT} AS z_prefix, count(*) AS n,
+  min(zval) AS min_z, max(zval) AS max_z,
+  count(DISTINCT user_id) AS n_users
+FROM z GROUP BY z_prefix""",
+    ("pipeline", "layout"),
+)

@@ -1,0 +1,132 @@
+"""Semantic tests for the sequence/cohort/interpolation/statistics and
+data-layout operators (oracle value-parity is separately enforced by
+scripts/check_correctness.py at sf0.01)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from storm_data_etl_service_spark.operators import analytics as A
+from storm_data_etl_service_spark.operators import pipeline_ops as P
+from storm_data_etl_service_spark.schemas import load_tables
+
+
+@pytest.fixture(scope="module")
+def t(spark, sf_dir):
+    return load_tables(spark, sf_dir)
+
+
+def test_transition_matrix_pair_accounting(t):
+    """Each user with k events contributes exactly k-1 transitions."""
+    out = A.event_transition_matrix(t)
+    total_pairs = out.agg(F.sum("n")).first()[0]
+    per_user = t["events"].groupBy("user_id").count()
+    expected = per_user.agg(F.sum(F.col("count") - 1)).first()[0]
+    assert total_pairs == expected
+    assert out.filter(F.col("n") <= 0).count() == 0
+
+
+def test_cohort_retention_week_zero_covers_cohort(t):
+    """Week offset 0 exists for every cohort and counts every user of
+    that cohort (everyone is active in their own first week)."""
+    out = A.cohort_retention(t).cache()
+    week0 = {r["cohort_week"]: r["n_users"] for r in out.filter("week_offset = 0").collect()}
+    cohort_sizes = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+        .groupBy("cohort_week")
+        .agg(F.countDistinct("user_id").alias("size"))
+    )
+    for r in cohort_sizes.collect():
+        assert week0[r["cohort_week"]] == r["size"]
+    assert out.filter("week_offset < 0").count() == 0
+
+
+def test_linear_interpolate_bounds_and_passthrough(t):
+    out = A.linear_interpolate(t)
+    ev = t["events"]
+    assert out.count() == ev.count()
+    # non-error rows pass through untouched
+    joined = out.join(ev, ["user_id", "event_id"])
+    mismatch = joined.filter(
+        (F.col("event_type") != "error") & (F.col("interp_value") != F.col("value"))
+    ).count()
+    assert mismatch == 0
+    # interpolated rows lie within their user's value envelope
+    env = ev.filter("event_type <> 'error'").groupBy("user_id").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    out_err = joined.filter(F.col("event_type") == "error").join(env, "user_id")
+    bad = out_err.filter(
+        (F.col("interp_value") < F.col("lo") - 1e-9)
+        | (F.col("interp_value") > F.col("hi") + 1e-9)
+    ).count()
+    assert bad == 0
+
+
+def test_correlation_matches_numpy(t):
+    import numpy as np
+
+    rows = (
+        t["lineitem"]
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    flags = {}
+    for r in rows:
+        flags.setdefault(r["l_returnflag"], []).append(
+            (r["l_quantity"], r["l_extendedprice"])
+        )
+    out = {r["l_returnflag"]: r for r in A.correlation_stats(t).collect()}
+    for flag, pts in flags.items():
+        x, y = np.array(pts).T
+        ref = np.corrcoef(x, y)[0, 1]
+        got = out[flag]["corr_qty_price"]
+        assert abs(got - ref) < 1e-6
+        assert abs(got) <= 1.0 + 1e-12
+        assert out[flag]["n"] == len(pts)
+
+
+def test_incremental_merge_equals_direct(t):
+    direct = (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    merged = P.incremental_agg_merge(t)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def _py_interleave(x: int, y: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_value_matches_python_reference(spark):
+    pts = [(0, 0), (1, 0), (0, 1), (65535, 65535), (123, 4567), (40000, 1)]
+    df = spark.createDataFrame(pts, "x long, y long").withColumn(
+        "z", P.zorder_value(F.col("x"), F.col("y"))
+    )
+    for r in df.collect():
+        assert r["z"] == _py_interleave(r["x"], r["y"])
+
+
+def test_zorder_cluster_accounts_all_rows(t):
+    out = P.zorder_cluster(t).cache()
+    assert out.agg(F.sum("n")).first()[0] == t["events"].count()
+    # prefix ranges are disjoint and ordered: prefix = z >> shift
+    for r in out.collect():
+        assert r["min_z"] >> P.ZORDER_PREFIX_SHIFT == r["z_prefix"]
+        assert r["max_z"] >> P.ZORDER_PREFIX_SHIFT == r["z_prefix"]
