@@ -553,3 +553,95 @@ def correlation_stats(t) -> DataFrame:
         (cov_n / F.sqrt(var_x * var_y)).alias("corr_qty_price"),
         (cov_n / var_x).alias("ols_slope"),
     )
+
+
+def mad_outlier_stats(t) -> DataFrame:
+    """Robust per-type outlier detection: median and MAD (median
+    absolute deviation) of event values, and the count of events
+    beyond 3 robust standard deviations (MAD × 1.4826).
+
+    Both medians come from unbounded windows over event_type — two
+    window passes on ONE partitioning (the second pass reuses the
+    first's shuffle), not a groupBy+join-back, which would re-shuffle
+    the fact table twice.  Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` share the interpolation definition (see
+    percentile_summary), so the thresholds are engine-identical."""
+    wp = Window.partitionBy("event_type")
+    df = (
+        t["events"]
+        .select("event_type", "value")
+        .withColumn("med", F.percentile("value", 0.5).over(wp))
+        .withColumn(
+            "mad", F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).over(wp)
+        )
+    )
+    is_outlier = F.abs(F.col("value") - F.col("med")) > F.lit(3.0) * F.lit(
+        1.4826
+    ) * F.col("mad")
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("med").alias("median_value"),
+        F.min("mad").alias("mad"),
+        F.sum(is_outlier.cast("long")).alias("n_outliers"),
+    )
+
+
+def ratio_to_report(t) -> DataFrame:
+    """Percent-of-parent OLAP readout: each nation's share of its
+    region's order revenue.  Revenue stays DECIMAL through both the
+    per-nation aggregate and the region-total window sum — exact and
+    order-independent — and only the final share division runs in
+    double.  Dims broadcast; the single fact shuffle is the customer
+    join."""
+    o = t["orders"].select("o_custkey", "o_totalprice")
+    c = t["customer"].select("c_custkey", "c_nationkey")
+    n = t["nation"].select("n_nationkey", "n_name", "n_regionkey")
+    r = t["region"].select("r_regionkey", "r_name")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    per_nation = joined.groupBy("r_name", "n_name").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("rev_dec")
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.col("rev_dec").cast("double").alias("nation_revenue"),
+        (
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w).cast("double")
+        ).alias("region_share"),
+    )
+
+
+def equi_depth_histogram(t) -> DataFrame:
+    """Quartile-bin (equi-depth) histogram of extended price: exact
+    global quartiles, then one scan binning every row.  The quartile
+    row is a 1-row broadcast — the two-pass shape any exact equi-depth
+    binning needs at scale (single-pass would require a mergeable
+    quantile sketch: see approx_quantile_summary)."""
+    li = t["lineitem"].select("l_extendedprice")
+    q = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))"
+        ).alias("qs")
+    )
+    x = F.col("l_extendedprice")
+    bin_ = (
+        F.when(x <= F.col("qs")[0], 0)
+        .when(x <= F.col("qs")[1], 1)
+        .when(x <= F.col("qs")[2], 2)
+        .otherwise(3)
+    )
+    return (
+        li.crossJoin(F.broadcast(q))
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(x).alias("lo"),
+            F.max(x).alias("hi"),
+        )
+    )

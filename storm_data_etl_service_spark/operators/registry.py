@@ -1724,3 +1724,78 @@ SELECT zval >> {P.ZORDER_PREFIX_SHIFT} AS z_prefix, count(*) AS n,
 FROM z GROUP BY z_prefix""",
     ("pipeline", "layout"),
 )
+
+
+REGISTRY["mad_outlier_stats"] = QuerySpec(
+    _t(A.mad_outlier_stats),
+    """WITH d AS (
+  SELECT event_type, value,
+    quantile_cont(value, 0.5) OVER (PARTITION BY event_type) AS med
+  FROM events),
+d2 AS (
+  SELECT event_type, value, med,
+    quantile_cont(abs(value - med), 0.5)
+      OVER (PARTITION BY event_type) AS mad
+  FROM d)
+SELECT event_type, count(*) AS n, min(med) AS median_value,
+  min(mad) AS mad,
+  count(*) FILTER (WHERE abs(value - med) > 3.0 * 1.4826 * mad)
+    AS n_outliers
+FROM d2 GROUP BY event_type""",
+    ("analytics", "statistics", "robust"),
+)
+
+REGISTRY["ratio_to_report"] = QuerySpec(
+    _t(A.ratio_to_report),
+    """WITH per_nation AS (
+  SELECT r_name, n_name,
+    sum(cast(o_totalprice AS DECIMAL(25,6))) AS rev_dec
+  FROM orders, customer, nation, region
+  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+    AND n_regionkey = r_regionkey
+  GROUP BY r_name, n_name)
+SELECT r_name, n_name, cast(rev_dec AS DOUBLE) AS nation_revenue,
+  cast(rev_dec AS DOUBLE)
+    / cast(sum(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE)
+    AS region_share
+FROM per_nation""",
+    ("analytics", "olap"),
+)
+
+REGISTRY["equi_depth_histogram"] = QuerySpec(
+    _t(A.equi_depth_histogram),
+    """WITH q AS (
+  SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS qs
+  FROM lineitem)
+SELECT CASE WHEN l_extendedprice <= qs[1] THEN 0
+            WHEN l_extendedprice <= qs[2] THEN 1
+            WHEN l_extendedprice <= qs[3] THEN 2
+            ELSE 3 END AS bin,
+  count(*) AS n, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+FROM lineitem, q
+GROUP BY bin""",
+    ("analytics", "histogram"),
+)
+
+REGISTRY["centroid_similarity_matrix"] = QuerySpec(
+    _t(S.centroid_similarity_matrix),
+    """WITH ex AS (
+  SELECT label, i AS pos, cast(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+per_dim AS (
+  SELECT label, pos,
+    cast(sum(cast(floor(val * 1e9) AS DECIMAL(25,0))) AS DOUBLE)
+      / (count(*) * 1e9) AS mv
+  FROM ex GROUP BY label, pos),
+pair AS (
+  SELECT a.label AS label_a, b.label AS label_b, a.mv AS av, b.mv AS bv
+  FROM per_dim a JOIN per_dim b ON a.pos = b.pos AND a.label < b.label)
+SELECT label_a, label_b,
+  (cast(sum(cast(floor(av * bv * 1e12) AS DECIMAL(30,0))) AS DOUBLE) / 1e12)
+  / (sqrt(cast(sum(cast(floor(av * av * 1e12) AS DECIMAL(30,0))) AS DOUBLE)
+          / 1e12)
+     * sqrt(cast(sum(cast(floor(bv * bv * 1e12) AS DECIMAL(30,0))) AS DOUBLE)
+            / 1e12)) AS cosine
+FROM pair GROUP BY label_a, label_b""",
+    ("similarity", "centroid"),
+)

@@ -315,6 +315,21 @@ def ann_ivf_search(t) -> DataFrame:
     )
 
 
+def _centroid_dims(t) -> DataFrame:
+    """(label, pos, mv, cnt) per-dimension centroid components with
+    fixed-point-deterministic means (see embedding_label_centroids)."""
+    ex = t["embeddings"].select(
+        "label", "vec_id", F.posexplode(_vec(F.col("embedding"))).alias("pos", "val")
+    )
+    fixed = F.floor(F.col("val") * 1e9).cast("decimal(25,0)")
+    return ex.groupBy("label", "pos").agg(
+        (
+            F.sum(fixed).cast("double") / (F.count("*") * F.lit(1e9))
+        ).alias("mv"),
+        F.count("*").alias("cnt"),
+    )
+
+
 def embedding_label_centroids(t) -> DataFrame:
     """Per-label mean embedding (the vector-mean primitive behind IVF
     training, class prototypes, and dataset drift analysis).
@@ -330,16 +345,7 @@ def embedding_label_centroids(t) -> DataFrame:
     both engines compute bit-identically, making the mean exact,
     partition-order-independent, and oracle-hashable.
     """
-    ex = t["embeddings"].select(
-        "label", "vec_id", F.posexplode(_vec(F.col("embedding"))).alias("pos", "val")
-    )
-    fixed = F.floor(F.col("val") * 1e9).cast("decimal(25,0)")
-    per_dim = ex.groupBy("label", "pos").agg(
-        (
-            F.sum(fixed).cast("double") / (F.count("*") * F.lit(1e9))
-        ).alias("mv"),
-        F.count("*").alias("cnt"),
-    )
+    per_dim = _centroid_dims(t)
     return (
         per_dim.groupBy("label")
         .agg(
@@ -350,4 +356,44 @@ def embedding_label_centroids(t) -> DataFrame:
             F.max("cnt").alias("n_vectors"),
         )
         .orderBy("label")
+    )
+
+
+def centroid_similarity_matrix(t) -> DataFrame:
+    """Pairwise cosine similarity between label centroids — the
+    class-confusability / dataset-drift readout on top of
+    embedding_label_centroids.
+
+    Dimension-parallel: centroids stay exploded as (label, pos, mv)
+    rows, pairs align on pos with an equi-join, and dot/norm moments
+    reduce per label pair.  K labels × D dims rows — never a
+    driver-side matrix.  Products are floor-quantized (×1e12) before
+    the decimal sum, so cosines are partition-order-independent and
+    engine-exact; sqrt is correctly rounded IEEE, hence identical."""
+    dims = _centroid_dims(t).select("label", "pos", "mv")
+    a, b = dims.alias("a"), dims.alias("b")
+    pair = a.join(
+        b,
+        (F.col("a.pos") == F.col("b.pos")) & (F.col("a.label") < F.col("b.label")),
+    )
+
+    def _fx(expr):
+        return F.sum(F.floor(expr * F.lit(1e12)).cast("decimal(30,0)")).cast("double")
+
+    return (
+        pair.groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            (_fx(F.col("a.mv") * F.col("b.mv")) / F.lit(1e12)).alias("dot"),
+            (_fx(F.col("a.mv") * F.col("a.mv")) / F.lit(1e12)).alias("na"),
+            (_fx(F.col("b.mv") * F.col("b.mv")) / F.lit(1e12)).alias("nb"),
+        )
+        .select(
+            "label_a",
+            "label_b",
+            (F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))).alias(
+                "cosine"
+            ),
+        )
     )

@@ -130,3 +130,52 @@ def test_zorder_cluster_accounts_all_rows(t):
     for r in out.collect():
         assert r["min_z"] >> P.ZORDER_PREFIX_SHIFT == r["z_prefix"]
         assert r["max_z"] >> P.ZORDER_PREFIX_SHIFT == r["z_prefix"]
+
+
+def test_mad_outliers_match_numpy(t):
+    import numpy as np
+
+    rows = t["events"].select("event_type", "value").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    out = {r["event_type"]: r for r in A.mad_outlier_stats(t).collect()}
+    for et, vals in by_type.items():
+        v = np.array(vals)
+        med = np.percentile(v, 50)
+        mad = np.percentile(np.abs(v - med), 50)
+        assert abs(out[et]["median_value"] - med) < 1e-9
+        assert abs(out[et]["mad"] - mad) < 1e-9
+        expected = int((np.abs(v - med) > 3.0 * 1.4826 * mad).sum())
+        assert out[et]["n_outliers"] == expected
+
+
+def test_ratio_to_report_shares_sum_to_one(t):
+    out = A.ratio_to_report(t).cache()
+    per_region = out.groupBy("r_name").agg(F.sum("region_share").alias("s"))
+    for r in per_region.collect():
+        assert abs(r["s"] - 1.0) < 1e-9
+    assert out.filter("region_share < 0 OR region_share > 1").count() == 0
+
+
+def test_equi_depth_bins_are_balanced(t):
+    out = A.equi_depth_histogram(t).orderBy("bin").collect()
+    total = sum(r["n"] for r in out)
+    assert total == t["lineitem"].count()
+    assert [r["bin"] for r in out] == [0, 1, 2, 3]
+    for r in out:
+        # exact quartiles: each bin within one row-tie cluster of 25%
+        assert abs(r["n"] - total / 4) / total < 0.01
+    # bins tile the value range in order
+    for lo_r, hi_r in zip(out, out[1:]):
+        assert lo_r["hi"] <= hi_r["lo"]
+
+
+def test_centroid_similarity_pair_coverage(t):
+    from storm_data_etl_service_spark.operators import similarity as S
+
+    n_labels = t["embeddings"].select("label").distinct().count()
+    out = S.centroid_similarity_matrix(t).cache()
+    assert out.count() == n_labels * (n_labels - 1) // 2
+    assert out.filter("cosine < -1.0 OR cosine > 1.0").count() == 0
+    assert out.filter("label_a >= label_b").count() == 0
