@@ -124,6 +124,34 @@ ANNOTATED = {
         "full-outer SortMergeJoin; the null-pattern classifier and "
         "drift arithmetic run inside codegen; final aggregate is 4 rows."
     ),
+    "linear_interpolate": (
+        "Both the backward (last non-null) and forward (first non-null) "
+        "frames share one (user_id, ts) sort, and Catalyst fuses them "
+        "into a SINGLE Window operator — one exchange, one sort, four "
+        "frame-bounded accumulators; the interpolation arithmetic runs "
+        "in codegen above it."
+    ),
+    "mad_outlier_stats": (
+        "Two unbounded percentile windows over the same partitioning: "
+        "the MAD window consumes the median window's output without "
+        "re-shuffling (one exchange total) — the join-back alternative "
+        "would shuffle the fact table twice and couldn't broadcast a "
+        "per-type median table at high type cardinality."
+    ),
+    "zorder_cluster": (
+        "The 32-term Morton interleave is pure codegen bit arithmetic "
+        "in the scan projection; the per-prefix stats are a two-phase "
+        "distinct aggregate on the shifted curve key. In production the "
+        "curve value feeds repartitionByRange + sortWithinPartitions "
+        "before the parquet write (file-level min/max on BOTH source "
+        "dimensions → 2-D data skipping)."
+    ),
+    "centroid_similarity_matrix": (
+        "Centroid components stay exploded as (label, dim) rows; the "
+        "pair join aligns on dim and the dot/norm moments reduce "
+        "map-side — K centroids never materialize driver-side, so the "
+        "same plan serves 10 labels or 10^5 clusters."
+    ),
 }
 
 
