@@ -101,3 +101,81 @@ def neardup_components(t) -> DataFrame:
         "component_id",
         (F.col("node") == F.col("component_id")).alias("is_canonical"),
     )
+
+
+PR_ITERS = 5
+PR_DAMPING = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge list —
+    (node, deg, rank) after ``iters`` synchronous rounds.
+
+    Deterministic by construction: every per-node contribution sum is
+    a floor-quantized (1e-9) decimal reduction and each round's rank
+    is re-quantized, so the result is bit-identical across partition
+    counts, engines, and runs — an iterative-algorithm twin of the
+    _dsum rule (a plain double fold would drift with partition order
+    and never oracle-hash).
+
+    Scale: one join (edges ⨝ ranks on src) + one keyed aggregation
+    per round — the textbook distributed PageRank shape; lineage is
+    cut per round (localCheckpoint) like connected_components.  The
+    symmetric edge list has no dangling nodes, so no dangling-mass
+    redistribution term is needed.
+    """
+    import math
+
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
+    n_nodes = deg.count()
+    base = (1.0 - damping) / n_nodes
+    init = math.floor((1.0 / n_nodes) * 1e9) / 1e9
+    ranks = deg.select("node", "deg", F.lit(init).alias("rank"))
+    for _ in range(iters):
+        contrib = sym.join(ranks, sym["u"] == ranks["node"]).select(
+            F.col("v"), (F.col("rank") / F.col("deg")).alias("c")
+        )
+        agg = contrib.groupBy("v").agg(
+            (
+                F.sum(F.floor(F.col("c") * 1e9).cast("decimal(25,0)")).cast("double")
+                / F.lit(1e9)
+            ).alias("s")
+        )
+        ranks = (
+            deg.join(agg, deg["node"] == agg["v"])
+            .select(
+                "node",
+                "deg",
+                (
+                    F.floor((F.lit(base) + F.lit(damping) * F.col("s")) * 1e9) / 1e9
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def pagerank_neardup(t) -> DataFrame:
+    """PageRank centrality over the MinHash/LSH near-dup candidate
+    graph: which documents sit at the center of duplication clusters
+    (high rank = copied often / hub of a template family) — the
+    prioritization signal for manual curation on top of
+    neardup_components' flat clusters."""
+    from storm_data_etl_service_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(t).select("doc_a", "doc_b")
+    return pagerank(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "deg", "rank"
+    )

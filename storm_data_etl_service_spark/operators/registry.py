@@ -1505,7 +1505,7 @@ ORDER BY numwait DESC, s_name LIMIT 25""",
 # Corpus vocabulary / TF-IDF + full-outer reconciliation
 # --------------------------------------------------------------------------
 
-_TOKS_CTE = r"""toks AS (
+_TOKEN_CTE = r"""toks AS (
   SELECT doc_id,
     unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
                        x -> x != '')) AS token
@@ -1513,7 +1513,7 @@ _TOKS_CTE = r"""toks AS (
 
 REGISTRY["vocab_top_tokens"] = QuerySpec(
     _t(X.vocab_top_tokens),
-    f"""WITH {_TOKS_CTE}
+    f"""WITH {_TOKEN_CTE}
 SELECT token, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
 FROM toks GROUP BY token
 ORDER BY term_freq DESC, token LIMIT 100""",
@@ -1522,7 +1522,7 @@ ORDER BY term_freq DESC, token LIMIT 100""",
 
 REGISTRY["tfidf_top_terms"] = QuerySpec(
     _t(X.tfidf_top_terms),
-    f"""WITH {_TOKS_CTE},
+    f"""WITH {_TOKEN_CTE},
 tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
 dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
 nd AS (SELECT count(*) AS n_docs FROM documents)
@@ -1798,4 +1798,49 @@ SELECT label_a, label_b,
             / 1e12)) AS cosine
 FROM pair GROUP BY label_a, label_b""",
     ("similarity", "centroid"),
+)
+
+
+def _pagerank_oracle() -> str:
+    """Fixed-iteration PageRank unrolled into a chained CTE — one CTE
+    per synchronous round, floor-quantized exactly like the Spark
+    loop, over the same MinHash pair graph."""
+    from storm_data_etl_service_spark.operators.graph import PR_DAMPING, PR_ITERS
+
+    d = PR_DAMPING
+    ctes = [
+        f"pairs AS (\n{_minhash_oracle()})",
+        "sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs\n"
+        "        UNION SELECT doc_b, doc_a FROM pairs)",
+        "deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM deg)",
+        "r0 AS (SELECT node, deg, floor((1.0 / n) * 1e9) / 1e9 AS rank\n"
+        "       FROM deg, nn)",
+    ]
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        cur = f"r{i}"
+        ctes.append(
+            f"""{cur} AS (
+  SELECT o.node, o.deg,
+    floor(((1.0 - {d}) / nn.n
+           + {d} * (cast(sum(cast(floor((r.rank / r.deg) * 1e9)
+                                  AS DECIMAL(25,0))) AS DOUBLE) / 1e9))
+          * 1e9) / 1e9 AS rank
+  FROM sym e JOIN {prev} r ON e.src = r.node
+             JOIN deg o ON e.dst = o.node, nn
+  GROUP BY o.node, o.deg, nn.n)"""
+        )
+        prev = cur
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS doc_id, deg, rank FROM {prev}"
+    )
+
+
+REGISTRY["pagerank_neardup"] = QuerySpec(
+    _t(G.pagerank_neardup),
+    _pagerank_oracle(),
+    ("graph", "iterative", "centrality"),
 )

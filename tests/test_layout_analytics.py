@@ -179,3 +179,44 @@ def test_centroid_similarity_pair_coverage(t):
     assert out.count() == n_labels * (n_labels - 1) // 2
     assert out.filter("cosine < -1.0 OR cosine > 1.0").count() == 0
     assert out.filter("label_a >= label_b").count() == 0
+
+
+def test_pagerank_matches_python_model(spark):
+    """Triangle {0,1,2} plus a pendant 3-2: Spark ranks equal a pure
+    Python replica with identical 1e-9 floor quantization, and mass
+    stays ~1."""
+    import math
+
+    from storm_data_etl_service_spark.operators.graph import (
+        PR_DAMPING,
+        PR_ITERS,
+        pagerank,
+    )
+
+    edge_list = [(0, 1), (1, 2), (0, 2), (3, 2)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["node"]: r for r in pagerank(edges).collect()}
+
+    adj, deg = {}, {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(vs) for n, vs in adj.items()}
+    n = len(deg)
+    base = (1.0 - PR_DAMPING) / n
+    q = lambda x: math.floor(x * 1e9) / 1e9
+    rank = {v: q(1.0 / n) for v in deg}
+    for _ in range(PR_ITERS):
+        incoming = {v: 0 for v in deg}
+        for v in deg:
+            for u in adj[v]:
+                incoming[v] += math.floor((rank[u] / deg[u]) * 1e9)
+        rank = {v: q(base + PR_DAMPING * (incoming[v] / 1e9)) for v in deg}
+
+    assert set(got) == set(rank)
+    for v in rank:
+        assert got[v]["rank"] == rank[v], v
+        assert got[v]["deg"] == deg[v]
+    assert abs(sum(r["rank"] for r in got.values()) - 1.0) < 1e-6
+    # pendant node has the lowest centrality
+    assert min(got, key=lambda v: got[v]["rank"]) == 3
