@@ -645,3 +645,61 @@ def equi_depth_histogram(t) -> DataFrame:
             F.max(x).alias("hi"),
         )
     )
+
+
+def distribution_drift_chi2(t, bin_width: float = 50.0) -> DataFrame:
+    """Distribution drift between the first and second half of the
+    event timeline: per-event-type chi-square statistic over
+    fixed-width value bins — sum over bins of (p_i - q_i)^2 / q_i on
+    proportions.  The data-quality monitor that catches a pipeline
+    silently changing its value distribution (PSI without the libm
+    ``ln`` that would break cross-engine determinism; every term here
+    is rational arithmetic on decimal-exact counts).
+
+    Scale: the timeline split point is a 1-row broadcast (min+max
+    scan); binned counts aggregate map-side to |types|x|bins| rows;
+    the chi-square reduce runs over that tiny grid."""
+    ev = t["events"].select("event_type", "ts", "value")
+    mid = ev.agg(
+        (
+            F.unix_micros(F.min("ts"))
+            + (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 2
+        ).alias("mid_us")
+    )
+    binned = (
+        ev.crossJoin(F.broadcast(mid))
+        .withColumn(
+            "half",
+            F.when(F.unix_micros(F.col("ts")) < F.col("mid_us"), "a").otherwise("b"),
+        )
+        .groupBy(
+            "event_type",
+            "half",
+            F.floor(F.col("value") / bin_width).cast("long").alias("bin"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    per_half = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == "a", F.col("n")).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("half") == "b", F.col("n")).otherwise(0)).alias("nb"),
+    )
+    totals = per_half.groupBy("event_type").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    p = F.col("na").cast("double") / F.col("ta")
+    q = F.col("nb").cast("double") / F.col("tb")
+    # guard: bins present in only one half contribute (p-q)^2 / (q + eps)
+    eps = F.lit(1e-12)
+    term = (p - q) * (p - q) / (q + eps)
+    return (
+        per_half.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.sum(
+                F.floor(term * F.lit(1e9)).cast("decimal(25,0)")
+            ).cast("double").alias("chi2_fp"),
+        )
+        .withColumn("chi2", F.col("chi2_fp") / F.lit(1e9))
+        .drop("chi2_fp")
+    )

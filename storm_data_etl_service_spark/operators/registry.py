@@ -1844,3 +1844,49 @@ REGISTRY["pagerank_neardup"] = QuerySpec(
     _pagerank_oracle(),
     ("graph", "iterative", "centrality"),
 )
+
+
+REGISTRY["rare_token_share"] = QuerySpec(
+    _t(X.rare_token_share),
+    f"""WITH {_TOKEN_CTE},
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM toks GROUP BY token)
+SELECT doc_id, count(*) AS n_tokens,
+  count(*) FILTER (WHERE df <= 2) AS n_rare,
+  cast(count(*) FILTER (WHERE df <= 2) AS DOUBLE) / count(*)
+    AS rare_share
+FROM toks JOIN dfreq USING (token)
+GROUP BY doc_id""",
+    ("text", "quality"),
+)
+
+REGISTRY["distribution_drift_chi2"] = QuerySpec(
+    _t(A.distribution_drift_chi2),
+    """WITH mid AS (
+  SELECT epoch_us(min(ts)) + (epoch_us(max(ts)) - epoch_us(min(ts))) / 2
+    AS mid_us
+  FROM events),
+binned AS (
+  SELECT event_type,
+    CASE WHEN epoch_us(ts) < mid_us THEN 'a' ELSE 'b' END AS half,
+    cast(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n
+  FROM events, mid
+  GROUP BY event_type, half, bin),
+per_half AS (
+  SELECT event_type, bin,
+    sum(CASE WHEN half = 'a' THEN n ELSE 0 END) AS na,
+    sum(CASE WHEN half = 'b' THEN n ELSE 0 END) AS nb
+  FROM binned GROUP BY event_type, bin),
+totals AS (
+  SELECT event_type, sum(na) AS ta, sum(nb) AS tb
+  FROM per_half GROUP BY event_type)
+SELECT event_type, count(*) AS n_bins,
+  cast(sum(cast(floor(
+    ((cast(na AS DOUBLE) / ta - cast(nb AS DOUBLE) / tb)
+     * (cast(na AS DOUBLE) / ta - cast(nb AS DOUBLE) / tb)
+     / (cast(nb AS DOUBLE) / tb + 1e-12)) * 1e9)
+    AS DECIMAL(25,0))) AS DOUBLE) / 1e9 AS chi2
+FROM per_half JOIN totals USING (event_type)
+GROUP BY event_type""",
+    ("analytics", "drift", "quality"),
+)

@@ -275,3 +275,37 @@ def tfidf_top_terms(t) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "token", "tf", "df", "tfidf", "rk")
     )
+
+
+RARE_DOC_FREQ = 2  # a token is "rare" if it appears in <= 2 documents
+
+
+def rare_token_share(t) -> DataFrame:
+    """Per-document rare-token share: the fraction of a document's
+    tokens whose corpus document frequency is <= RARE_DOC_FREQ — the
+    libm-free stand-in for unigram surprisal (high share = unusual
+    vocabulary: OCR noise, boilerplate IDs, or genuinely novel text).
+    A quality-gate signal alongside text_repetition_stats.
+
+    Scale: the doc-frequency table collapses to vocabulary
+    cardinality before broadcasting back onto the exploded (doc,
+    token) stream; the share is a pure integer ratio — deterministic
+    with no transcendental calls (cf. tfidf_top_terms)."""
+    toks = t["documents"].select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    dfreq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        toks.join(F.broadcast(dfreq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count(F.when(F.col("df") <= RARE_DOC_FREQ, F.lit(1))).alias(
+                "n_rare"
+            ),
+        )
+        .withColumn(
+            "rare_share",
+            F.col("n_rare").cast("double") / F.col("n_tokens"),
+        )
+    )

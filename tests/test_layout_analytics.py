@@ -220,3 +220,31 @@ def test_pagerank_matches_python_model(spark):
     assert abs(sum(r["rank"] for r in got.values()) - 1.0) < 1e-6
     # pendant node has the lowest centrality
     assert min(got, key=lambda v: got[v]["rank"]) == 3
+
+
+def test_rare_token_share_matches_python(t):
+    from storm_data_etl_service_spark.operators import text as X
+
+    docs = {r["doc_id"]: r["text"].split() for r in t["documents"].collect()}
+    dfreq = {}
+    for did, toks in docs.items():
+        for tok in set(toks):
+            dfreq[tok] = dfreq.get(tok, 0) + 1
+    out = {r["doc_id"]: r for r in X.rare_token_share(t).collect()}
+    assert set(out) == {d for d, toks in docs.items() if toks}
+    for did, toks in docs.items():
+        if not toks:
+            continue
+        n_rare = sum(1 for tok in toks if dfreq[tok] <= X.RARE_DOC_FREQ)
+        assert out[did]["n_tokens"] == len(toks)
+        assert out[did]["n_rare"] == n_rare
+        assert abs(out[did]["rare_share"] - n_rare / len(toks)) < 1e-12
+
+
+def test_drift_chi2_nonnegative_and_total(t):
+    out = A.distribution_drift_chi2(t).collect()
+    types = {r["event_type"] for r in out}
+    assert types == {r["event_type"] for r in t["events"].select("event_type").distinct().collect()}
+    for r in out:
+        assert r["chi2"] >= 0.0
+        assert r["n_bins"] >= 1
