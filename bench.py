@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "tfidf_top_terms",          # explode → dual agg → broadcast-back → window top-k
     "ann_cosine_topk",          # brute-force cosine top-k
     "multimodal_decode_stats",  # Arrow-batched mapInPandas path
+    "mad_outlier_stats",        # two percentile windows, one shuffle
+    "linear_interpolate",       # fused two-frame window interpolation
+    "cohort_retention",         # unbounded MIN window + distinct agg
+    "rare_token_share",         # explode + broadcast doc-frequency join
 ]
 
 
