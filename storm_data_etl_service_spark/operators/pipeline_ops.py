@@ -374,3 +374,39 @@ def zorder_cluster(t) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+def user_resequence_pandas(t) -> DataFrame:
+    """Per-user event re-sequencing (ordinal + inter-event gap) via
+    grouped-map ``applyInPandas`` — the third Pandas API surface next
+    to mapInPandas (multimodal) and applyInPandasWithState
+    (streaming/stateful).
+
+    Where window expressions express this for free (see
+    user_gap_stats), a grouped map is the escape hatch for per-key
+    logic Catalyst can't express (per-key dynamic programming,
+    model scoring).  Contract demonstrated here: one shuffle on the
+    group key, Arrow-batched transfer, deterministic integer output
+    (timestamps are pre-converted to epoch micros Spark-side so the
+    kernel never touches float time arithmetic), and group size
+    bounded by the hottest key — salt first if a key exceeds executor
+    memory."""
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["tus", "event_id"])
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "seq": range(1, len(pdf) + 1),
+                "gap_us": pdf["tus"].diff().astype("Int64"),
+            }
+        )
+
+    return (
+        t["events"]
+        .select("user_id", "event_id", F.unix_micros(F.col("ts")).alias("tus"))
+        .groupBy("user_id")
+        .applyInPandas(kernel, "user_id long, event_id long, seq int, gap_us long")
+    )

@@ -1890,3 +1890,45 @@ FROM per_half JOIN totals USING (event_type)
 GROUP BY event_type""",
     ("analytics", "drift", "quality"),
 )
+
+
+REGISTRY["user_resequence_pandas"] = QuerySpec(
+    _t(P.user_resequence_pandas),
+    """SELECT user_id, event_id,
+  cast(row_number() OVER w AS INTEGER) AS seq,
+  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    ("pipeline", "pandas-udf"),
+)
+
+
+def _window_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/windows.py::window_topk_counts_stream +
+    rank_window_topk — same grouping, same ranking, shared helper."""
+    from pyspark.sql import functions as F
+
+    from storm_data_etl_service_spark.streaming.windows import rank_window_topk
+
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t["events"]
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n")
+    )
+    return rank_window_topk(counts)
+
+
+REGISTRY["window_topk_leaderboard"] = QuerySpec(
+    _window_topk_batch,
+    """WITH counts AS (
+  SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+         count(*) AS n
+  FROM events GROUP BY bucket_start, event_type)
+SELECT bucket_start, event_type, n,
+  cast(row_number() OVER (PARTITION BY bucket_start
+                          ORDER BY n DESC, event_type) AS INTEGER) AS rk
+FROM counts QUALIFY rk <= 3""",
+    ("windows", "topk", "streaming-twin"),
+)

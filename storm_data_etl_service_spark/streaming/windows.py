@@ -90,3 +90,35 @@ def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame) -> DataFrame:
     the static side is re-resolved per batch.  The streaming twin of
     every fact⨝broadcast(dim) batch query in operators.relational."""
     return stream.join(F.broadcast(dim), "event_type", "left")
+
+
+def window_topk_counts_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Incremental per-(window, event_type) counts — the streaming
+    half of windowed top-k.  Ranking cannot run inside the streaming
+    plan (no rank-after-aggregation in update/append modes), so the
+    contract splits: this stateful count updates incrementally;
+    ``rank_window_topk`` runs per micro-batch inside foreachBatch on
+    the (tiny) aggregated deltas — the standard Spark decomposition
+    for streaming leaderboards."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n")
+    )
+
+
+def rank_window_topk(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k event types per window bucket, deterministic tie-break.
+    Runs identically on a batch aggregate and on foreachBatch deltas
+    (window cardinality per micro-batch is tiny, so the rank window
+    never funnels fact-scale data)."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("bucket_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+    )

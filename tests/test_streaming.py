@@ -371,3 +371,60 @@ def test_stream_static_join_enriches_every_row(spark, workdir):
     q.awaitTermination(60)
     got = {(r["event_id"], r["weight"]) for r in spark.sql("SELECT * FROM ssd_out").collect()}
     assert got == {(0, 1.0), (1, 5.0), (2, 1.0), (3, 50.0)}
+
+
+def test_streaming_window_topk_matches_batch(spark, workdir):
+    """Windowed top-k leaderboard: streaming counts (complete mode) +
+    foreachBatch ranking must equal the batch window-rank over the
+    same files."""
+    from storm_data_etl_service_spark.streaming.windows import (
+        rank_window_topk,
+        window_topk_counts_stream,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    rows = []
+    i = 0
+    for h, counts in [(0, {"view": 5, "click": 3, "error": 1}),
+                      (1, {"click": 4, "view": 2, "purchase": 2, "signup": 1})]:
+        for et, n in counts.items():
+            for j in range(n):
+                rows.append({"event_id": i, "ts": f"2026-01-01T{h:02d}:{j:02d}:30",
+                             "user_id": j, "event_type": et})
+                i += 1
+    src = workdir / "topk_ev"
+    src.mkdir(parents=True)
+    with open(src / "events.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    ranked_batches = {}
+
+    def sink(batch_df, epoch_id):
+        for r in rank_window_topk(batch_df).collect():
+            ranked_batches[(r["bucket_start"], r["rk"])] = (r["event_type"], r["n"])
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        window_topk_counts_stream(stream)
+        .writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(workdir / "ckpt_topk"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = spark.read.schema(schema).json(str(src))
+    want_counts = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n")
+    )
+    want = {
+        (r["bucket_start"], r["rk"]): (r["event_type"], r["n"])
+        for r in rank_window_topk(want_counts).collect()
+    }
+    assert ranked_batches == want
+    # leaderboard shape: 3 ranks for each of the 2 hourly windows
+    assert len(want) == 6 and all(rk <= 3 for (_, rk) in want)
