@@ -87,3 +87,49 @@ def write_orc(df: DataFrame, path: str) -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_file_bytes`` files and report before/after layout stats.
+
+    The maintenance job every long-running 100 TB table needs —
+    streaming sinks and over-parallel writers leave thousands of tiny
+    files, and scan planning degrades with file count (driver-side
+    listing, per-file footer reads, under-filled scan partitions).
+    File count is derived from the source's actual on-disk bytes, so
+    compression survives the round trip; coalesce-vs-repartition is
+    chosen by whether we are shrinking (coalesce avoids a shuffle)."""
+    from pathlib import Path
+
+    def _stats(p: str) -> tuple[int, int]:
+        files = [f for f in Path(p).rglob("*.parquet") if f.is_file()]
+        return len(files), sum(f.stat().st_size for f in files)
+
+    n_before, bytes_before = _stats(src_path)
+    df = spark.read.parquet(src_path)
+    n_target = max(1, -(-bytes_before // target_file_bytes))
+    out = df.coalesce(n_target) if n_target <= n_before else df.repartition(n_target)
+    out.write.mode("overwrite").parquet(dst_path)
+    n_after, bytes_after = _stats(dst_path)
+    return {
+        "files_before": n_before,
+        "files_after": n_after,
+        "bytes_before": bytes_before,
+        "bytes_after": bytes_after,
+        "target_files": n_target,
+    }
+
+
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read: union parquet generations whose schemas
+    drifted (added columns) into one frame via ``mergeSchema`` —
+    missing columns come back null, so downstream operators see one
+    stable wide schema.  The per-file footer merge happens at planning
+    time; data is still pruned/pushed down per file."""
+    return spark.read.option("mergeSchema", True).parquet(*paths)

@@ -229,3 +229,35 @@ def test_orc_round_trip(spark, sf_dir, tmp_path):
     assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == sorted(
         r["doc_id"] for r in docs.select("doc_id").collect()
     )
+
+
+def test_compact_parquet_dir_reduces_files(spark, tmp_path):
+    from storm_data_etl_service_spark.sources.files import compact_parquet_dir
+
+    src = str(tmp_path / "fragmented")
+    spark.range(0, 20000).withColumn("v", F.col("id") * 2).repartition(
+        64
+    ).write.parquet(src)
+    report = compact_parquet_dir(
+        spark, src, str(tmp_path / "compacted"), target_file_bytes=1 << 30
+    )
+    assert report["files_before"] == 64
+    assert report["files_after"] == 1 == report["target_files"]
+    got = spark.read.parquet(str(tmp_path / "compacted"))
+    assert got.count() == 20000
+    assert got.agg(F.sum("v")).first()[0] == 2 * sum(range(20000))
+
+
+def test_read_parquet_evolved_merges_generations(spark, tmp_path):
+    from storm_data_etl_service_spark.sources.files import read_parquet_evolved
+
+    gen1 = str(tmp_path / "gen1")
+    gen2 = str(tmp_path / "gen2")
+    spark.range(0, 5).select(F.col("id"), F.lit("a").alias("source")).write.parquet(gen1)
+    spark.range(5, 8).select(
+        F.col("id"), F.lit("b").alias("source"), (F.col("id") * 10).alias("score")
+    ).write.parquet(gen2)
+    df = read_parquet_evolved(spark, gen1, gen2)
+    assert set(df.columns) == {"id", "source", "score"}
+    assert df.count() == 8
+    assert df.filter(F.col("score").isNull()).count() == 5
