@@ -118,3 +118,54 @@ def test_join_skew_report_distributed_topk(spark, sf_dir):
     global-window funnel through one partition."""
     plan = plan_of("join_skew_report", spark, sf_dir)
     assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_join_hints_override_strategy(spark, sf_dir):
+    """The engine exposes Spark's join-strategy hints: the same
+    logical join compiles to SortMergeJoin, ShuffledHashJoin, or
+    BroadcastHashJoin depending on the hint — the manual override
+    for when a 100 TB planner knows better than the statistics."""
+    from pyspark.sql import functions as F
+
+    from storm_data_etl_service_spark.schemas import load_tables
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select("o_orderkey", "o_custkey")
+    li = t["lineitem"].select("l_orderkey")
+
+    def physical(hint):
+        joined = li.join(o.hint(hint), li.l_orderkey == o.o_orderkey)
+        return joined._jdf.queryExecution().executedPlan().toString()
+
+    assert "SortMergeJoin" in physical("merge")
+    assert "ShuffledHashJoin" in physical("shuffle_hash")
+    assert "BroadcastHashJoin" in physical("broadcast")
+
+
+def test_new_window_ops_single_exchange(spark, sf_dir):
+    """linear_interpolate's two frames fuse into one Window over one
+    Exchange; mad_outlier_stats' MAD window reuses the median
+    window's partitioning (one Exchange before the final agg)."""
+    plan = plan_of("linear_interpolate", spark, sf_dir)
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert plan.count("Window") == 1, plan[:2000]
+
+    plan = plan_of("mad_outlier_stats", spark, sf_dir)
+    # one exchange for the windows + the tiny final-aggregate exchange
+    assert plan.count("Exchange hashpartitioning(event_type") <= 2, plan[:2000]
+
+
+def test_zorder_interleave_stays_in_codegen(spark, sf_dir):
+    """The 32-term Morton interleave must compile into whole-stage
+    codegen (no Python, no interpreted projection fallback).  AQE
+    hides codegen spans until execution, so materialize first and
+    audit the final adaptive plan."""
+    df = REGISTRY["zorder_cluster"].build(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # '*(n)' operator prefixes mark whole-stage-codegen stages
+    import re
+
+    assert re.search(r"\*\(\d+\) (HashAggregate|Project)", plan), plan[:1500]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
