@@ -1932,3 +1932,11 @@ SELECT bucket_start, event_type, n,
 FROM counts QUALIFY rk <= 3""",
     ("windows", "topk", "streaming-twin"),
 )
+
+
+REGISTRY["props_extract_variant"] = QuerySpec(
+    _t(P.props_extract_variant),
+    "SELECT try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k,"
+    " count(*) AS n FROM events GROUP BY 1",
+    ("pipeline", "json", "variant"),
+)

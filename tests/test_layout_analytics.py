@@ -248,3 +248,37 @@ def test_drift_chi2_nonnegative_and_total(t):
     for r in out:
         assert r["chi2"] >= 0.0
         assert r["n_bins"] >= 1
+
+
+def test_zorder_range_write_produces_disjoint_file_stats(spark, t, tmp_path):
+    """The production z-order layout claim, proved on disk: range
+    partition + sort by the Morton value, write parquet, then read
+    each file's footer min/max — file z-ranges must be pairwise
+    disjoint (that disjointness IS the 2-D data-skipping property)."""
+    import pyarrow.parquet as pq
+
+    x = (F.col("user_id") % 65536).cast("long")
+    y = F.floor(F.col("value") * 10) % 65536
+    df = t["events"].select("event_id", P.zorder_value(x, y).alias("zval"))
+    out = str(tmp_path / "zsorted")
+    (
+        df.repartitionByRange(4, "zval")
+        .sortWithinPartitions("zval")
+        .write.parquet(out)
+    )
+    ranges = []
+    from pathlib import Path
+
+    for f in sorted(Path(out).glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        lo = min(
+            md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    assert len(ranges) == 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file z-ranges overlap: {ranges}"
