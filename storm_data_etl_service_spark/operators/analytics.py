@@ -703,3 +703,21 @@ def distribution_drift_chi2(t, bin_width: float = 50.0) -> DataFrame:
         .withColumn("chi2", F.col("chi2_fp") / F.lit(1e9))
         .drop("chi2_fp")
     )
+
+
+def revenue_mom_growth(t) -> DataFrame:
+    """Month-over-month revenue growth: monthly decimal-exact totals,
+    then a lag ratio.  The ordered window runs over MONTH cardinality
+    (the aggregate's output, dozens of rows), never the fact table —
+    the safe place for a global ORDER BY window."""
+    m = t["orders"].groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("rev_dec"))
+    w = Window.orderBy("month")
+    rev = F.col("rev_dec").cast("double")
+    prev = F.lag("rev_dec").over(w).cast("double")
+    return m.select(
+        "month",
+        rev.alias("revenue"),
+        (rev / prev - 1.0).alias("mom_growth"),
+    )

