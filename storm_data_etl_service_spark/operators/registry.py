@@ -1969,3 +1969,17 @@ SELECT month, cast(rev_dec AS DOUBLE) AS revenue,
 FROM m""",
     ("analytics", "timeseries"),
 )
+
+REGISTRY["boilerplate_prefix_report"] = QuerySpec(
+    _t(X.boilerplate_prefix_report),
+    f"""WITH {_TOKEN_LIST_CTE.replace('FROM documents',
+                                      ', source FROM documents')},
+per AS (
+  SELECT source, array_to_string(t[1:3], ' ') AS prefix, count(*) AS n
+  FROM toks_list GROUP BY source, prefix)
+SELECT source, prefix AS top_prefix, n AS n_docs,
+  cast(n AS DOUBLE) / sum(n) OVER (PARTITION BY source) AS share
+FROM per
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY n DESC, prefix) = 1""",
+    ("text", "boilerplate"),
+)

@@ -338,3 +338,40 @@ def token_spans_udtf(spark, t) -> DataFrame:
         FROM docs_udtf d, LATERAL token_spans(d.text) s
         """
     )
+
+
+BOILERPLATE_PREFIX_TOKENS = 3
+
+
+def boilerplate_prefix_report(t) -> DataFrame:
+    """Per-source boilerplate detection: the most common leading
+    token prefix within each source and the share of that source's
+    documents carrying it — high share means a template header to
+    strip before training (the C4/CCNet boilerplate heuristic at
+    corpus scale).
+
+    One groupBy on (source, prefix), then ranking + totals via
+    windows over the source partition — cardinality is distinct
+    prefixes per source, never documents."""
+    prefix = F.concat_ws(
+        " ", F.slice(tokens_col(F.col("text")), 1, BOILERPLATE_PREFIX_TOKENS)
+    )
+    per = (
+        t["documents"]
+        .select("source", prefix.alias("prefix"))
+        .groupBy("source", "prefix")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("source")
+    wr = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("prefix"))
+    return (
+        per.withColumn("total", F.sum("n").over(w))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("prefix").alias("top_prefix"),
+            F.col("n").alias("n_docs"),
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+        )
+    )

@@ -49,13 +49,28 @@ def test_enrichment_has_no_python_eval(spark, sf_dir):
     assert "WholeStageCodegen" in plan or "*(" in plan, plan[:1200]
 
 
-def test_only_multimodal_uses_python(spark, sf_dir):
+#: The ONLY queries allowed to leave the JVM: the opaque-media decode
+#: (no expression can decode bytes) and the two deliberate Python-API
+#: demonstrations, each of whose docstrings steers hot paths to the
+#: expression equivalent.
+INTENTIONAL_PYTHON_OPS = [
+    "multimodal_decode_stats",
+    "token_spans_udtf",
+    "user_resequence_pandas",
+]
+
+
+def test_only_intentional_ops_use_python(spark, sf_dir):
     python_ops = []
     for name in REGISTRY:
         plan = plan_of(name, spark, sf_dir)
-        if "EvalPython" in plan or "MapInPandas" in plan:
+        if (
+            "EvalPython" in plan
+            or "MapInPandas" in plan
+            or "FlatMapGroupsInPandas" in plan
+        ):
             python_ops.append(name)
-    assert python_ops == ["multimodal_decode_stats"], python_ops
+    assert sorted(python_ops) == sorted(INTENTIONAL_PYTHON_OPS), python_ops
 
 
 def test_exact_dedup_has_partial_aggregation(spark, sf_dir):
