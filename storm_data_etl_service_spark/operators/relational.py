@@ -929,36 +929,53 @@ def tpch_q21_waiting_suppliers(t) -> DataFrame:
     orders, the supplier who shipped LAST (EXISTS another supplier on
     the order; NOT EXISTS one shipping later) — the schema has no
     commit/receipt dates, so lateness is re-expressed on l_shipdate.
-    EXISTS → left-semi, NOT EXISTS → left-anti, both on the
-    l_orderkey shuffle key with non-equi residuals; the heavy
-    self-join never widens rows beyond (orderkey, suppkey, shipdate)."""
+    Both correlated quantifiers are decorrelated into stacked
+    unbounded windows over l_orderkey (the q17/q2 window pattern
+    applied to a SELF-join): EXISTS ⇔ the order has >1 distinct
+    supplier; NOT EXISTS a later OTHER-supplier shipment ⇔ the max
+    shipdate among other suppliers is <= mine, derived from (max
+    shipdate, the supplier set achieving it, and the max excluding
+    that top supplier).  The three windows share one partitioning, so
+    ONE fact shuffle replaces the semi-join + anti-join's three — at
+    cluster scale the self-join's two extra fact exchanges are
+    exactly what saturates the network."""
     failed = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
-    l1 = li.join(failed, F.col("l_orderkey") == F.col("o_orderkey")).select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
-    )
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
-    )
-    l3 = li.select(
-        F.col("l_orderkey").alias("o3_orderkey"),
-        F.col("l_suppkey").alias("o3_suppkey"),
-        F.col("l_shipdate").alias("o3_shipdate"),
-    )
-    waiting = (
-        l1.join(
-            l2,
-            (F.col("l_orderkey") == F.col("o2_orderkey"))
-            & (F.col("l_suppkey") != F.col("o2_suppkey")),
-            "left_semi",
+    l1 = li.join(
+        F.broadcast(failed), F.col("l_orderkey") == F.col("o_orderkey")
+    ).select("l_orderkey", "l_suppkey", "l_shipdate")
+
+    w = Window.partitionBy("l_orderkey")
+    staged = (
+        l1.select(
+            "*",
+            F.max("l_shipdate").over(w).alias("_m1"),
+            F.size(F.collect_set("l_suppkey").over(w)).alias("_n_supp"),
         )
-        .join(
-            l3,
-            (F.col("l_orderkey") == F.col("o3_orderkey"))
-            & (F.col("l_suppkey") != F.col("o3_suppkey"))
-            & (F.col("o3_shipdate") > F.col("l_shipdate")),
-            "left_anti",
+        .withColumn(
+            "_top_supps",
+            F.collect_set(
+                F.when(F.col("l_shipdate") == F.col("_m1"), F.col("l_suppkey"))
+            ).over(w),
         )
+        .withColumn(
+            "_m2_excl",
+            F.max(
+                F.when(
+                    F.col("l_suppkey") != F.element_at(F.col("_top_supps"), 1),
+                    F.col("l_shipdate"),
+                )
+            ).over(w),
+        )
+    )
+    max_other = F.when(
+        (F.size(F.col("_top_supps")) > 1)
+        | (F.element_at(F.col("_top_supps"), 1) != F.col("l_suppkey")),
+        F.col("_m1"),
+    ).otherwise(F.col("_m2_excl"))
+    waiting = staged.filter(
+        (F.col("_n_supp") > 1)
+        & F.coalesce(max_other <= F.col("l_shipdate"), F.lit(True))
     )
     return (
         waiting.groupBy("l_suppkey")

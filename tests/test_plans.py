@@ -108,10 +108,16 @@ def test_q19_extracts_equi_key(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
-def test_q21_self_joins_stay_semi_anti(spark, sf_dir):
+def test_q21_decorrelates_to_single_fact_shuffle(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS self-join is decorrelated into three
+    stacked windows sharing ONE l_orderkey exchange; lineitem is
+    scanned once and both order/supplier joins broadcast — no
+    semi/anti fact self-joins anywhere in the plan."""
     plan = plan_of("tpch_q21_waiting_suppliers", spark, sf_dir)
-    assert "LeftSemi" in plan, plan[:2000]
-    assert "LeftAnti" in plan, plan[:2000]
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan, plan[:2000]
+    assert plan.count("Window") == 3, plan[:2000]
+    assert plan.count("Exchange hashpartitioning(l_orderkey") == 1, plan[:2000]
+    assert plan.count("Scan parquet") <= 3  # lineitem once + two dims
 
 
 def test_q8_dimension_chain_broadcasts(spark, sf_dir):
