@@ -721,3 +721,30 @@ def revenue_mom_growth(t) -> DataFrame:
         rev.alias("revenue"),
         (rev / prev - 1.0).alias("mom_growth"),
     )
+
+
+def grouped_top1_spender(t) -> DataFrame:
+    """Top spender per order priority WITHOUT a ranking window: the
+    argmax folds into a struct-max aggregation — (total, -custkey)
+    compares lexicographically.  Struct-typed max compiles to
+    SortAggregate (structs have no mutable hash buffer), but the sort
+    is on the GROUP KEY only and partial_max still combines map-side,
+    so the shuffle carries one candidate per (task, group) — versus
+    the window form, which must shuffle AND value-sort every row of
+    every group.  For top-1 this is the 100 TB-preferred shape
+    (q9_grouped_topk keeps the window form for general k); ties break
+    to the smallest customer key via the negated second field, and
+    the decimal first field keeps the comparison exact."""
+    per = t["orders"].groupBy("o_orderpriority", "o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("td")
+    )
+    best = per.groupBy("o_orderpriority").agg(
+        F.max(
+            F.struct(F.col("td"), (-F.col("o_custkey")).alias("nk"))
+        ).alias("b")
+    )
+    return best.select(
+        "o_orderpriority",
+        F.col("b.td").cast("double").alias("total_spend"),
+        (-F.col("b.nk")).alias("top_custkey"),
+    )

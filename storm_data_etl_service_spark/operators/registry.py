@@ -1983,3 +1983,19 @@ FROM per
 QUALIFY row_number() OVER (PARTITION BY source ORDER BY n DESC, prefix) = 1""",
     ("text", "boilerplate"),
 )
+
+REGISTRY["grouped_top1_spender"] = QuerySpec(
+    _t(A.grouped_top1_spender),
+    """WITH per AS (
+  SELECT o_orderpriority, o_custkey,
+         sum(cast(o_totalprice AS DECIMAL(25,6))) AS td
+  FROM orders GROUP BY o_orderpriority, o_custkey),
+best AS (
+  SELECT o_orderpriority,
+         max(struct_pack(td := td, nk := -o_custkey)) AS b
+  FROM per GROUP BY o_orderpriority)
+SELECT o_orderpriority, cast(b.td AS DOUBLE) AS total_spend,
+       -b.nk AS top_custkey
+FROM best""",
+    ("analytics", "topk", "sort-free"),
+)

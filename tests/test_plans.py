@@ -190,3 +190,16 @@ def test_zorder_interleave_stays_in_codegen(spark, sf_dir):
 
     assert re.search(r"\*\(\d+\) (HashAggregate|Project)", plan), plan[:1500]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_grouped_top1_aggregates_without_window(spark, sf_dir):
+    """The struct-max argmax must avoid the ranking window entirely
+    and partial-aggregate map-side: partial_max runs BELOW the
+    priority exchange, so the shuffle carries one candidate per
+    (task, group) instead of every row value-sorted per group."""
+    plan = plan_of("grouped_top1_spender", spark, sf_dir)
+    assert "Window" not in plan, plan[:1500]
+    # segment between the priority exchange and the (priority, custkey)
+    # exchange is the map side of the final aggregate
+    map_side = plan.split("Exchange hashpartitioning(o_orderpriority")[1]
+    assert "partial_max" in map_side, plan[:2000]
