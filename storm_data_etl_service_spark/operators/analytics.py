@@ -748,3 +748,27 @@ def grouped_top1_spender(t) -> DataFrame:
         F.col("b.td").cast("double").alias("total_spend"),
         (-F.col("b.nk")).alias("top_custkey"),
     )
+
+
+def weekly_active_users(t) -> DataFrame:
+    """Trailing-7-day distinct active users per report day (the
+    WAU/DAU family): each event fans out to the 7 report days whose
+    trailing window contains it, then one distinct-aggregate per day.
+
+    The fan-out join-free shape is the scale answer for SLIDING
+    distinct counts — distinct cannot merge across overlapping
+    windows (unlike sums), so the x7 row expansion before a single
+    map-side-pruned aggregation beats 7 separate scans or any
+    window-function formulation."""
+    day = F.to_date(F.col("ts"))
+    return (
+        t["events"]
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+            day.alias("d"),
+        )
+        .select("user_id", F.date_add(F.col("d"), F.col("i")).alias("day"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )

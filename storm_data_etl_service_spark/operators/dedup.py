@@ -243,3 +243,45 @@ def dedup_simhash(t) -> DataFrame:
             val = bits[0] * 8 + bits[1] * 4 + bits[2] * 2 + bits[3]
             nibbles.append(F.lit("0123456789abcdef").substr(val + 1, F.lit(1)))
     return staged.select("doc_id", F.concat(*nibbles).alias("simhash"))
+
+
+def minhash_accuracy_report(t) -> DataFrame:
+    """Sketch-quality readout for the MinHash path: for every LSH
+    candidate pair, the signature-estimated Jaccard (matching
+    components / seeds) next to the exact shingle Jaccard and the
+    absolute error — the number that tells you whether
+    MINHASH_SEEDS/LSH_BANDS are tuned right BEFORE you trust the
+    sketch on 100 TB (where the exact join is unaffordable; here it
+    runs only on the tiny candidate set)."""
+    sh = _doc_shingles(t)
+    sig = (
+        sh.withColumn("_base", shingle_base_hashes(F.col("shingles")))
+        .select("doc_id", minhash_signature(F.col("_base")).alias("mh"))
+    )
+    pairs = dedup_minhash_lsh(t)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b"))
+    ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.lit(float(MINHASH_SEEDS))
+    exact = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+        )
+        .withColumn("abs_error", F.abs(F.col("est_jaccard") - F.col("exact_jaccard")))
+    )

@@ -1999,3 +1999,48 @@ SELECT o_orderpriority, cast(b.td AS DOUBLE) AS total_spend,
 FROM best""",
     ("analytics", "topk", "sort-free"),
 )
+
+
+def _minhash_accuracy_oracle() -> str:
+    """Extend the MinHash CTE chain: keep its internal sig/shf CTEs
+    visible and join them back onto the candidate pairs for the
+    estimate-vs-exact comparison."""
+    from storm_data_etl_service_spark.operators.dedup import MINHASH_SEEDS
+
+    base = _minhash_oracle()
+    final = "SELECT doc_a, doc_b FROM pairs"
+    assert base.endswith(final)
+    ctes = base[len("WITH ") : -len(final)].rstrip().rstrip("\n")
+    s = MINHASH_SEEDS
+    return f"""WITH {ctes}
+SELECT p.doc_a, p.doc_b,
+  list_sum(list_transform(generate_series(1, {s}),
+    i -> CASE WHEN sa.mh[i] = sb.mh[i] THEN 1 ELSE 0 END)) / {s}.0
+    AS est_jaccard,
+  cast(len(list_intersect(ha.shingles, hb.shingles)) AS DOUBLE)
+    / len(list_distinct(ha.shingles || hb.shingles)) AS exact_jaccard,
+  abs(list_sum(list_transform(generate_series(1, {s}),
+    i -> CASE WHEN sa.mh[i] = sb.mh[i] THEN 1 ELSE 0 END)) / {s}.0
+    - cast(len(list_intersect(ha.shingles, hb.shingles)) AS DOUBLE)
+      / len(list_distinct(ha.shingles || hb.shingles))) AS abs_error
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b
+JOIN shf ha ON ha.doc_id = p.doc_a
+JOIN shf hb ON hb.doc_id = p.doc_b"""
+
+
+REGISTRY["minhash_accuracy_report"] = QuerySpec(
+    _t(D.minhash_accuracy_report),
+    _minhash_accuracy_oracle(),
+    ("dedup", "sketch-quality"),
+)
+
+REGISTRY["weekly_active_users"] = QuerySpec(
+    _t(A.weekly_active_users),
+    """SELECT day, count(DISTINCT user_id) AS wau FROM (
+  SELECT user_id, cast(ts AS DATE) + cast(i AS INTEGER) AS day
+  FROM events, unnest(generate_series(0, 6)) AS u(i))
+GROUP BY day""",
+    ("analytics", "sliding-distinct"),
+)

@@ -282,3 +282,31 @@ def test_zorder_range_write_produces_disjoint_file_stats(spark, t, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, f"file z-ranges overlap: {ranges}"
+
+
+def test_minhash_accuracy_report_bounds(t):
+    from storm_data_etl_service_spark.operators import dedup as D
+
+    out = D.minhash_accuracy_report(t).cache()
+    assert out.count() == D.dedup_minhash_lsh(t).count()
+    bad = out.filter(
+        "est_jaccard < 0 OR est_jaccard > 1 OR exact_jaccard < 0 "
+        "OR exact_jaccard > 1 OR abs_error < 0 OR abs_error > 1"
+    ).count()
+    assert bad == 0
+    # LSH candidates at threshold 0.8 should estimate high similarity
+    assert out.agg(F.min("est_jaccard")).first()[0] >= 0.5
+
+
+def test_weekly_active_users_dominates_daily(t):
+    ev = t["events"].select(F.to_date("ts").alias("day"), "user_id")
+    dau = ev.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    wau = A.weekly_active_users(t)
+    joined = {r["day"]: r for r in wau.join(dau, "day").collect()}
+    assert joined  # overlap exists
+    for day, r in joined.items():
+        assert r["wau"] >= r["dau"], day
+    # span: first event day .. last event day + 6
+    lo, hi = ev.agg(F.min("day"), F.max("day")).first()
+    days = {r["day"] for r in wau.collect()}
+    assert min(days) == lo and (max(days) - hi).days == 6
