@@ -772,3 +772,37 @@ def weekly_active_users(t) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+def event_cooccurrence_support(t) -> DataFrame:
+    """Market-basket support over user behavior: for every pair of
+    event types, the share of users who performed both — the
+    association-mining primitive (frequent itemsets of size 2).
+
+    The distinct (user, type) projection collapses the fact table
+    FIRST (users x 5 types max), so the pair self-join runs on the
+    reduced set and the support denominator is a 1-row broadcast —
+    never a fact-scale cross join."""
+    ut = t["events"].select("user_id", "event_type").distinct()
+    total = ut.select("user_id").distinct().agg(
+        F.count("*").alias("total_users")
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+    return pairs.crossJoin(F.broadcast(total)).select(
+        "type_a",
+        "type_b",
+        "n_users",
+        (F.col("n_users").cast("double") / F.col("total_users")).alias("support"),
+    )

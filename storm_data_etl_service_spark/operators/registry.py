@@ -2044,3 +2044,17 @@ REGISTRY["weekly_active_users"] = QuerySpec(
 GROUP BY day""",
     ("analytics", "sliding-distinct"),
 )
+
+REGISTRY["event_cooccurrence_support"] = QuerySpec(
+    _t(A.event_cooccurrence_support),
+    """WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events),
+total AS (SELECT count(DISTINCT user_id) AS total_users FROM ut)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+  count(*) AS n_users,
+  cast(count(*) AS DOUBLE) / total_users AS support
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type, total
+GROUP BY type_a, type_b, total_users""",
+    ("analytics", "association"),
+)

@@ -310,3 +310,22 @@ def test_weekly_active_users_dominates_daily(t):
     lo, hi = ev.agg(F.min("day"), F.max("day")).first()
     days = {r["day"] for r in wau.collect()}
     assert min(days) == lo and (max(days) - hi).days == 6
+
+
+def test_cooccurrence_support_matches_python(t):
+    rows = t["events"].select("user_id", "event_type").distinct().collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], set()).add(r["event_type"])
+    from itertools import combinations
+
+    want = {}
+    for types in by_user.values():
+        for a, b in combinations(sorted(types), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    out = {(r["type_a"], r["type_b"]): r for r in A.event_cooccurrence_support(t).collect()}
+    assert {k: v["n_users"] for k, v in out.items()} == want
+    n_total = len(by_user)
+    for k, r in out.items():
+        assert abs(r["support"] - want[k] / n_total) < 1e-12
+        assert 0 < r["support"] <= 1
