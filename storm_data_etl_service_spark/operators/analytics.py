@@ -806,3 +806,37 @@ def event_cooccurrence_support(t) -> DataFrame:
         "n_users",
         (F.col("n_users").cast("double") / F.col("total_users")).alias("support"),
     )
+
+
+def conversion_latency_quantiles(t) -> DataFrame:
+    """Click→purchase conversion latency distribution: for users whose
+    first purchase follows their first click, exact quartiles of the
+    microsecond gap (funnel_conversion tells HOW MANY convert; this
+    tells HOW FAST).
+
+    Latencies are integer epoch-microsecond differences, so the
+    interpolated percentiles are engine-identical (see
+    percentile_summary).  Two keyed aggregations and one equi-join on
+    user_id; the final percentile reduce sees one row per converting
+    user."""
+    ev = t["events"].select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("tus")
+    )
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("fc"))
+    )
+    lat = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("tus") > F.col("fc"))
+        .groupBy("user_id")
+        .agg((F.min("tus") - F.min("fc")).alias("latency_us"))
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.expr("percentile(latency_us, 0.25D)").alias("p25_us"),
+        F.expr("percentile(latency_us, 0.5D)").alias("p50_us"),
+        F.expr("percentile(latency_us, 0.75D)").alias("p75_us"),
+    )

@@ -2058,3 +2058,23 @@ FROM ut a JOIN ut b
 GROUP BY type_a, type_b, total_users""",
     ("analytics", "association"),
 )
+
+REGISTRY["conversion_latency_quantiles"] = QuerySpec(
+    _t(A.conversion_latency_quantiles),
+    """WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+fc AS (
+  SELECT user_id, min(tus) AS fc FROM ev
+  WHERE event_type = 'click' GROUP BY user_id),
+lat AS (
+  SELECT ev.user_id, min(tus) - min(fc) AS latency_us
+  FROM ev JOIN fc USING (user_id)
+  WHERE event_type = 'purchase' AND tus > fc
+  GROUP BY ev.user_id)
+SELECT count(*) AS n_converted,
+  quantile_cont(latency_us, 0.25) AS p25_us,
+  quantile_cont(latency_us, 0.5) AS p50_us,
+  quantile_cont(latency_us, 0.75) AS p75_us
+FROM lat""",
+    ("analytics", "funnel", "latency"),
+)

@@ -329,3 +329,10 @@ def test_cooccurrence_support_matches_python(t):
     for k, r in out.items():
         assert abs(r["support"] - want[k] / n_total) < 1e-12
         assert 0 < r["support"] <= 1
+
+
+def test_conversion_latency_consistent_with_funnel(t):
+    out = A.conversion_latency_quantiles(t).first()
+    funnel = A.funnel_conversion(t).first()
+    assert out["n_converted"] == funnel["n_converted"]
+    assert 0 < out["p25_us"] <= out["p50_us"] <= out["p75_us"]
