@@ -65,3 +65,23 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, bucketed_tables):
         assert a == b
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucket_pruning_on_key_equality(spark, sf_dir, bucketed_tables):
+    """An equality predicate on the bucket key must prune to ONE of
+    the 8 buckets at scan time (SelectedBucketsCount in the scan
+    node) — the read-side payoff of bucketing beyond join
+    co-location."""
+    # the auto-bucketed-scan heuristic turns bucketed reading off for
+    # filter-only queries (no shuffle to avoid); pin it on so the
+    # pruning path is exercised
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        df = spark.table("orders_bkt").filter(F.col("o_orderkey") == 42)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:1500]
+        assert df.count() == 1
+    finally:
+        spark.conf.set(key, prev)
