@@ -122,3 +122,48 @@ def rank_window_topk(counts: DataFrame, k: int = 3) -> DataFrame:
         counts.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= k)
     )
+
+
+def windowed_type_counts_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Incremental per-(window, type) counts — the streaming half of
+    the drift monitor (same decomposition as the top-k leaderboard:
+    stateful counts in the stream, the comparison in foreachBatch)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n")
+    )
+
+
+def drift_against_baseline(
+    counts: DataFrame, baseline: DataFrame
+) -> DataFrame:
+    """Chi-square drift of observed per-type shares against a static
+    baseline distribution — the foreachBatch half of the streaming
+    drift monitor (the batch twin of distribution_drift_chi2's
+    half-vs-half comparison, with the reference distribution supplied
+    as a broadcastable table (event_type, base_share)).
+
+    Runs per micro-batch over window x type cardinality — tiny; the
+    chi-square term is rational arithmetic (no libm)."""
+    totals = counts.groupBy("bucket_start").agg(F.sum("n").alias("total"))
+    obs = counts.join(totals, "bucket_start").join(
+        F.broadcast(baseline), "event_type"
+    )
+    p = F.col("n").cast("double") / F.col("total")
+    q = F.col("base_share")
+    term = (p - q) * (p - q) / (q + F.lit(1e-12))
+    return (
+        obs.groupBy("bucket_start")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum(F.floor(term * F.lit(1e9)).cast("decimal(25,0)"))
+            .cast("double")
+            .alias("chi2_fp"),
+        )
+        .withColumn("chi2", F.col("chi2_fp") / F.lit(1e9))
+        .drop("chi2_fp")
+    )

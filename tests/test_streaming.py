@@ -428,3 +428,65 @@ def test_streaming_window_topk_matches_batch(spark, workdir):
     assert ranked_batches == want
     # leaderboard shape: 3 ranks for each of the 2 hourly windows
     assert len(want) == 6 and all(rk <= 3 for (_, rk) in want)
+
+
+def test_streaming_drift_monitor_matches_batch(spark, workdir):
+    """Streaming windowed counts + foreachBatch chi2-vs-baseline must
+    equal the batch computation over the same files, and a window
+    whose distribution matches the baseline must score ~0 while a
+    skewed window scores higher."""
+    from storm_data_etl_service_spark.streaming.windows import (
+        drift_against_baseline,
+        windowed_type_counts_stream,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    rows, i = [], 0
+    # hour 0 matches the 50/50 baseline; hour 1 is heavily skewed
+    for h, counts in [(0, {"view": 5, "click": 5}),
+                      (1, {"view": 9, "click": 1})]:
+        for et, n in counts.items():
+            for j in range(n):
+                rows.append({"event_id": i, "ts": f"2026-01-01T{h:02d}:{j:02d}:00",
+                             "user_id": j, "event_type": et})
+                i += 1
+    src = workdir / "drift_ev"
+    src.mkdir(parents=True)
+    with open(src / "events.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    baseline = spark.createDataFrame(
+        [("view", 0.5), ("click", 0.5)], "event_type string, base_share double"
+    )
+    got = {}
+
+    def sink(batch_df, epoch_id):
+        for r in drift_against_baseline(batch_df, baseline).collect():
+            got[r["bucket_start"]] = (r["n_types"], r["chi2"])
+
+    q = (
+        windowed_type_counts_stream(
+            spark.readStream.schema(schema).json(str(src))
+        )
+        .writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(workdir / "ckpt_drift"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = spark.read.schema(schema).json(str(src))
+    batch_counts = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n")
+    )
+    want = {
+        r["bucket_start"]: (r["n_types"], r["chi2"])
+        for r in drift_against_baseline(batch_counts, baseline).collect()
+    }
+    assert got == want and len(got) == 2
+    (calm, skewed) = sorted(got)  # hour 0, hour 1
+    assert got[calm][1] < 1e-9 < got[skewed][1]
