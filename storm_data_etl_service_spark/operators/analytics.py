@@ -840,3 +840,50 @@ def conversion_latency_quantiles(t) -> DataFrame:
         F.expr("percentile(latency_us, 0.5D)").alias("p50_us"),
         F.expr("percentile(latency_us, 0.75D)").alias("p75_us"),
     )
+
+
+def rfm_segment_counts(t) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quartile
+    scores (1-4) per customer, reduced to per-segment counts.
+
+    Scale-correct scoring: each dimension's quartile thresholds come
+    from ONE exact-percentile aggregate broadcast back as a single
+    row — never an ntile window over all customers, whose global
+    ORDER BY funnels the customer table through one task.  Scores are
+    1 + (x > q1) + (x > q2) + (x > q3): pure comparisons against
+    engine-identical interpolated thresholds."""
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.unix_micros(F.max("o_orderdate")).alias("recency_us"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    q = per_cust.agg(
+        F.expr("percentile(recency_us, array(0.25D, 0.5D, 0.75D))").alias("qr"),
+        F.expr("percentile(frequency, array(0.25D, 0.5D, 0.75D))").alias("qf"),
+        F.expr("percentile(monetary, array(0.25D, 0.5D, 0.75D))").alias("qm"),
+    )
+
+    def score(x, qs):
+        return (
+            F.lit(1)
+            + (x > F.col(qs)[0]).cast("int")
+            + (x > F.col(qs)[1]).cast("int")
+            + (x > F.col(qs)[2]).cast("int")
+        )
+
+    return (
+        per_cust.crossJoin(F.broadcast(q))
+        .select(
+            score(F.col("recency_us"), "qr").alias("r_score"),
+            score(F.col("frequency"), "qf").alias("f_score"),
+            score(F.col("monetary"), "qm").alias("m_score"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").alias("n_customers"))
+    )

@@ -2078,3 +2078,28 @@ SELECT count(*) AS n_converted,
 FROM lat""",
     ("analytics", "funnel", "latency"),
 )
+
+REGISTRY["rfm_segment_counts"] = QuerySpec(
+    _t(A.rfm_segment_counts),
+    """WITH per_cust AS (
+  SELECT o_custkey, epoch_us(max(o_orderdate)) AS recency_us,
+    count(*) AS frequency,
+    cast(sum(cast(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey),
+q AS (
+  SELECT quantile_cont(recency_us, [0.25, 0.5, 0.75]) AS qr,
+         quantile_cont(frequency, [0.25, 0.5, 0.75]) AS qf,
+         quantile_cont(monetary, [0.25, 0.5, 0.75]) AS qm
+  FROM per_cust)
+SELECT
+  1 + cast(recency_us > qr[1] AS INTEGER) + cast(recency_us > qr[2] AS INTEGER)
+    + cast(recency_us > qr[3] AS INTEGER) AS r_score,
+  1 + cast(frequency > qf[1] AS INTEGER) + cast(frequency > qf[2] AS INTEGER)
+    + cast(frequency > qf[3] AS INTEGER) AS f_score,
+  1 + cast(monetary > qm[1] AS INTEGER) + cast(monetary > qm[2] AS INTEGER)
+    + cast(monetary > qm[3] AS INTEGER) AS m_score,
+  count(*) AS n_customers
+FROM per_cust, q
+GROUP BY r_score, f_score, m_score""",
+    ("analytics", "segmentation"),
+)

@@ -336,3 +336,14 @@ def test_conversion_latency_consistent_with_funnel(t):
     funnel = A.funnel_conversion(t).first()
     assert out["n_converted"] == funnel["n_converted"]
     assert 0 < out["p25_us"] <= out["p50_us"] <= out["p75_us"]
+
+
+def test_rfm_segments_cover_all_customers(t):
+    out = A.rfm_segment_counts(t).cache()
+    n_cust = t["orders"].select("o_custkey").distinct().count()
+    assert out.agg(F.sum("n_customers")).first()[0] == n_cust
+    bad = out.filter(
+        "r_score NOT BETWEEN 1 AND 4 OR f_score NOT BETWEEN 1 AND 4 "
+        "OR m_score NOT BETWEEN 1 AND 4"
+    ).count()
+    assert bad == 0
