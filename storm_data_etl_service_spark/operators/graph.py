@@ -179,3 +179,37 @@ def pagerank_neardup(t) -> DataFrame:
     return pagerank(pairs, src="doc_a", dst="doc_b").select(
         F.col("node").alias("doc_id"), "deg", "rank"
     )
+
+
+def neardup_triangle_count(t) -> DataFrame:
+    """Triangle census of the near-dup candidate graph: the number of
+    closed triples through each document — triangles mean mutually-
+    similar groups (a template family), open wedges mean chained
+    similarity (drifted copies), so the census grades cluster density
+    beyond what connected components can see.
+
+    Classic two-join distributed triangle counting with the a<b<c
+    ordering so each triangle materializes exactly once; both joins
+    key on a node id.  The candidate graph is pair-scale (pruned by
+    LSH), so this never touches the corpus itself."""
+    from storm_data_etl_service_spark.operators.dedup import dedup_minhash_lsh
+
+    e = dedup_minhash_lsh(t)  # doc_a < doc_b by construction
+    ab = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bc = e.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    ac = e.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        ab.join(bc, F.col("b") == F.col("b2"))
+        .join(
+            ac,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return per_node

@@ -2103,3 +2103,24 @@ FROM per_cust, q
 GROUP BY r_score, f_score, m_score""",
     ("analytics", "segmentation"),
 )
+
+
+def _triangle_oracle() -> str:
+    return f"""WITH pairs AS (
+{_minhash_oracle()}),
+tri AS (
+  SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+  FROM pairs ab
+  JOIN pairs bc ON ab.doc_b = bc.doc_a
+  WHERE EXISTS (SELECT 1 FROM pairs ac
+                WHERE ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b))
+SELECT doc_id, count(*) AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+GROUP BY doc_id"""
+
+
+REGISTRY["neardup_triangle_count"] = QuerySpec(
+    _t(G.neardup_triangle_count),
+    _triangle_oracle(),
+    ("graph", "triangles"),
+)

@@ -347,3 +347,27 @@ def test_rfm_segments_cover_all_customers(t):
         "OR m_score NOT BETWEEN 1 AND 4"
     ).count()
     assert bad == 0
+
+
+def test_triangle_census_on_hand_graph(spark, t):
+    """K4 minus one edge = 2 triangles; verify per-node membership via
+    the same join shape used by neardup_triangle_count."""
+    from storm_data_etl_service_spark.operators import graph as G
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "doc_a long, doc_b long"
+    )
+    # inline the op's join shape against a custom edge list
+    ab = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bc = e.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    ac = e.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        ab.join(bc, F.col("b") == F.col("b2"))
+        .join(ac, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")), "left_semi")
+        .select("a", "b", "c")
+    )
+    triangles = {tuple(r) for r in tri.collect()}
+    assert triangles == {(1, 2, 3), (1, 2, 4)}
+    # and the registry op runs end-to-end on real tables
+    out = G.neardup_triangle_count(t)
+    assert out.filter("n_triangles <= 0").count() == 0

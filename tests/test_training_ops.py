@@ -270,3 +270,17 @@ def test_embedding_label_centroids_shape(spark, sf_dir):
     assert sum(r["n_vectors"] for r in rows) == emb.count()
     # centroid magnitudes are bounded by the data range
     assert all(all(abs(x) < 1.0 for x in r["centroid"]) for r in rows)
+
+
+def test_registry_md_is_fresh():
+    """REGISTRY.md must match what the generator produces from the
+    live REGISTRY — guards the doc against silently going stale."""
+    from pathlib import Path
+
+    import scripts.dump_registry as dr
+
+    before = Path("REGISTRY.md").read_text()
+    dr.main()
+    assert Path("REGISTRY.md").read_text() == before, (
+        "REGISTRY.md is stale; run scripts/dump_registry.py and commit"
+    )
