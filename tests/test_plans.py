@@ -203,3 +203,26 @@ def test_grouped_top1_aggregates_without_window(spark, sf_dir):
     # exchange is the map side of the final aggregate
     map_side = plan.split("Exchange hashpartitioning(o_orderpriority")[1]
     assert "partial_max" in map_side, plan[:2000]
+
+
+def test_aqe_converts_shuffle_join_to_broadcast_at_runtime(spark, sf_dir):
+    """AQE runtime re-planning, proved: a build side whose size is
+    statically unknowable (hash-suffix filter — no stats survive it)
+    but tiny at runtime must come back as a BroadcastHashJoin in the
+    final adaptive plan.  This is the mechanism the engine leans on at
+    100 TB instead of hand-tuning every join's strategy."""
+    from pyspark.sql import functions as F
+
+    from storm_data_etl_service_spark.schemas import load_tables
+
+    t = load_tables(spark, sf_dir)
+    # selective-but-opaque predicate: ~1/16 of orders, unknown statically
+    small = t["orders"].filter(
+        F.substring(F.sha2(F.col("o_orderkey").cast("string"), 256), 1, 1) == "a"
+    ).select("o_orderkey", "o_orderpriority")
+    joined = t["lineitem"].join(small, F.col("l_orderkey") == F.col("o_orderkey"))
+    joined.collect()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan, plan[:2500]
+    assert "AQEShuffleRead" in plan or "BroadcastQueryStage" in plan, plan[:2500]
