@@ -2124,3 +2124,63 @@ REGISTRY["neardup_triangle_count"] = QuerySpec(
     _triangle_oracle(),
     ("graph", "triangles"),
 )
+
+
+def _power_iteration_oracle() -> str:
+    """The power-iteration rounds unrolled into SQL, fixed-point
+    arithmetic identical to the Spark loop (exact BIGINT dot folds,
+    decimal per-dimension sums, re-quantized normalization)."""
+    from storm_data_etl_service_spark.operators.similarity import (
+        EMBEDDING_DIM,
+        POWER_ITERS,
+    )
+
+    n = EMBEDDING_DIM
+    v0 = "[" + ", ".join(["0.125"] * n) + "]"
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"v0 AS (SELECT {v0}::DOUBLE[] AS l)",
+    ]
+    prev = "v0"
+    for r in range(1, POWER_ITERS + 1):
+        ctes.append(
+            f"""d{r} AS (
+  SELECT vec_id,
+    list_sum(list_transform(generate_series(1, {n}),
+      i -> cast(floor(e.v[i] * {prev}.l[i] * 1e9) AS BIGINT))) / 1e9 AS d
+  FROM e, {prev})"""
+        )
+        ctes.append(
+            f"""y{r} AS (
+  SELECT u.pos,
+    cast(sum(cast(floor(e.v[u.pos] * d{r}.d * 1e9) AS DECIMAL(25,0)))
+         AS DOUBLE) / 1e9 AS y
+  FROM e JOIN d{r} USING (vec_id),
+       unnest(generate_series(1, {n})) AS u(pos)
+  GROUP BY u.pos)"""
+        )
+        ctes.append(
+            f"""n{r} AS (
+  SELECT sqrt(list_sum(list_transform(list(y ORDER BY pos),
+    y -> cast(floor(y * y * 1e9) AS BIGINT))) / 1e9) AS nrm
+  FROM y{r})"""
+        )
+        ctes.append(
+            f"""v{r} AS (
+  SELECT list(floor(y / nrm * 1e9) / 1e9 ORDER BY pos) AS l
+  FROM y{r}, n{r})"""
+        )
+        prev = f"v{r}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT {prev}.l AS eigenvector, n{POWER_ITERS}.nrm AS eigenvalue"
+        + f"\nFROM {prev}, n{POWER_ITERS}"
+    )
+
+
+REGISTRY["embedding_power_iteration"] = QuerySpec(
+    _t(S.embedding_power_iteration),
+    _power_iteration_oracle(),
+    ("similarity", "pca", "iterative"),
+)

@@ -397,3 +397,65 @@ def centroid_similarity_matrix(t) -> DataFrame:
             ),
         )
     )
+
+
+POWER_ITERS = 4
+
+
+def embedding_power_iteration(t, iters: int = POWER_ITERS) -> DataFrame:
+    """Dominant principal direction of the embedding matrix by power
+    iteration (PCA-lite): v ← normalize(Aᵀ(Av)) for a fixed number of
+    rounds from the uniform start 1/8·𝟙 (exactly representable).
+    Fixed rounds move the Rayleigh quotient toward σ1; on
+    near-isotropic data (flat spectrum) convergence is slow BY THE
+    MATH, so the round count is the tunable, not a bug — the test
+    asserts monotone Rayleigh improvement, not full alignment.
+
+    Deterministic iterative linear algebra, same discipline as
+    kmeans_centroids/pagerank: every dot product folds
+    floor-quantized (1e-9) INTEGER terms (exact long addition — no
+    float-order dependence), per-dimension sums are decimal, and each
+    round's normalized vector is re-quantized, so the result is
+    bit-identical across partition counts and engines; the oracle
+    unrolls the identical rounds in SQL.
+
+    Scale: Av is a map-only fold per vector (v broadcast as
+    literals); AᵀAv reduces per dimension (64 groups); the driver
+    only ever holds the 64-float vector between rounds."""
+    import math
+
+    emb = t["embeddings"].select("vec_id", _vec(F.col("embedding")).alias("v"))
+    spark = emb.sparkSession
+    dim = EMBEDDING_DIM
+    v = [0.125] * dim
+    eig = 0.0
+    for _ in range(iters):
+        vlit = F.array(*[F.lit(c) for c in v])
+        dot_long = F.aggregate(
+            F.zip_with(F.col("v"), vlit, lambda a, b: F.floor(a * b * F.lit(1e9))),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        dots = emb.select("vec_id", (dot_long / F.lit(1e9)).alias("d"), "v")
+        y_rows = (
+            dots.select("d", F.posexplode("v").alias("pos", "val"))
+            .groupBy("pos")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("val") * F.col("d") * F.lit(1e9)
+                        ).cast("decimal(25,0)")
+                    ).cast("double")
+                    / F.lit(1e9)
+                ).alias("y")
+            )
+            .collect()
+        )
+        y = [r["y"] for r in sorted(y_rows, key=lambda r: r["pos"])]
+        s = sum(int(math.floor(yj * yj * 1e9)) for yj in y)
+        eig = math.sqrt(s / 1e9)
+        v = [math.floor(yj / eig * 1e9) / 1e9 for yj in y]
+    return spark.createDataFrame(
+        [(v, eig)], "eigenvector array<double>, eigenvalue double"
+    )
