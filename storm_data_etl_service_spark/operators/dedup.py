@@ -285,3 +285,33 @@ def minhash_accuracy_report(t) -> DataFrame:
         )
         .withColumn("abs_error", F.abs(F.col("est_jaccard") - F.col("exact_jaccard")))
     )
+
+
+def crossmodal_dedup_agreement(t) -> DataFrame:
+    """Multi-signal dedup agreement: near-dup pairs flagged by text
+    3-gram Jaccard vs by embedding cosine, full-outer reconciled into
+    'both' / 'text_only' / 'embedding_only' counts.
+
+    The calibration readout of a real curation stack — text shingles
+    catch verbatim/templated copies, embeddings catch paraphrase;
+    'both' measures signal overlap, the *_only buckets are each
+    signal's unique contribution.  Both pair sets are tiny (pruned),
+    so the reconciliation join is trivial; the heavy lifting stays in
+    the underlying operators."""
+    from storm_data_etl_service_spark.operators.similarity import embedding_near_dup
+
+    txt = dedup_ngram_jaccard(t).select("doc_a", "doc_b", F.lit(True).alias("in_text"))
+    emb = embedding_near_dup(t).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.lit(True).alias("in_emb"),
+    )
+    joined = txt.join(emb, ["doc_a", "doc_b"], "full_outer")
+    signal = (
+        F.when(F.col("in_text").isNotNull() & F.col("in_emb").isNotNull(), "both")
+        .when(F.col("in_text").isNotNull(), "text_only")
+        .otherwise("embedding_only")
+    )
+    return joined.groupBy(signal.alias("signal")).agg(
+        F.count("*").alias("n_pairs")
+    )

@@ -2184,3 +2184,33 @@ REGISTRY["embedding_power_iteration"] = QuerySpec(
     _power_iteration_oracle(),
     ("similarity", "pca", "iterative"),
 )
+
+
+REGISTRY["crossmodal_dedup_agreement"] = QuerySpec(
+    _t(D.crossmodal_dedup_agreement),
+    f"""WITH {_TOKS_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+counts AS (SELECT doc_id, len(shingles) AS ns FROM shf),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+tpairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN (SELECT doc_id AS doc_a, ns AS na FROM counts) USING (doc_a)
+  JOIN (SELECT doc_id AS doc_b, ns AS nb FROM counts) USING (doc_b)
+  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.8),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+epairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {_COSINE_SQL.format(a='a.v', b='b.v')} >= 0.95)
+SELECT CASE WHEN tp.doc_a IS NOT NULL AND ep.doc_a IS NOT NULL THEN 'both'
+            WHEN tp.doc_a IS NOT NULL THEN 'text_only'
+            ELSE 'embedding_only' END AS signal,
+       count(*) AS n_pairs
+FROM tpairs tp FULL OUTER JOIN epairs ep
+  ON tp.doc_a = ep.doc_a AND tp.doc_b = ep.doc_b
+GROUP BY signal""",
+    ("dedup", "crossmodal"),
+)

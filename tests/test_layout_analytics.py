@@ -393,3 +393,15 @@ def test_power_iteration_aligns_with_numpy(t):
     r_out = np.linalg.norm(A @ v)
     assert r_out > r_start
     assert r_out >= 0.9 * sigma1, (r_out, sigma1)
+
+
+def test_crossmodal_agreement_accounts_for_both_signals(t):
+    from storm_data_etl_service_spark.operators import dedup as D
+    from storm_data_etl_service_spark.operators import similarity as S
+
+    out = {r["signal"]: r["n_pairs"] for r in D.crossmodal_dedup_agreement(t).collect()}
+    assert set(out) <= {"both", "text_only", "embedding_only"}
+    n_text = D.dedup_ngram_jaccard(t).count()
+    n_emb = S.embedding_near_dup(t).count()
+    assert out.get("both", 0) + out.get("text_only", 0) == n_text
+    assert out.get("both", 0) + out.get("embedding_only", 0) == n_emb
