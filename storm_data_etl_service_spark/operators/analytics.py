@@ -887,3 +887,71 @@ def rfm_segment_counts(t) -> DataFrame:
         .groupBy("r_score", "f_score", "m_score")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+def weekly_churn_rate(t) -> DataFrame:
+    """Weekly churn: of the users active in week w, how many have no
+    activity in week w+1 (the final week is excluded — its churn is
+    not yet observable).  Companion of cohort_retention.
+
+    Shape: distinct (user, week) collapses the fact table first; the
+    churn test is a lead() over each user's week sequence — one sort
+    shuffle on user_id, then a per-week aggregate; no self-join of
+    the activity table against itself."""
+    uw = (
+        t["events"]
+        .select("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("week")
+    max_week = uw.agg(F.max("week").alias("max_week"))
+    flagged = (
+        uw.withColumn("next_week", F.lead("week").over(w))
+        .crossJoin(F.broadcast(max_week))
+        .filter(F.col("week") < F.col("max_week"))
+        .withColumn(
+            "churned",
+            F.col("next_week").isNull()
+            | (F.col("next_week") > F.date_add(F.col("week").cast("date"), 7)),
+        )
+    )
+    return flagged.groupBy("week").agg(
+        F.count("*").alias("n_active"),
+        F.count(F.when(F.col("churned"), F.lit(1))).alias("n_churned"),
+        (
+            F.count(F.when(F.col("churned"), F.lit(1))).cast("double")
+            / F.count("*")
+        ).alias("churn_rate"),
+    )
+
+
+def segmented_running_total(t) -> DataFrame:
+    """Running total of event value per user that RESETS at every
+    'signup' event — the gaps-and-islands segmented cumulative sum
+    (billing cycles, session spend, counters with checkpoints).
+
+    Two stacked windows on one (user_id, ts) sort: a running count of
+    reset markers assigns the segment id, then the cumulative sum
+    runs per (user, segment).  The accumulation is decimal —
+    windowed double sums are engine-divergent (DuckDB's segment-tree
+    evaluation adds in a different order than Spark's sequential
+    frame scan), decimal addition is order-free."""
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = F.sum(
+        F.when(F.col("event_type") == "signup", 1).otherwise(0)
+    ).over(wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df = t["events"].select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    ).withColumn("segment", seg)
+    wrun = Window.partitionBy("user_id", "segment").orderBy(
+        "ts", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.select(
+        "user_id",
+        "event_id",
+        "segment",
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .over(wrun)
+        .cast("double")
+        .alias("running_value"),
+    )

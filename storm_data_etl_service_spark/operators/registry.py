@@ -2214,3 +2214,42 @@ FROM tpairs tp FULL OUTER JOIN epairs ep
 GROUP BY signal""",
     ("dedup", "crossmodal"),
 )
+
+REGISTRY["weekly_churn_rate"] = QuerySpec(
+    _t(A.weekly_churn_rate),
+    """WITH uw AS (
+  SELECT DISTINCT user_id, cast(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events),
+mx AS (SELECT max(week) AS max_week FROM uw),
+led AS (
+  SELECT user_id, week,
+    lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+  FROM uw),
+flagged AS (
+  SELECT week,
+    (next_week IS NULL
+     OR next_week > cast(cast(week AS DATE) + 7 AS TIMESTAMP)) AS churned
+  FROM led, mx WHERE week < max_week)
+SELECT week, count(*) AS n_active,
+  count(*) FILTER (WHERE churned) AS n_churned,
+  cast(count(*) FILTER (WHERE churned) AS DOUBLE) / count(*) AS churn_rate
+FROM flagged GROUP BY week""",
+    ("analytics", "retention"),
+)
+
+REGISTRY["segmented_running_total"] = QuerySpec(
+    _t(A.segmented_running_total),
+    """WITH seg AS (
+  SELECT user_id, event_id, ts, value,
+    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment
+  FROM events)
+SELECT user_id, event_id, segment,
+  cast(sum(cast(value AS DECIMAL(25,6)))
+    OVER (PARTITION BY user_id, segment ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS DOUBLE) AS running_value
+FROM seg""",
+    ("analytics", "window-frame", "islands"),
+)

@@ -405,3 +405,35 @@ def test_crossmodal_agreement_accounts_for_both_signals(t):
     n_emb = S.embedding_near_dup(t).count()
     assert out.get("both", 0) + out.get("text_only", 0) == n_text
     assert out.get("both", 0) + out.get("embedding_only", 0) == n_emb
+
+
+def test_segmented_running_total_resets_at_signup(t):
+    out = A.segmented_running_total(t)
+    ev = t["events"]
+    assert out.count() == ev.count()
+    # within each (user, segment), running_value is the prefix sum of
+    # values in (ts, event_id) order — check one user end-to-end
+    uid = ev.groupBy("user_id").count().orderBy(F.desc("count")).first()["user_id"]
+    rows = (
+        out.join(ev.select("user_id", "event_id", "ts", "event_type", "value"),
+                 ["user_id", "event_id"])
+        .filter(F.col("user_id") == uid)
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    seg, acc = None, 0.0
+    for r in rows:
+        if r["event_type"] == "signup" and r["segment"] != seg:
+            pass  # signup row starts its own segment below
+        if r["segment"] != seg:
+            seg, acc = r["segment"], 0.0
+        acc += r["value"]
+        assert abs(r["running_value"] - acc) < 1e-6, r
+
+
+def test_weekly_churn_rate_bounds(t):
+    out = A.weekly_churn_rate(t).collect()
+    assert out  # at least one observable week
+    for r in out:
+        assert 0 <= r["n_churned"] <= r["n_active"]
+        assert abs(r["churn_rate"] - r["n_churned"] / r["n_active"]) < 1e-12
