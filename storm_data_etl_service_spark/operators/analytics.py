@@ -955,3 +955,30 @@ def segmented_running_total(t) -> DataFrame:
         .cast("double")
         .alias("running_value"),
     )
+
+
+def part_affinity_topk(t, k: int = 25) -> DataFrame:
+    """Parts bought together: top-k part pairs by co-occurrence count
+    across orders — market-basket affinity on the FACT table (the
+    event_cooccurrence_support of a 10^9-order world).
+
+    Scale: the pair expansion is a self-join WITHIN l_orderkey (pair
+    count per order is bounded by order width squared, not table
+    size), the pair aggregate combines map-side, and the top-k is
+    TakeOrderedAndProject — no global sort, no driver collection."""
+    li = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(k)
+    )

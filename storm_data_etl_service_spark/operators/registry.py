@@ -2253,3 +2253,16 @@ SELECT user_id, event_id, segment,
 FROM seg""",
     ("analytics", "window-frame", "islands"),
 )
+
+REGISTRY["part_affinity_topk"] = QuerySpec(
+    _t(A.part_affinity_topk),
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS n_orders
+FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 25""",
+    ("analytics", "association", "topk"),
+)
