@@ -437,3 +437,40 @@ def test_weekly_churn_rate_bounds(t):
     for r in out:
         assert 0 <= r["n_churned"] <= r["n_active"]
         assert abs(r["churn_rate"] - r["n_churned"] / r["n_active"]) < 1e-12
+
+
+FLOAT_HEAVY = [
+    "correlation_stats",
+    "centroid_similarity_matrix",
+    "linear_interpolate",
+    "ratio_to_report",
+    "mad_outlier_stats",
+    "distribution_drift_chi2",
+    "embedding_power_iteration",
+    "pagerank_neardup",
+]
+
+
+def test_float_results_are_partition_count_independent(spark, sf_dir):
+    """The repo's central determinism claim, tested directly: the
+    float-heavy queries must return BIT-IDENTICAL values when the
+    shuffle partitioning (and therefore partial-aggregation order)
+    changes.  Plain double sums would fail this; the decimal routes /
+    fixed-point folds are what make it pass."""
+    from storm_data_etl_service_spark.operators.registry import REGISTRY
+
+    def run_all(n_part):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+        try:
+            out = {}
+            for name in FLOAT_HEAVY:
+                rows = REGISTRY[name].build(spark, sf_dir).collect()
+                out[name] = sorted(tuple(r) for r in rows)
+            return out
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    a, b = run_all(3), run_all(29)
+    for name in FLOAT_HEAVY:
+        assert a[name] == b[name], f"{name} drifted with partition count"
