@@ -982,3 +982,58 @@ def part_affinity_topk(t, k: int = 25) -> DataFrame:
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(k)
     )
+
+
+def markov_prediction_accuracy(t) -> DataFrame:
+    """Train/eval of the Markov next-event predictor inside the
+    engine: transitions from the first half of the timeline train an
+    argmax next-type table; transitions starting in the second half
+    score it.  Per from_type: eval count, hits, accuracy — the
+    pattern every in-warehouse model-quality job follows (temporal
+    split, no leakage: a transition belongs to the half of its FIRST
+    event).
+
+    Shapes already proven elsewhere: lead window for pairs
+    (event_transition_matrix), 1-row broadcast split point
+    (distribution_drift_chi2), sort-free struct-max argmax
+    (grouped_top1_spender; ties break to the lexicographically
+    larger type).  The predictor table is |types| rows — broadcast."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        t["events"]
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select("ts", F.col("event_type").alias("from_type"), "to_type")
+    )
+    mid = t["events"].agg(
+        (
+            F.unix_micros(F.min("ts"))
+            + (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 2
+        ).alias("mid_us")
+    )
+    staged = pairs.crossJoin(F.broadcast(mid)).withColumn(
+        "is_train", F.unix_micros(F.col("ts")) < F.col("mid_us")
+    )
+    train_counts = (
+        staged.filter("is_train")
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    model = train_counts.groupBy("from_type").agg(
+        F.max(F.struct(F.col("n"), F.col("to_type"))).alias("b")
+    ).select("from_type", F.col("b.to_type").alias("predicted"))
+    ev = staged.filter(~F.col("is_train"))
+    return (
+        ev.join(F.broadcast(model), "from_type")
+        .groupBy("from_type")
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.count(F.when(F.col("to_type") == F.col("predicted"), F.lit(1))).alias(
+                "n_correct"
+            ),
+        )
+        .withColumn(
+            "accuracy", F.col("n_correct").cast("double") / F.col("n_eval")
+        )
+    )

@@ -2266,3 +2266,35 @@ ORDER BY n_orders DESC, part_a, part_b
 LIMIT 25""",
     ("analytics", "association", "topk"),
 )
+
+REGISTRY["markov_prediction_accuracy"] = QuerySpec(
+    _t(A.markov_prediction_accuracy),
+    """WITH pairs AS (
+  SELECT ts, event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS to_type
+  FROM events),
+p AS (SELECT * FROM pairs WHERE to_type IS NOT NULL),
+mid AS (
+  SELECT epoch_us(min(ts)) + (epoch_us(max(ts)) - epoch_us(min(ts))) / 2
+    AS mid_us
+  FROM events),
+staged AS (
+  SELECT from_type, to_type, epoch_us(ts) < mid_us AS is_train
+  FROM p, mid),
+train_counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM staged WHERE is_train GROUP BY from_type, to_type),
+model AS (
+  SELECT from_type,
+         max(struct_pack(n := n, to_type := to_type)).to_type AS predicted
+  FROM train_counts GROUP BY from_type)
+SELECT from_type, count(*) AS n_eval,
+  count(*) FILTER (WHERE to_type = predicted) AS n_correct,
+  cast(count(*) FILTER (WHERE to_type = predicted) AS DOUBLE) / count(*)
+    AS accuracy
+FROM staged JOIN model USING (from_type)
+WHERE NOT is_train
+GROUP BY from_type""",
+    ("analytics", "ml-eval", "sequence"),
+)

@@ -474,3 +474,15 @@ def test_float_results_are_partition_count_independent(spark, sf_dir):
     a, b = run_all(3), run_all(29)
     for name in FLOAT_HEAVY:
         assert a[name] == b[name], f"{name} drifted with partition count"
+
+
+def test_markov_eval_accounts_all_eval_transitions(t):
+    out = A.markov_prediction_accuracy(t).cache()
+    for r in out.collect():
+        assert 0 <= r["n_correct"] <= r["n_eval"]
+        assert abs(r["accuracy"] - r["n_correct"] / r["n_eval"]) < 1e-12
+    # majority-class predictor must beat 1/|types| on average
+    total_eval = out.agg(F.sum("n_eval")).first()[0]
+    total_hit = out.agg(F.sum("n_correct")).first()[0]
+    n_types = t["events"].select("event_type").distinct().count()
+    assert total_hit / total_eval >= 1.0 / n_types * 0.8
