@@ -2298,3 +2298,46 @@ WHERE NOT is_train
 GROUP BY from_type""",
     ("analytics", "ml-eval", "sequence"),
 )
+
+
+def _nearest_centroid_oracle() -> str:
+    from storm_data_etl_service_spark.operators.similarity import EMBEDDING_DIM
+
+    n = EMBEDDING_DIM
+    l2 = (
+        f"list_reduce(list_transform(generate_series(1, {n}),"
+        f" i -> (t.v[i]-c.cv[i])*(t.v[i]-c.cv[i])), (x,y) -> x+y)"
+    )
+    return f"""WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+train AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+test AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+ex AS (
+  SELECT label, i AS pos, v[i] AS val
+  FROM train, unnest(generate_series(1, {n})) AS u(i)),
+per_dim AS (
+  SELECT label, pos,
+    cast(sum(cast(floor(val * 1e9) AS DECIMAL(25,0))) AS DOUBLE)
+      / (count(*) * 1e9) AS mv
+  FROM ex GROUP BY label, pos),
+cent AS (
+  SELECT label AS pred_label, list(mv ORDER BY pos) AS cv
+  FROM per_dim GROUP BY label),
+scored AS (
+  SELECT t.vec_id, t.label, c.pred_label,
+    row_number() OVER (PARTITION BY t.vec_id
+                       ORDER BY {l2}, c.pred_label) AS rk
+  FROM test t, cent c)
+SELECT label, count(*) AS n_test,
+  count(*) FILTER (WHERE pred_label = label) AS n_correct,
+  cast(count(*) FILTER (WHERE pred_label = label) AS DOUBLE) / count(*)
+    AS accuracy
+FROM scored WHERE rk = 1
+GROUP BY label"""
+
+
+REGISTRY["nearest_centroid_accuracy"] = QuerySpec(
+    _t(S.nearest_centroid_accuracy),
+    _nearest_centroid_oracle(),
+    ("similarity", "ml-eval", "classification"),
+)

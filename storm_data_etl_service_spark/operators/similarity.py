@@ -459,3 +459,55 @@ def embedding_power_iteration(t, iters: int = POWER_ITERS) -> DataFrame:
     return spark.createDataFrame(
         [(v, eig)], "eigenvector array<double>, eigenvalue double"
     )
+
+
+def nearest_centroid_accuracy(t) -> DataFrame:
+    """Nearest-centroid classifier eval on a deterministic holdout:
+    centroids train on even vec_ids, odd vec_ids classify by nearest
+    centroid (L2), scored per true label — the second in-engine
+    model-quality loop (companion of markov_prediction_accuracy),
+    and the evaluation half of what embedding_label_centroids
+    produces.
+
+    Determinism: fixed-point centroid means (see
+    embedding_label_centroids), sequential-fold L2 distances (the
+    IVF-proven bit-equal shape), argmin tie-broken on predicted
+    label.  Scale: K-row centroid table broadcast across the test
+    scan; per-vector argmin window over K candidate rows."""
+    emb = t["embeddings"].select(
+        "vec_id", "label", _vec(F.col("embedding")).alias("v")
+    )
+    train = emb.filter(F.col("vec_id") % 2 == 0)
+    test = emb.filter(F.col("vec_id") % 2 == 1)
+
+    ex = train.select("label", F.posexplode("v").alias("pos", "val"))
+    fixed = F.floor(F.col("val") * 1e9).cast("decimal(25,0)")
+    per_dim = ex.groupBy("label", "pos").agg(
+        (F.sum(fixed).cast("double") / (F.count("*") * F.lit(1e9))).alias("mv")
+    )
+    cent = per_dim.groupBy(F.col("label").alias("pred_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s.mv
+        ).alias("cv")
+    )
+    scored = test.crossJoin(F.broadcast(cent)).withColumn(
+        "_d", _l2sq(F.col("v"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("pred_label"))
+    best = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("vec_id", "label", "pred_label")
+    )
+    return (
+        best.groupBy("label")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.count(F.when(F.col("pred_label") == F.col("label"), F.lit(1))).alias(
+                "n_correct"
+            ),
+        )
+        .withColumn(
+            "accuracy", F.col("n_correct").cast("double") / F.col("n_test")
+        )
+    )

@@ -486,3 +486,18 @@ def test_markov_eval_accounts_all_eval_transitions(t):
     total_hit = out.agg(F.sum("n_correct")).first()[0]
     n_types = t["events"].select("event_type").distinct().count()
     assert total_hit / total_eval >= 1.0 / n_types * 0.8
+
+
+def test_nearest_centroid_eval_accounting(t):
+    """Synthetic embeddings carry no label signal, so accuracy sits
+    near chance (1/K) — the eval must account every holdout vector
+    and stay within [0, 1]; signal strength is a property of the
+    data, not the operator."""
+    from storm_data_etl_service_spark.operators import similarity as S
+
+    out = S.nearest_centroid_accuracy(t).cache()
+    n_odd = t["embeddings"].filter("vec_id % 2 = 1").count()
+    assert out.agg(F.sum("n_test")).first()[0] == n_odd
+    for r in out.collect():
+        assert 0 <= r["n_correct"] <= r["n_test"]
+        assert 0.0 <= r["accuracy"] <= 1.0
