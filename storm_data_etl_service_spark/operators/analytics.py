@@ -1037,3 +1037,29 @@ def markov_prediction_accuracy(t) -> DataFrame:
             "accuracy", F.col("n_correct").cast("double") / F.col("n_eval")
         )
     )
+
+
+def seasonality_profile(t) -> DataFrame:
+    """Activity seasonality: event share per (ISO weekday, hour-of-day)
+    cell — the load-shape profile behind capacity planning and
+    anomaly baselines.  ISO weekday (1=Monday) on both engines sidesteps
+    the classic off-by-one: Spark's dayofweek() counts 1=Sunday while
+    DuckDB's dayofweek() counts 0=Sunday; weekday()+1 == isodow.
+
+    One map-side-combined aggregate over 7x24 cells; the total is a
+    1-row broadcast."""
+    cells = (
+        t["events"]
+        .groupBy(
+            (F.weekday(F.col("ts")) + 1).alias("dow_iso"),
+            F.hour(F.col("ts")).alias("hour"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    total = t["events"].agg(F.count("*").alias("total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "dow_iso",
+        "hour",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+    )

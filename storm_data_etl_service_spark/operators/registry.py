@@ -2341,3 +2341,15 @@ REGISTRY["nearest_centroid_accuracy"] = QuerySpec(
     _nearest_centroid_oracle(),
     ("similarity", "ml-eval", "classification"),
 )
+
+REGISTRY["seasonality_profile"] = QuerySpec(
+    _t(A.seasonality_profile),
+    """WITH cells AS (
+  SELECT cast(isodow(ts) AS INTEGER) AS dow_iso,
+         cast(hour(ts) AS INTEGER) AS hour, count(*) AS n
+  FROM events GROUP BY dow_iso, hour),
+total AS (SELECT count(*) AS total FROM events)
+SELECT dow_iso, hour, n, cast(n AS DOUBLE) / total AS share
+FROM cells, total""",
+    ("analytics", "seasonality"),
+)

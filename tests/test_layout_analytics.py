@@ -501,3 +501,11 @@ def test_nearest_centroid_eval_accounting(t):
     for r in out.collect():
         assert 0 <= r["n_correct"] <= r["n_test"]
         assert 0.0 <= r["accuracy"] <= 1.0
+
+
+def test_seasonality_covers_full_grid_and_sums_to_one(t):
+    out = A.seasonality_profile(t).cache()
+    assert out.count() <= 7 * 24
+    assert abs(out.agg(F.sum("share")).first()[0] - 1.0) < 1e-9
+    assert out.filter("dow_iso < 1 OR dow_iso > 7 OR hour < 0 OR hour > 23").count() == 0
+    assert out.agg(F.sum("n")).first()[0] == t["events"].count()
