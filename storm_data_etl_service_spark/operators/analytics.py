@@ -1063,3 +1063,75 @@ def seasonality_profile(t) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("total")).alias("share"),
     )
+
+
+JACKKNIFE_GROUPS = 10
+
+
+def jackknife_mean_ci(t, g: int = JACKKNIFE_GROUPS) -> DataFrame:
+    """Mean event value per type WITH an error bar: delete-one-group
+    jackknife over g deterministic hash buckets — distributed
+    uncertainty estimation without random sampling (a hash bucket is
+    reproducible across runs, engines, and cluster layouts; a random
+    bootstrap is not).
+
+    SE = sqrt((g-1)/g * sum_i (m_i - mean(m_i))^2) over the g
+    leave-one-bucket-out means.  All bucket sums are decimal-exact,
+    so every m_i — and therefore the interval — is deterministic.
+    One aggregation over (type, bucket) cells, then per-type
+    combination over g rows: two tiny shuffles."""
+    bucket = (F.col("event_id") % g).cast("int")
+    cells = (
+        t["events"]
+        .groupBy("event_type", bucket.alias("b"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("s"),
+        )
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n").alias("n_tot"), F.sum("s").alias("s_tot")
+    )
+    loo = (
+        cells.join(totals, "event_type")
+        .select(
+            "event_type",
+            "n_tot",
+            "s_tot",
+            (
+                (F.col("s_tot") - F.col("s")).cast("double")
+                / (F.col("n_tot") - F.col("n")).cast("double")
+            ).alias("m_i"),
+        )
+    )
+    agg = loo.groupBy("event_type").agg(
+        F.min("n_tot").alias("n"),
+        (F.min("s_tot").cast("double") / F.min("n_tot")).alias("mean_value"),
+        F.count("*").alias("g"),
+        (
+            F.sum(F.floor(F.col("m_i") * F.lit(1e9)).cast("decimal(25,0)")).cast(
+                "double"
+            )
+            / F.lit(1e9)
+        ).alias("sum_mi"),
+        (
+            F.sum(
+                F.floor(F.col("m_i") * F.col("m_i") * F.lit(1e9)).cast(
+                    "decimal(25,0)"
+                )
+            ).cast("double")
+            / F.lit(1e9)
+        ).alias("sum_mi2"),
+    )
+    var_term = (
+        F.col("sum_mi2") - F.col("sum_mi") * F.col("sum_mi") / F.col("g")
+    )
+    se = F.sqrt((F.col("g") - 1.0) / F.col("g") * var_term)
+    return agg.select(
+        "event_type",
+        "n",
+        "mean_value",
+        se.alias("jackknife_se"),
+        (F.col("mean_value") - 1.96 * se).alias("ci_lo"),
+        (F.col("mean_value") + 1.96 * se).alias("ci_hi"),
+    )

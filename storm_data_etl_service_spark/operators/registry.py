@@ -2353,3 +2353,35 @@ SELECT dow_iso, hour, n, cast(n AS DOUBLE) / total AS share
 FROM cells, total""",
     ("analytics", "seasonality"),
 )
+
+REGISTRY["jackknife_mean_ci"] = QuerySpec(
+    _t(A.jackknife_mean_ci),
+    """WITH cells AS (
+  SELECT event_type, cast(event_id % 10 AS INTEGER) AS b,
+    count(*) AS n, sum(cast(value AS DECIMAL(25,6))) AS s
+  FROM events GROUP BY event_type, b),
+totals AS (
+  SELECT event_type, sum(n) AS n_tot, sum(s) AS s_tot
+  FROM cells GROUP BY event_type),
+loo AS (
+  SELECT cells.event_type, n_tot, s_tot,
+    cast(s_tot - s AS DOUBLE) / cast(n_tot - n AS DOUBLE) AS m_i
+  FROM cells JOIN totals USING (event_type)),
+agg AS (
+  SELECT event_type, min(n_tot) AS n,
+    cast(min(s_tot) AS DOUBLE) / min(n_tot) AS mean_value,
+    count(*) AS g,
+    cast(sum(cast(floor(m_i * 1e9) AS DECIMAL(25,0))) AS DOUBLE) / 1e9
+      AS sum_mi,
+    cast(sum(cast(floor(m_i * m_i * 1e9) AS DECIMAL(25,0))) AS DOUBLE) / 1e9
+      AS sum_mi2
+  FROM loo GROUP BY event_type)
+SELECT event_type, n, mean_value,
+  sqrt((g - 1.0) / g * (sum_mi2 - sum_mi * sum_mi / g)) AS jackknife_se,
+  mean_value - 1.96 * sqrt((g - 1.0) / g * (sum_mi2 - sum_mi * sum_mi / g))
+    AS ci_lo,
+  mean_value + 1.96 * sqrt((g - 1.0) / g * (sum_mi2 - sum_mi * sum_mi / g))
+    AS ci_hi
+FROM agg""",
+    ("analytics", "statistics", "uncertainty"),
+)

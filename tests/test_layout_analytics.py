@@ -509,3 +509,22 @@ def test_seasonality_covers_full_grid_and_sums_to_one(t):
     assert abs(out.agg(F.sum("share")).first()[0] - 1.0) < 1e-9
     assert out.filter("dow_iso < 1 OR dow_iso > 7 OR hour < 0 OR hour > 23").count() == 0
     assert out.agg(F.sum("n")).first()[0] == t["events"].count()
+
+
+def test_jackknife_ci_contains_mean_and_is_calibrated(t):
+    import numpy as np
+
+    out = {r["event_type"]: r for r in A.jackknife_mean_ci(t).collect()}
+    rows = t["events"].select("event_type", "value").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for et, vals in by_type.items():
+        r = out[et]
+        v = np.array(vals)
+        assert r["n"] == len(vals)
+        assert abs(r["mean_value"] - v.mean()) < 1e-6
+        assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"]
+        # jackknife SE should be within a small factor of the CLT SE
+        clt_se = v.std(ddof=1) / np.sqrt(len(v))
+        assert 0.2 * clt_se < r["jackknife_se"] < 5 * clt_se, (et, r["jackknife_se"], clt_se)
