@@ -1135,3 +1135,57 @@ def jackknife_mean_ci(t, g: int = JACKKNIFE_GROUPS) -> DataFrame:
         (F.col("mean_value") - 1.96 * se).alias("ci_lo"),
         (F.col("mean_value") + 1.96 * se).alias("ci_hi"),
     )
+
+
+def seasonal_anomaly_hours(t) -> DataFrame:
+    """Seasonality-aware anomaly detection on hourly event volume:
+    each hour's count is compared against the robust baseline of its
+    own (ISO weekday, hour-of-day) cell — median and MAD across the
+    weeks — and hours beyond ``max(3 * 1.4826 * MAD, 2)`` are flagged.
+    The 2-count floor keeps a zero-MAD cell (common with few weekly
+    samples) from flagging every ±1 fluctuation.
+
+    Gap-aware: the hour spine is generated with ``sequence`` between
+    the observed min/max hours, so an hour with ZERO events — invisible
+    to a plain groupBy, and exactly the outage a monitor must catch —
+    is scored like any other observation.
+
+    Scale: the fact table collapses to one row per hour in a map-side
+    combined aggregate before anything else; the spine join and both
+    window passes run at hour cardinality (~9k rows/year).  The two
+    percentile windows share one (dow, hour) partitioning, so the
+    second reuses the first's shuffle."""
+    hourly = (
+        t["events"]
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    filled = spine.join(hourly, "h", "left").select(
+        "h", F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n")
+    )
+    cells = filled.select(
+        "h",
+        "n",
+        (F.weekday(F.col("h")) + 1).alias("dow_iso"),
+        F.hour(F.col("h")).alias("hour"),
+    )
+    wc = Window.partitionBy("dow_iso", "hour")
+    d = cells.withColumn("med", F.percentile("n", 0.5).over(wc)).withColumn(
+        "mad", F.percentile(F.abs(F.col("n") - F.col("med")), 0.5).over(wc)
+    )
+    threshold = F.greatest(
+        F.lit(3.0) * F.lit(1.4826) * F.col("mad"), F.lit(2.0)
+    )
+    return d.filter(F.abs(F.col("n") - F.col("med")) > threshold).select(
+        F.col("h").alias("hour_ts"),
+        "dow_iso",
+        "hour",
+        "n",
+        "med",
+        "mad",
+        F.abs(F.col("n") - F.col("med")).alias("deviation"),
+    )

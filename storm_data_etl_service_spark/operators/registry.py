@@ -2385,3 +2385,56 @@ SELECT event_type, n, mean_value,
 FROM agg""",
     ("analytics", "statistics", "uncertainty"),
 )
+
+REGISTRY["seasonal_anomaly_hours"] = QuerySpec(
+    _t(A.seasonal_anomaly_hours),
+    """WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY h),
+bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+filled AS (
+  SELECT spine.h, coalesce(n, 0) AS n
+  FROM spine LEFT JOIN hourly ON spine.h = hourly.h),
+cells AS (
+  SELECT h, n, cast(isodow(h) AS INTEGER) AS dow_iso,
+         cast(hour(h) AS INTEGER) AS hour
+  FROM filled),
+d AS (
+  SELECT *, quantile_cont(n, 0.5) OVER (PARTITION BY dow_iso, hour) AS med
+  FROM cells),
+d2 AS (
+  SELECT *, quantile_cont(abs(n - med), 0.5)
+    OVER (PARTITION BY dow_iso, hour) AS mad
+  FROM d)
+SELECT h AS hour_ts, dow_iso, hour, n, med, mad,
+       abs(n - med) AS deviation
+FROM d2
+WHERE abs(n - med) > greatest(3.0 * 1.4826 * mad, 2.0)""",
+    ("analytics", "anomaly", "seasonality"),
+)
+
+REGISTRY["bm25_doc_ranking"] = QuerySpec(
+    _t(X.bm25_doc_ranking),
+    f"""WITH {_TOKEN_CTE},
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+dl AS (SELECT doc_id, cast(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+tot AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+    cast((SELECT cast(sum(dl) AS BIGINT) FROM dl) AS DOUBLE)
+      / (SELECT count(*) FROM documents) AS avgdl),
+scored AS (
+  SELECT doc_id, count(*) AS matched_terms, min(dl) AS dl,
+    cast(sum(cast(floor(
+      (floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1e6) / 1e6)
+      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+      * 1e6) AS DECIMAL(25,0))) AS DOUBLE) / 1e6 AS score
+  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), tot
+  WHERE token IN ('join', 'vector', 'stream')
+  GROUP BY doc_id)
+SELECT doc_id, matched_terms, dl, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
+    ("text", "retrieval", "bm25"),
+)

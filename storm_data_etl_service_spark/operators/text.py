@@ -381,3 +381,77 @@ def boilerplate_prefix_report(t) -> DataFrame:
             (F.col("n").cast("double") / F.col("total")).alias("share"),
         )
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("join", "vector", "stream")
+
+
+def bm25_doc_ranking(t, terms=BM25_QUERY_TERMS) -> DataFrame:
+    """Top-10 documents for a fixed query by BM25 — the canonical
+    retrieval scorer (k1=1.2, b=0.75) behind corpus search and
+    RAG-style training-data selection.
+
+    Determinism across engines: every IEEE +,*,/ step is written with
+    the identical expression shape in Spark and the oracle (basic ops
+    are correctly rounded, hence bit-identical), but libm ``ln`` is
+    NOT — so the per-term idf is floor-quantized at 1e-6 immediately
+    after the log, and per-doc term contributions are summed through a
+    fixed-point DECIMAL (double addition is order-dependent; decimal
+    addition is not).  Same recipe as correlation_stats / pagerank.
+
+    Scale: scoring runs over the (doc, term) count table filtered to
+    the query's terms BEFORE any join — at most |terms| rows per doc.
+    df and corpus stats are 1-broadcast-each; the only fact-scale
+    shuffle is the doc-length join on doc_id, and the final top-k is
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    toks = t["documents"].select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    tot = (
+        t["documents"]
+        .agg(F.count("*").alias("n_docs"))
+        .crossJoin(dl.agg(F.sum("dl").alias("tot_dl")))
+        .select(
+            "n_docs",
+            (F.col("tot_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+        )
+    )
+    qtf = tf.filter(F.col("token").isin(*terms))
+    idf = (
+        F.floor(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * F.lit(1e6)
+        )
+        / F.lit(1e6)
+    )
+    tf_part = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = idf * tf_part
+    scored = (
+        qtf.join(F.broadcast(dfreq.filter(F.col("token").isin(*terms))), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("matched_terms"),
+            F.min("dl").alias("dl"),
+            (
+                F.sum(
+                    F.floor(contrib * F.lit(1e6)).cast("decimal(25,0)")
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)

@@ -528,3 +528,34 @@ def test_jackknife_ci_contains_mean_and_is_calibrated(t):
         # jackknife SE should be within a small factor of the CLT SE
         clt_se = v.std(ddof=1) / np.sqrt(len(v))
         assert 0.2 * clt_se < r["jackknife_se"] < 5 * clt_se, (et, r["jackknife_se"], clt_se)
+
+
+def test_seasonal_anomaly_flags_planted_spike_and_outage(spark):
+    """Four weeks of a flat 10-events/hour baseline, plus one planted
+    100-event spike and one planted zero-event outage (in different
+    weekday/hour cells, so each cell's MAD stays 0): exactly those two
+    hours must be flagged, the outage proving the spine makes missing
+    hours visible."""
+    from datetime import datetime
+
+    outage, spike_at = datetime(2024, 1, 10, 7), datetime(2024, 1, 19, 15)
+    base = spark.sql(
+        """SELECT h AS ts FROM (
+             SELECT explode(sequence(
+               timestamp'2024-01-01 00:00:00', timestamp'2024-01-28 23:00:00',
+               interval 1 hour)) AS h)
+           LATERAL VIEW explode(sequence(1, 10)) r AS i
+           WHERE h <> timestamp'2024-01-10 07:00:00'"""
+    )
+    spike = spark.sql(
+        """SELECT timestamp'2024-01-19 15:00:00' AS ts
+           FROM (SELECT explode(sequence(1, 90)))"""
+    )
+    out = A.seasonal_anomaly_hours({"events": base.union(spike)}).collect()
+    flagged = {r["hour_ts"]: r for r in out}
+    assert set(flagged) == {outage, spike_at}
+    assert flagged[outage]["n"] == 0
+    assert flagged[spike_at]["n"] == 100
+    for r in out:
+        assert r["deviation"] == abs(r["n"] - r["med"])
+        assert 1 <= r["dow_iso"] <= 7 and 0 <= r["hour"] <= 23

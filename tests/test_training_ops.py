@@ -272,6 +272,34 @@ def test_embedding_label_centroids_shape(spark, sf_dir):
     assert all(all(abs(x) < 1.0 for x in r["centroid"]) for r in rows)
 
 
+def test_bm25_ranking_invariants(spark, sf_dir):
+    """BM25 top-10: scores strictly positive and non-increasing,
+    matched_terms within the query size, and a planted two-term doc
+    must outrank a doc matching only one of the same terms."""
+    from storm_data_etl_service_spark.operators.text import bm25_doc_ranking
+
+    rows = REGISTRY["bm25_doc_ranking"].build(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["score"] > 0 and 1 <= r["matched_terms"] <= 3 for r in rows)
+    # same length, same tf per matched term: more matched terms wins
+    docs = spark.createDataFrame(
+        [
+            (1, "join vector filler filler"),
+            (2, "join filler filler filler"),
+            (3, "noise words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    planted = {
+        r["doc_id"]: r for r in bm25_doc_ranking({"documents": docs}).collect()
+    }
+    assert set(planted) == {1, 2}
+    assert planted[1]["score"] > planted[2]["score"]
+    assert planted[1]["matched_terms"] == 2
+
+
 def test_registry_md_is_fresh():
     """REGISTRY.md must match what the generator produces from the
     live REGISTRY — guards the doc against silently going stale."""
