@@ -1137,6 +1137,92 @@ def jackknife_mean_ci(t, g: int = JACKKNIFE_GROUPS) -> DataFrame:
     )
 
 
+def _hourly_counts_filled(t) -> DataFrame:
+    """One row per hour between the observed min/max hours with the
+    event count, zero-filled — the regular grid both the seasonal
+    anomaly monitor and the autocorrelation diagnostic need (a plain
+    groupBy silently drops empty hours and would bias both)."""
+    hourly = (
+        t["events"]
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    return spine.join(hourly, "h", "left").select(
+        "h", F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n")
+    )
+
+
+ACF_MAX_LAG = 24
+
+
+def hourly_autocorrelation(t, max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """Autocorrelation function of the hourly event-count series at
+    lags 1..24 — the standard seasonality/burstiness diagnostic (a
+    daily cycle shows as a peak at lag 24, an anti-phase half-day
+    trough at lag 12).
+
+    Determinism: hourly counts are integers, so every moment sum
+    (sum x, sum y, sum xy, sum x^2, sum y^2) is EXACT integer
+    arithmetic — no quantization needed anywhere; the only floating
+    point is the final Pearson formula over bit-identical integer
+    inputs (IEEE * - / sqrt are correctly rounded, hence
+    engine-identical).
+
+    Scale: the fact table collapses to hour cardinality (~9k
+    rows/year) in a map-side combined aggregate first; the 24 lead()
+    columns share ONE global-order window (a single-partition sort,
+    intentional and cheap at hour cardinality — never applied to the
+    fact table), and the explode fans each hour into at most 24
+    (lag, pair) rows before a tiny 24-group aggregate."""
+    filled = _hourly_counts_filled(t)
+    w = Window.orderBy("h")
+    lags = list(range(1, max_lag + 1))
+    leads = filled.select(
+        "n", *[F.lead("n", k).over(w).alias(f"l{k}") for k in lags]
+    )
+    pairs = (
+        leads.select(
+            F.col("n").alias("x"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("lag_hours"),
+                            F.col(f"l{k}").alias("y"),
+                        )
+                        for k in lags
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("x", F.col("p.lag_hours").alias("lag_hours"), F.col("p.y").alias("y"))
+        .filter(F.col("y").isNotNull())
+    )
+    m = pairs.groupBy("lag_hours").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    return m.select(
+        "lag_hours",
+        "n_pairs",
+        ((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).alias(
+            "acf"
+        ),
+    )
+
+
 def seasonal_anomaly_hours(t) -> DataFrame:
     """Seasonality-aware anomaly detection on hourly event volume:
     each hour's count is compared against the robust baseline of its
@@ -1155,19 +1241,7 @@ def seasonal_anomaly_hours(t) -> DataFrame:
     window passes run at hour cardinality (~9k rows/year).  The two
     percentile windows share one (dow, hour) partitioning, so the
     second reuses the first's shuffle."""
-    hourly = (
-        t["events"]
-        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
-        .agg(F.count("*").alias("n"))
-    )
-    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
-    spine = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
-    )
-    filled = spine.join(hourly, "h", "left").select(
-        "h", F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n")
-    )
-    cells = filled.select(
+    cells = _hourly_counts_filled(t).select(
         "h",
         "n",
         (F.weekday(F.col("h")) + 1).alias("dow_iso"),

@@ -2386,6 +2386,46 @@ FROM agg""",
     ("analytics", "statistics", "uncertainty"),
 )
 
+# Zero-filled hourly count grid (shared by the seasonal anomaly and
+# autocorrelation oracles).  NEVER rebind — any oracle string built
+# after a rebinding would silently change (see _TOKS_CTE note).
+_HOURLY_FILLED_CTE = """hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY h),
+bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+filled AS (
+  SELECT spine.h, coalesce(n, 0) AS n
+  FROM spine LEFT JOIN hourly ON spine.h = hourly.h)"""
+
+REGISTRY["hourly_autocorrelation"] = QuerySpec(
+    _t(A.hourly_autocorrelation),
+    f"""WITH {_HOURLY_FILLED_CTE},
+lags AS (SELECT unnest(range(1, 25)) AS lag_hours),
+pairs AS (
+  SELECT l.lag_hours, a.n AS x, b.n AS y
+  FROM filled a
+  CROSS JOIN lags l
+  JOIN filled b ON b.h = a.h + l.lag_hours * INTERVAL 1 HOUR),
+m AS (
+  SELECT lag_hours, count(*) AS n_pairs,
+         cast(sum(x) AS BIGINT) AS sx, cast(sum(y) AS BIGINT) AS sy,
+         cast(sum(x * y) AS BIGINT) AS sxy,
+         cast(sum(x * x) AS BIGINT) AS sxx,
+         cast(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY lag_hours)
+SELECT cast(lag_hours AS INTEGER) AS lag_hours, n_pairs,
+       (cast(n_pairs AS DOUBLE) * cast(sxy AS DOUBLE)
+          - cast(sx AS DOUBLE) * cast(sy AS DOUBLE))
+       / sqrt((cast(n_pairs AS DOUBLE) * cast(sxx AS DOUBLE)
+                 - cast(sx AS DOUBLE) * cast(sx AS DOUBLE))
+              * (cast(n_pairs AS DOUBLE) * cast(syy AS DOUBLE)
+                 - cast(sy AS DOUBLE) * cast(sy AS DOUBLE))) AS acf
+FROM m""",
+    ("analytics", "timeseries", "autocorrelation"),
+)
+
 REGISTRY["seasonal_anomaly_hours"] = QuerySpec(
     _t(A.seasonal_anomaly_hours),
     """WITH hourly AS (

@@ -530,6 +530,27 @@ def test_jackknife_ci_contains_mean_and_is_calibrated(t):
         assert 0.2 * clt_se < r["jackknife_se"] < 5 * clt_se, (et, r["jackknife_se"], clt_se)
 
 
+def test_autocorrelation_detects_planted_daily_cycle(spark):
+    """A square wave with a 24 h period (12 busy hours, 12 quiet) must
+    produce ACF ≈ +1 at lag 24 and ≈ -1 at the anti-phase lag 12, and
+    every coefficient must stay within [-1, 1]."""
+    events = spark.sql(
+        """SELECT h AS ts FROM (
+             SELECT explode(sequence(
+               timestamp'2024-01-01 00:00:00', timestamp'2024-01-14 23:00:00',
+               interval 1 hour)) AS h)
+           LATERAL VIEW explode(sequence(1, CASE WHEN hour(h) < 12 THEN 20 ELSE 5 END)) r AS i"""
+    )
+    acf = {
+        r["lag_hours"]: r["acf"]
+        for r in A.hourly_autocorrelation({"events": events}).collect()
+    }
+    assert set(acf) == set(range(1, 25))
+    assert acf[24] > 0.95
+    assert acf[12] < -0.95
+    assert all(-1.0 - 1e-9 <= v <= 1.0 + 1e-9 for v in acf.values())
+
+
 def test_seasonal_anomaly_flags_planted_spike_and_outage(spark):
     """Four weeks of a flat 10-events/hour baseline, plus one planted
     100-event spike and one planted zero-event outage (in different
