@@ -242,6 +242,49 @@ def source_blocklist_filter(t, min_avg_chars: float = 290.0) -> DataFrame:
     )
 
 
+def eval_decontamination(t, eval_mod: int = 20) -> DataFrame:
+    """Eval-set n-gram decontamination: flag training documents that
+    share any word-3-gram shingle with a held-out eval slice
+    (``doc_id % eval_mod == 0`` stands in for a real benchmark set).
+
+    The cross-dataset contamination check of an LLM data pipeline —
+    distinct from intra-corpus dedup (reference D8,
+    docs/Architecture.md:99-102, is within-stream): the comparison is
+    train x eval, and the eval side is tiny by construction, so its
+    exploded shingle set BROADCASTS.  The 100 TB train scan therefore
+    never shuffles for the match; the only exchange is the per-doc hit
+    rollup on doc_id, map-side combined.  Per contaminated train doc:
+    distinct shingles also present in the eval set, distinct eval docs
+    hit, and the contaminated share of the doc's shingles.
+    """
+    from storm_data_etl_service_spark.operators.dedup import _doc_shingles
+
+    sh = _doc_shingles(t)
+    is_eval = (F.col("doc_id") % eval_mod) == 0
+    # shingles_col is already array_distinct, so (eval_doc_id, s) pairs
+    # are distinct without an extra aggregation.
+    eval_grams = sh.filter(is_eval).select(
+        F.col("doc_id").alias("eval_doc_id"), F.explode("shingles").alias("s")
+    )
+    train = sh.filter(~is_eval)
+    hits = (
+        train.select("doc_id", F.explode("shingles").alias("s"))
+        .join(F.broadcast(eval_grams), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("hit_grams"),
+            F.countDistinct("eval_doc_id").alias("eval_docs_hit"),
+        )
+    )
+    counts = train.select("doc_id", F.size("shingles").alias("ns"))
+    return hits.join(counts, "doc_id").select(
+        "doc_id",
+        "hit_grams",
+        "eval_docs_hit",
+        (F.col("hit_grams").cast("double") / F.col("ns")).alias("contaminated_share"),
+    )
+
+
 def corpus_curation_pipeline(t) -> DataFrame:
     """End-to-end corpus curation: length/quality gate → exact dedup
     (canonical = min doc_id per content hash) → deterministic split

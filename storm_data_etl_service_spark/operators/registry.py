@@ -898,6 +898,15 @@ FROM documents""",
         " count(*) AS n_copies FROM documents GROUP BY sha256(text)",
         ("dedup",),
     ),
+    "dedup_jaccard_prefix_join": QuerySpec(
+        # Same contract as dedup_ngram_jaccard — same oracle — but via
+        # the prefix-filtering plan (exact recall, no common-shingle
+        # join blowup); the oracle-parity check proves the pruning
+        # loses nothing.
+        _t(D.dedup_jaccard_prefix_join),
+        _NGRAM_JACCARD_ORACLE,
+        ("dedup", "neardup", "scale"),
+    ),
     "dedup_ngram_jaccard": QuerySpec(
         _t(D.dedup_ngram_jaccard), _NGRAM_JACCARD_ORACLE, ("dedup", "neardup")
     ),
@@ -1181,6 +1190,23 @@ FROM documents
 WHERE source NOT IN (SELECT bad_source FROM bad)
 GROUP BY lang""",
         ("pipeline", "filter"),
+    ),
+    "eval_decontamination": QuerySpec(
+        _t(P.eval_decontamination),
+        f"""WITH {_TOKS_CTE},
+ev AS (SELECT doc_id AS eval_doc_id, unnest(shingles) AS s FROM shf WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id, unnest(shingles) AS s FROM shf WHERE doc_id % 20 != 0),
+cnt AS (SELECT doc_id, len(shingles) AS ns FROM shf WHERE doc_id % 20 != 0),
+hits AS (
+  SELECT tr.doc_id,
+         count(DISTINCT tr.s) AS hit_grams,
+         count(DISTINCT ev.eval_doc_id) AS eval_docs_hit
+  FROM tr JOIN ev ON tr.s = ev.s
+  GROUP BY 1)
+SELECT doc_id, hit_grams, eval_docs_hit,
+       CAST(hit_grams AS DOUBLE) / ns AS contaminated_share
+FROM hits JOIN cnt USING (doc_id)""",
+        ("pipeline", "decontamination", "neardup"),
     ),
     "corpus_curation_pipeline": QuerySpec(
         _t(P.corpus_curation_pipeline),

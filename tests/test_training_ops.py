@@ -300,6 +300,92 @@ def test_bm25_ranking_invariants(spark, sf_dir):
     assert planted[1]["matched_terms"] == 2
 
 
+def test_prefix_join_equals_naive_exact_jaccard(spark, sf_dir):
+    """Prefix filtering is a pure pruning: the candidate set shrinks
+    but the verified output is IDENTICAL to the naive exact join."""
+    naive = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in run("dedup_ngram_jaccard", spark, sf_dir).collect()
+    }
+    pruned = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in run("dedup_jaccard_prefix_join", spark, sf_dir).collect()
+    }
+    assert naive, "fixture should contain planted near-dup documents"
+    assert pruned == naive
+
+
+def test_prefix_join_prunes_candidate_pairs(spark, sf_dir):
+    """The prefix candidate join must generate strictly fewer pairs
+    than the all-shingles self-join — the point of the technique
+    (common shingles never enter the join) — while still covering
+    every true J ≥ 0.8 pair (100% recall, no sketch probability)."""
+    from storm_data_etl_service_spark.operators.dedup import (
+        _doc_shingles,
+        prefix_filter_candidates,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    sh = _doc_shingles(t)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    naive_pairs = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_candidates(sh).collect()
+    }
+    true_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in run("dedup_ngram_jaccard", spark, sf_dir).collect()
+    }
+    assert naive_pairs > 0 and true_pairs
+    assert true_pairs <= cand, "prefix filter must have exact recall"
+    assert len(cand) < naive_pairs, "prefix filter must prune candidates"
+
+
+def test_eval_decontamination_matches_python_model(spark, sf_dir):
+    """Independent driver-side recomputation of the train x eval
+    shingle-overlap report, plus the structural invariants: eval docs
+    never appear as output rows, and shares are in (0, 1]."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].collect()
+
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    ev = {r["doc_id"]: shingles(r["text"]) for r in docs if r["doc_id"] % 20 == 0}
+    expected = {}
+    for r in docs:
+        if r["doc_id"] % 20 == 0:
+            continue
+        sh = shingles(r["text"])
+        if not sh:
+            continue
+        hit = set().union(*(sh & es for es in ev.values())) if ev else set()
+        docs_hit = sum(1 for es in ev.values() if sh & es)
+        if hit:
+            expected[r["doc_id"]] = (len(hit), docs_hit, len(hit) / len(sh))
+
+    out = {
+        r["doc_id"]: (r["hit_grams"], r["eval_docs_hit"], r["contaminated_share"])
+        for r in run("eval_decontamination", spark, sf_dir).collect()
+    }
+    assert set(out) == set(expected)
+    assert all(d % 20 != 0 for d in out)
+    for d, (hg, eh, share) in expected.items():
+        assert out[d][:2] == (hg, eh)
+        assert 0.0 < out[d][2] <= 1.0
+        assert abs(out[d][2] - share) < 1e-12
+
+
 def test_registry_md_is_fresh():
     """REGISTRY.md must match what the generator produces from the
     live REGISTRY — guards the doc against silently going stale."""
