@@ -181,6 +181,57 @@ def prefix_filter_candidates(sh: DataFrame) -> DataFrame:
     )
 
 
+#: Window length (tokens) for exact duplicated-span detection.
+SPAN_TOKENS = 10
+
+
+def duplicated_span_report(t) -> DataFrame:
+    """Exact duplicated-SPAN detection: every 10-token window that
+    occurs in ≥ 2 distinct documents, with occurrence counts and the
+    canonical first occurrence (min (doc_id, pos)).
+
+    Span-granular exact substring dedup (the signal behind
+    suffix-array corpus dedup): doc-level Jaccard misses a quoted
+    paragraph inside two otherwise-different documents; this catches
+    it.  Plan: staged tokens → rolling windows via ``posexplode``
+    (map-only) → one partial-agg'd shuffle keyed on the span itself.
+    The first-occurrence argmin travels through the aggregation as a
+    single packed BIGINT ``doc_id*1e6 + pos`` (integer-exact in both
+    engines), never as a sort.
+    """
+    size = F.size("_toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), size - SPAN_TOKENS),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("_toks"), i + k + 1) for k in range(SPAN_TOKENS)]
+        ),
+    )
+    staged = (
+        t["documents"]
+        .select("doc_id", tokens_col(F.col("text")).alias("_toks"))
+        .filter(F.size("_toks") >= SPAN_TOKENS)
+        .select("doc_id", grams.alias("spans"))
+    )
+    ex = staged.select("doc_id", F.posexplode("spans").alias("pos", "span"))
+    first_key = F.min(F.col("doc_id") * 1000000 + F.col("pos") + 1).alias("first_key")
+    return (
+        ex.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            first_key,
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "span",
+            "n_docs",
+            "n_occurrences",
+            F.expr("first_key div 1000000").alias("first_doc_id"),
+            (F.col("first_key") % 1000000).alias("first_pos"),
+        )
+    )
+
+
 #: Universal-hash modulus for MinHash permutations (2^31 - 1, prime).
 MINHASH_P = 2147483647
 

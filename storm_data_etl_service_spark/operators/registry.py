@@ -910,6 +910,23 @@ FROM documents""",
     "dedup_ngram_jaccard": QuerySpec(
         _t(D.dedup_ngram_jaccard), _NGRAM_JACCARD_ORACLE, ("dedup", "neardup")
     ),
+    "duplicated_span_report": QuerySpec(
+        _t(D.duplicated_span_report),
+        r"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 9),
+         i -> struct_pack(pos := i, span := array_to_string(t[i:i+9], ' ')))) AS u
+  FROM toks WHERE len(t) >= 10),
+gg AS (SELECT doc_id, u.pos AS pos, u.span AS span FROM g)
+SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
+       min(doc_id * 1000000 + pos) // 1000000 AS first_doc_id,
+       min(doc_id * 1000000 + pos) % 1000000 AS first_pos
+FROM gg GROUP BY span HAVING count(DISTINCT doc_id) >= 2""",
+        ("dedup", "text", "substring"),
+    ),
     "dedup_minhash_lsh": QuerySpec(
         _t(D.dedup_minhash_lsh), _minhash_oracle(), ("dedup", "neardup", "lsh")
     ),

@@ -386,6 +386,35 @@ def test_eval_decontamination_matches_python_model(spark, sf_dir):
         assert abs(out[d][2] - share) < 1e-12
 
 
+def test_duplicated_spans_match_source_text(spark, sf_dir):
+    """Every reported duplicated 10-token span must actually occur at
+    its canonical (first_doc_id, first_pos) in the source text, and
+    the full report must equal a driver-side recomputation."""
+    docs = {
+        r["doc_id"]: r["text"].split()
+        for r in load_tables(spark, sf_dir, ("documents",))["documents"].collect()
+    }
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for d in sorted(docs):
+        toks = docs[d]
+        for i in range(len(toks) - 9):
+            occ[" ".join(toks[i : i + 10])].append((d, i + 1))
+    expected = {
+        s: (len({d for d, _ in v}), len(v), *min(v))
+        for s, v in occ.items()
+        if len({d for d, _ in v}) >= 2
+    }
+    out = {
+        r["span"]: (r["n_docs"], r["n_occurrences"], r["first_doc_id"], r["first_pos"])
+        for r in run("duplicated_span_report", spark, sf_dir).collect()
+    }
+    assert out == expected
+    for span, (_, _, d, pos) in out.items():
+        assert " ".join(docs[d][pos - 1 : pos + 9]) == span
+
+
 def test_registry_md_is_fresh():
     """REGISTRY.md must match what the generator produces from the
     live REGISTRY — guards the doc against silently going stale."""
