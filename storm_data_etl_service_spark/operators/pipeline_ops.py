@@ -285,6 +285,41 @@ def eval_decontamination(t, eval_mod: int = 20) -> DataFrame:
     )
 
 
+def source_mixture_weights(t) -> DataFrame:
+    """Temperature-scaled training-mixture weights per source:
+    w ∝ n^T with T = 0.5 (the sqrt temperature used to up-sample rare
+    sources/languages in multilingual corpus mixes).  Per source:
+    docs, normalized sampling share, and the boost factor vs natural
+    (proportional) sampling — boost > 1 means the source is
+    up-sampled.
+
+    Determinism at scale: sqrt is IEEE correctly-rounded in both
+    engines, but SUMS of irrational doubles are partition-order
+    dependent — so weights are floor-quantized to integer 1e-9 units
+    first and the normalizer is an exact BIGINT sum (the repo-wide
+    fixed-point pattern).  The whole query runs at source cardinality:
+    one partial-agg'd count shuffle, then a global window over a
+    handful of rows (documented agg-cardinality exception).
+    """
+    from pyspark.sql.window import Window
+
+    counts = t["documents"].groupBy("source").agg(F.count("*").alias("n_docs"))
+    wint = F.floor(F.sqrt(F.col("n_docs")) * F.lit(1000000000.0)).cast("long")
+    staged = counts.select("source", "n_docs", wint.alias("_w"))
+    glob = Window.partitionBy()
+    share = F.col("_w").cast("double") / F.sum("_w").over(glob).cast("double")
+    natural = F.col("n_docs").cast("double") / F.sum("n_docs").over(glob).cast(
+        "double"
+    )
+    return staged.select(
+        "source",
+        "n_docs",
+        (F.col("_w") / F.lit(1000000000.0)).alias("weight"),
+        share.alias("share"),
+        (share / natural).alias("boost"),
+    )
+
+
 def corpus_curation_pipeline(t) -> DataFrame:
     """End-to-end corpus curation: length/quality gate → exact dedup
     (canonical = min doc_id per content hash) → deterministic split

@@ -1225,6 +1225,22 @@ SELECT doc_id, hit_grams, eval_docs_hit,
 FROM hits JOIN cnt USING (doc_id)""",
         ("pipeline", "decontamination", "neardup"),
     ),
+    "source_mixture_weights": QuerySpec(
+        _t(P.source_mixture_weights),
+        """WITH counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+staged AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(n_docs) * 1000000000.0) AS BIGINT) AS w
+  FROM counts)
+SELECT source, n_docs,
+       w / 1000000000.0 AS weight,
+       CAST(w AS DOUBLE) / CAST(sum(w) OVER () AS DOUBLE) AS share,
+       (CAST(w AS DOUBLE) / CAST(sum(w) OVER () AS DOUBLE))
+         / (CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)) AS boost
+FROM staged""",
+        ("pipeline", "mixture"),
+    ),
     "corpus_curation_pipeline": QuerySpec(
         _t(P.corpus_curation_pipeline),
         """WITH gated AS (

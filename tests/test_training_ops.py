@@ -415,6 +415,24 @@ def test_duplicated_spans_match_source_text(spark, sf_dir):
         assert " ".join(docs[d][pos - 1 : pos + 9]) == span
 
 
+def test_mixture_weights_upsample_rare_sources(spark, sf_dir):
+    """T=0.5 temperature: shares sum to 1, every rare (below-average)
+    source gets boost > 1, every common one boost < 1, and ordering by
+    n_docs inverts ordering by boost."""
+    rows = run("source_mixture_weights", spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r["weight"] > 0 and 0 < r["share"] < 1
+    by_n = sorted(rows, key=lambda r: r["n_docs"])
+    boosts = [r["boost"] for r in by_n]
+    assert all(b1 >= b2 - 1e-12 for b1, b2 in zip(boosts, boosts[1:])), (
+        "boost must be non-increasing in source size"
+    )
+    if by_n[0]["n_docs"] < by_n[-1]["n_docs"]:
+        assert by_n[0]["boost"] > 1.0 > by_n[-1]["boost"]
+
+
 def test_registry_md_is_fresh():
     """REGISTRY.md must match what the generator produces from the
     live REGISTRY — guards the doc against silently going stale."""
