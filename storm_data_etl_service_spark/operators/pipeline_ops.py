@@ -285,6 +285,61 @@ def eval_decontamination(t, eval_mod: int = 20) -> DataFrame:
     )
 
 
+def curation_attrition_report(t) -> DataFrame:
+    """Per-gate attrition funnel for the curation rules of
+    ``corpus_curation_pipeline``: every document is attributed to the
+    FIRST stage that drops it (too_short → lang_excluded →
+    exact_duplicate) or to 'retained', with per-stage doc counts and
+    the number of docs entering each stage (reverse cumulative sum).
+
+    The operational "where did my data go" readout of a corpus
+    pipeline.  Cost: one map-only labeling pass for the scalar gates,
+    the same content-hash window as the dedup stage for duplicates,
+    then a window over stage cardinality (4 rows).  All-integer
+    outputs — hash-stable under any partitioning.
+    """
+    from pyspark.sql.window import Window
+
+    docs = t["documents"]
+    scalar_fail = F.when(F.col("n_chars") < 150, "too_short").when(
+        F.col("lang") == "zh", "lang_excluded"
+    )
+    failed = (
+        docs.withColumn("stage", scalar_fail)
+        .filter(F.col("stage").isNotNull())
+        .select("doc_id", "stage")
+    )
+    wdedup = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy(F.col("doc_id"))
+    survivors = (
+        docs.filter(scalar_fail.isNull())
+        .withColumn("_rn", F.row_number().over(wdedup))
+        .select(
+            "doc_id",
+            F.when(F.col("_rn") > 1, "exact_duplicate")
+            .otherwise("retained")
+            .alias("stage"),
+        )
+    )
+    counts = failed.unionByName(survivors).groupBy("stage").agg(
+        F.count("*").alias("n_docs")
+    )
+    stage_no = (
+        F.when(F.col("stage") == "too_short", 1)
+        .when(F.col("stage") == "lang_excluded", 2)
+        .when(F.col("stage") == "exact_duplicate", 3)
+        .otherwise(4)
+    )
+    entering = F.sum("n_docs").over(
+        Window.orderBy(F.desc("stage_no")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return (
+        counts.withColumn("stage_no", stage_no)
+        .select("stage_no", "stage", "n_docs", entering.alias("n_entering"))
+    )
+
+
 def source_mixture_weights(t) -> DataFrame:
     """Temperature-scaled training-mixture weights per source:
     w ∝ n^T with T = 0.5 (the sqrt temperature used to up-sample rare

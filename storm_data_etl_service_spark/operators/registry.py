@@ -1225,6 +1225,28 @@ SELECT doc_id, hit_grams, eval_docs_hit,
 FROM hits JOIN cnt USING (doc_id)""",
         ("pipeline", "decontamination", "neardup"),
     ),
+    "curation_attrition_report": QuerySpec(
+        _t(P.curation_attrition_report),
+        """WITH labeled AS (
+  SELECT doc_id, CASE WHEN n_chars < 150 THEN 'too_short'
+                      WHEN lang = 'zh' THEN 'lang_excluded' END AS stage
+  FROM documents WHERE n_chars < 150 OR lang = 'zh'
+  UNION ALL
+  SELECT doc_id, CASE WHEN rn > 1 THEN 'exact_duplicate' ELSE 'retained' END
+  FROM (SELECT doc_id,
+               row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        FROM documents WHERE NOT (n_chars < 150 OR lang = 'zh'))),
+counts AS (SELECT stage, count(*) AS n_docs FROM labeled GROUP BY stage),
+num AS (SELECT stage, n_docs,
+        CASE stage WHEN 'too_short' THEN 1 WHEN 'lang_excluded' THEN 2
+                   WHEN 'exact_duplicate' THEN 3 ELSE 4 END AS stage_no
+        FROM counts)
+SELECT stage_no, stage, n_docs,
+       sum(n_docs) OVER (ORDER BY stage_no DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_entering
+FROM num""",
+        ("pipeline", "curation", "funnel"),
+    ),
     "source_mixture_weights": QuerySpec(
         _t(P.source_mixture_weights),
         """WITH counts AS (

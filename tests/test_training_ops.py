@@ -433,6 +433,26 @@ def test_mixture_weights_upsample_rare_sources(spark, sf_dir):
         assert by_n[0]["boost"] > 1.0 > by_n[-1]["boost"]
 
 
+def test_attrition_report_reconciles_with_curation_pipeline(spark, sf_dir):
+    """Funnel arithmetic: stage-1 entering = corpus size, each stage's
+    entering = previous entering - previous drops, and the retained
+    count equals what corpus_curation_pipeline actually keeps."""
+    rows = sorted(
+        run("curation_attrition_report", spark, sf_dir).collect(),
+        key=lambda r: r["stage_no"],
+    )
+    total_docs = load_tables(spark, sf_dir, ("documents",))["documents"].count()
+    assert rows[0]["n_entering"] == total_docs
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_entering"] == prev["n_entering"] - prev["n_docs"]
+    retained = [r for r in rows if r["stage"] == "retained"]
+    assert len(retained) == 1 and retained[0]["n_docs"] == retained[0]["n_entering"]
+    kept = sum(
+        r["n_docs"] for r in run("corpus_curation_pipeline", spark, sf_dir).collect()
+    )
+    assert retained[0]["n_docs"] == kept
+
+
 def test_registry_md_is_fresh():
     """REGISTRY.md must match what the generator produces from the
     live REGISTRY — guards the doc against silently going stale."""
