@@ -1373,6 +1373,92 @@ REGISTRY["ann_ivf_search"] = QuerySpec(
 )
 
 
+def _pq_oracle() -> str:
+    """The whole PQ pipeline — per-subspace seeded k-means codebooks,
+    vector encoding, per-query distance LUTs, ADC top-k — unrolled
+    into one DuckDB CTE chain, bit-equal to the Spark side."""
+    from storm_data_etl_service_spark.operators.similarity import (
+        KMEANS_ITERS,
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        TOPK,
+    )
+
+    n = PQ_SUBDIM
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {n}),"
+            f" i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])), (x,y) -> x+y)"
+        )
+
+    def assign(src: str, cent: str) -> str:
+        return f"""SELECT vec_id, v, cid FROM (
+  SELECT e.vec_id, e.v, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {l2('e.v', 'c.cv')}, c.cid) AS rk
+  FROM {src} e, {cent} c) WHERE rk = 1"""
+
+    def update(best: str) -> str:
+        return f"""SELECT cid, list(m ORDER BY pos) AS cv FROM (
+  SELECT cid, pos,
+    list_reduce(list(val ORDER BY vec_id), (x,y) -> x+y) / count(*) AS m
+  FROM (SELECT cid, vec_id, r.pos AS pos, v[r.pos] AS val
+        FROM {best}, range(1, {n + 1}) r(pos))
+  GROUP BY cid, pos) GROUP BY cid"""
+
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        ctes.append(
+            f"e{m} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e)"
+        )
+        ctes.append(
+            f"c{m}_0 AS (SELECT cast(vec_id AS INTEGER) AS cid, v AS cv"
+            f" FROM e{m} WHERE vec_id < {PQ_K})"
+        )
+        for i in range(KMEANS_ITERS):
+            ctes.append(f"a{m}_{i} AS ({assign(f'e{m}', f'c{m}_{i}')})")
+            ctes.append(f"c{m}_{i + 1} AS ({update(f'a{m}_{i}')})")
+        ctes.append(
+            f"af{m} AS (SELECT vec_id, cid AS cid{m}"
+            f" FROM ({assign(f'e{m}', f'c{m}_{KMEANS_ITERS}')}))"
+        )
+        ctes.append(
+            f"""lut{m} AS (
+  SELECT q.vec_id AS query_id, c.cid AS cid{m}, {l2(f'q.v[{lo}:{hi}]', 'c.cv')} AS d{m}
+  FROM e q, c{m}_{KMEANS_ITERS} c WHERE q.vec_id < {N_QUERIES})"""
+        )
+    code_join = " JOIN ".join(
+        ["af0"] + [f"af{m} USING (vec_id)" for m in range(1, PQ_M)]
+    )
+    ctes.append(f"codes AS (SELECT * FROM {code_join})")
+    lut_join = " JOIN ".join(
+        ["codes JOIN lut0 USING (cid0)"]
+        + [f"lut{m} USING (query_id, cid{m})" for m in range(1, PQ_M)]
+    )
+    adc = " + ".join(f"d{m}" for m in range(PQ_M))
+    ctes.append(
+        f"""scored AS (
+  SELECT query_id, vec_id, {adc} AS adc_dist
+  FROM {lut_join}
+  WHERE vec_id <> query_id)"""
+    )
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+SELECT query_id, vec_id, adc_dist, rk FROM (
+  SELECT *, cast(row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_dist, vec_id) AS INTEGER) AS rk FROM scored)
+WHERE rk <= {TOPK}"""
+
+
+REGISTRY["ann_pq_search"] = QuerySpec(
+    _t(S.ann_pq_search), _pq_oracle(), ("similarity", "pq", "iterative")
+)
+
+
 # --------------------------------------------------------------------------
 # Full TPC-H shape completion (relational.py tail): the 11 remaining
 # query shapes, adapted where the synthetic schema lacks partsupp /

@@ -315,6 +315,76 @@ def ann_ivf_search(t) -> DataFrame:
     )
 
 
+# --- PQ: product quantization + asymmetric-distance search -------------------
+
+PQ_M = 4  # subspaces
+PQ_SUBDIM = EMBEDDING_DIM // PQ_M  # 16 dims each
+PQ_K = 8  # centroids per subspace codebook
+
+
+def ann_pq_search(t) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC): the FAISS-style codebook path.
+
+    Train: an independent deterministic k-means codebook per 16-dim
+    subspace (same seeded fixed-round Lloyd as IVF).  Encode: each
+    vector compresses to PQ_M small codes — at 100 TB the corpus'
+    query-time footprint is codes, not floats (here 4 codes vs 64
+    doubles, 64x).  Search: per query, one tiny LUT of
+    query-subvector→centroid distances per subspace (broadcast,
+    N_QUERIES × PQ_K rows); a candidate's approximate distance is the
+    sum of 4 LUT lookups — NO per-candidate vector math, which is the
+    entire point of PQ.  The only non-broadcast stages are the
+    map-side code joins and the per-query top-k.
+
+    ADC sums 4 subspace doubles in a fixed left-assoc expression tree,
+    so the score is partition-order-independent and the DuckDB oracle
+    (which replays the whole pipeline, codebooks included) matches
+    bit-for-bit.  Recall vs the exact scan is bounded in tests.
+    """
+    emb = t["embeddings"].select("vec_id", _vec(F.col("embedding")).alias("v"))
+    codes = None
+    cents = []
+    for m in range(PQ_M):
+        em = emb.select(
+            "vec_id", F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("v")
+        )
+        cent = kmeans_centroids(em, k=PQ_K)
+        cents.append(cent)
+        assigned = _assign_cells(em, cent).select(
+            "vec_id", F.col("cid").alias(f"cid{m}")
+        )
+        codes = assigned if codes is None else codes.join(assigned, "vec_id")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = codes
+    for m, cent in enumerate(cents):
+        lut = (
+            q.select(
+                "query_id",
+                F.slice("qv", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qs"),
+            )
+            .crossJoin(F.broadcast(cent))
+            .select(
+                "query_id",
+                F.col("cid").alias(f"cid{m}"),
+                _l2sq(F.col("qs"), F.col("cv")).alias(f"d{m}"),
+            )
+        )
+        on = [f"cid{m}"] if m == 0 else ["query_id", f"cid{m}"]
+        cand = cand.join(F.broadcast(lut), on)
+    adc = F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3")
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        cand.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc_dist", adc)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK)
+        .select("query_id", "vec_id", "adc_dist", "rk")
+    )
+
+
 def _centroid_dims(t) -> DataFrame:
     """(label, pos, mv, cnt) per-dimension centroid components with
     fixed-point-deterministic means (see embedding_label_centroids)."""

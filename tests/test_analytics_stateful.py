@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from storm_data_etl_service_spark.operators.registry import REGISTRY
+from storm_data_etl_service_spark.schemas import load_tables
 
 
 def run(name, spark, sf_dir):
@@ -139,6 +140,46 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
     for k in hits:
         assert ivf_pairs[k] == exact_pairs[k]
+
+
+def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
+    """PQ/ADC approximates L2 (not cosine): recall is measured against
+    the exact L2 top-10 recomputed driver-side.  With an 8^4-cell
+    codebook on near-random 64-dim data, distance concentration caps
+    recall — the floor matches the LSH precedent.  Structure: exactly
+    TOPK rows per query, ranks contiguous, ADC non-decreasing in
+    rank."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    V = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def l2sq(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    truth = {
+        q: {
+            vid
+            for _, vid in sorted(
+                (l2sq(V[q], v), vid) for vid, v in V.items() if vid != q
+            )[:10]
+        }
+        for q in range(5)
+    }
+    rows = run("ann_pq_search", spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(r)
+    recalls = []
+    for q, qr in got.items():
+        qr.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in qr] == list(range(1, 11))
+        dists = [r["adc_dist"] for r in qr]
+        assert dists == sorted(dists) and dists[0] >= 0.0
+        recalls.append(len({r["vec_id"] for r in qr} & truth[q]) / 10)
+    assert len(got) == 5
+    assert sum(recalls) / len(recalls) >= 0.15, recalls
 
 
 def test_approx_quantiles_close_to_exact(spark, sf_dir):
