@@ -120,8 +120,12 @@ def _read_table(spark, sf_dir: str, name: str):
     from pyspark.sql import types as T
 
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    types = {f.name: f.dataType for f in df.schema.fields}
     for c in _NANO_TS_COLUMNS.get(name, ()):
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # Only applies when the generator wrote TIMESTAMP(NANOS) read as
+        # int64; newer data writes micros and needs no conversion.
+        if isinstance(types.get(c), T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
