@@ -1263,3 +1263,47 @@ def seasonal_anomaly_hours(t) -> DataFrame:
         "mad",
         F.abs(F.col("n") - F.col("med")).alias("deviation"),
     )
+
+
+def gini_by_source(t) -> DataFrame:
+    """Per-source Gini coefficient of document lengths — the
+    length-inequality profile of each corpus slice (near-1 = a few
+    giant docs dominate the token budget; near-0 = uniform).
+
+    API surface: a GROUPED_AGG pandas UDF (Series -> scalar UDAF) —
+    Arrow ships each group's n_chars column to Python in one batch,
+    the right tool when the per-group statistic genuinely needs
+    imperative code.  Deterministic across engines because the
+    numerator sum((2i-n-1)*x_sorted_i) and denominator n*sum(x) are
+    exact int64 (tied x make the tied block's coefficient sum
+    order-invariant); the only float op is the final division.
+
+    Scale: one shuffle on source; each group must fit one pandas
+    Series (fine for per-source profiles; for billions-of-docs
+    sources, pre-aggregate to (n_chars, count) pairs first).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _gini(x):
+        import numpy as np
+
+        v = np.sort(x.to_numpy(np.int64))
+        n = v.size
+        s = int(v.sum())
+        if n == 0 or s == 0:
+            return 0.0
+        num = int(((2 * np.arange(1, n + 1, dtype=np.int64) - n - 1) * v).sum())
+        return num / float(n * s)
+
+    # real annotation objects: the module-wide `from __future__ import
+    # annotations` would stringize inline hints, breaking pyspark's
+    # GROUPED_AGG eval-type inference
+    _gini.__annotations__ = {"x": pd.Series, "return": float}
+    gini = pandas_udf(_gini, "double")
+
+    return (
+        t["documents"]
+        .groupBy("source")
+        .agg(gini(F.col("n_chars")).alias("gini_n_chars"))
+    )

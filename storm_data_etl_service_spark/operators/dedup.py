@@ -442,3 +442,36 @@ def crossmodal_dedup_agreement(t) -> DataFrame:
     return joined.groupBy(signal.alias("signal")).agg(
         F.count("*").alias("n_pairs")
     )
+
+
+def neardup_source_overlap(t) -> DataFrame:
+    """Cross-source near-duplicate overlap matrix: for each unordered
+    source pair, how many MinHash/LSH candidate pairs connect them —
+    the "is source B a scrape of source A?" corpus diagnosis (exact
+    content hashing finds nothing across sources once mutation/
+    formatting differs; near-dup evidence is the real signal).
+
+    The pair list is orders of magnitude smaller than the corpus, and
+    the doc->source side is a slim two-column projection joined on the
+    pair endpoints; the final matrix is at most |sources|^2 rows.
+    """
+    pairs = dedup_minhash_lsh(t)
+    src = t["documents"].select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+    )
+    return (
+        labeled.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -213,3 +213,36 @@ def neardup_triangle_count(t) -> DataFrame:
         .agg(F.count("*").alias("n_triangles"))
     )
     return per_node
+
+
+def neardup_cluster_representative(t) -> DataFrame:
+    """Resolve near-dup clusters to one kept document by QUALITY:
+    per component keep the longest text (doc_id tiebreak) — the
+    curation step after clustering, where "canonical = min id" is the
+    wrong policy because the best copy should survive, not the first.
+
+    Sort-free argmax: ``max(struct(n_chars, -doc_id))`` folds in the
+    map-side partial aggregate, so the shuffle carries one row per
+    (partition, component) — no ranking window, no per-cluster sort.
+    """
+    comp = neardup_components(t).select("doc_id", "component_id")
+    docs = t["documents"].select("doc_id", "n_chars")
+    members = comp.join(docs, "doc_id")
+    best = F.max(
+        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+    ).alias("_b")
+    return (
+        members.groupBy("component_id")
+        .agg(
+            best,
+            F.count("*").alias("n_members"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "component_id",
+            (-F.col("_b.neg_id")).alias("kept_doc_id"),
+            F.col("_b.n_chars").alias("kept_n_chars"),
+            "n_members",
+            "total_chars",
+        )
+    )

@@ -2645,3 +2645,102 @@ SELECT doc_id, matched_terms, dl, score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
     ("text", "retrieval", "bm25"),
 )
+
+
+_BIGRAM_CTE = r"""tl AS (
+  SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x != '') AS ts
+  FROM documents),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                               i -> ts[i] || ' ' || ts[i+1])) AS token
+  FROM tl WHERE len(ts) >= 2)"""
+
+REGISTRY["heavy_hitter_bigrams"] = QuerySpec(
+    _t(X.heavy_hitter_bigrams),
+    f"""WITH {_BIGRAM_CTE},
+tot AS (SELECT count(*) AS n_total FROM bg),
+cnt AS (SELECT token AS bigram, count(*) AS term_freq FROM bg GROUP BY token)
+SELECT bigram, term_freq, n_total
+FROM cnt, tot WHERE term_freq * {X.HH_CAPACITY + 1} > n_total""",
+    ("text", "heavy-hitters", "sketch", "pandas-udf"),
+)
+
+REGISTRY["neardup_cluster_representative"] = QuerySpec(
+    _t(G.neardup_cluster_representative),
+    f"""WITH RECURSIVE pairs AS (
+{_minhash_oracle()}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT u AS node, u AS label FROM edges
+  UNION
+  SELECT e.v AS node, r.label FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node AS doc_id, min(label) AS component_id
+         FROM reach GROUP BY node),
+members AS (
+  SELECT c.component_id, c.doc_id, d.n_chars
+  FROM comp c JOIN documents d USING (doc_id))
+SELECT component_id, kept_doc_id, kept_n_chars, n_members, total_chars
+FROM (
+  SELECT component_id, doc_id AS kept_doc_id, n_chars AS kept_n_chars,
+    row_number() OVER (PARTITION BY component_id
+                       ORDER BY n_chars DESC, doc_id) AS rk,
+    count(*) OVER (PARTITION BY component_id) AS n_members,
+    sum(n_chars) OVER (PARTITION BY component_id) AS total_chars
+  FROM members)
+WHERE rk = 1""",
+    ("dedup", "neardup", "graph", "curation"),
+)
+
+REGISTRY["neardup_source_overlap"] = QuerySpec(
+    _t(D.neardup_source_overlap),
+    f"""WITH pairs AS (
+{_minhash_oracle()}),
+labeled AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b)
+SELECT source_a, source_b, count(*) AS n_pairs
+FROM labeled GROUP BY source_a, source_b""",
+    ("dedup", "neardup", "diagnosis"),
+)
+
+REGISTRY["gini_by_source"] = QuerySpec(
+    _t(A.gini_by_source),
+    """WITH r AS (
+  SELECT source, n_chars,
+    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+    count(*) OVER (PARTITION BY source) AS n,
+    sum(n_chars) OVER (PARTITION BY source) AS s
+  FROM documents)
+SELECT source,
+  cast(sum((2 * rk - n - 1) * n_chars) AS DOUBLE) / (n * s) AS gini_n_chars
+FROM r GROUP BY source, n, s""",
+    ("analytics", "pandas-udaf", "quality"),
+)
+
+REGISTRY["embedding_quantize_int8"] = QuerySpec(
+    _t(S.embedding_quantize_int8),
+    f"""WITH e AS (
+  SELECT vec_id, cast(pos - 1 AS INTEGER) AS dim,
+         embedding[pos]::DOUBLE AS val
+  FROM embeddings, range(1, {S.EMBEDDING_DIM} + 1) r(pos)),
+sc AS (SELECT dim, max(abs(val)) AS scale FROM e GROUP BY dim),
+coded AS (
+  SELECT e.dim, e.val, sc.scale,
+    CASE WHEN sc.scale = 0 THEN 0
+         ELSE cast(round(e.val / sc.scale * 127) AS INTEGER) END AS q
+  FROM e JOIN sc USING (dim)),
+erred AS (
+  SELECT dim, scale, q, abs(val - q * scale / 127) AS err FROM coded)
+SELECT dim, min(scale) AS scale, count(*) AS n_vals,
+  min(q) AS q_min, max(q) AS q_max,
+  cast(sum(cast(floor(err * 1e6) AS BIGINT)) AS DOUBLE)
+    / (1000000.0 * count(*)) AS mean_abs_err
+FROM erred GROUP BY dim""",
+    ("similarity", "quantization", "storage"),
+)

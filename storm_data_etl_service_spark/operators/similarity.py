@@ -581,3 +581,44 @@ def nearest_centroid_accuracy(t) -> DataFrame:
             "accuracy", F.col("n_correct").cast("double") / F.col("n_test")
         )
     )
+
+
+def embedding_quantize_int8(t) -> DataFrame:
+    """Per-dimension symmetric int8 quantization report: scale
+    (max |v_d|), code range check, and mean absolute reconstruction
+    error per dimension — the storage-compression audit before
+    shipping a 4x-smaller embedding store (100 TB of float32 vectors
+    -> 25 TB of int8 + 64 scales).
+
+    Dimension-parallel like embedding_label_centroids: posexplode ->
+    one tiny groupBy(dim) for scales -> broadcast back -> one more
+    groupBy(dim) for the error profile.  Error sums are
+    floor-quantized to 1e-6 before summing (exact int64 folds), so
+    the report is bit-deterministic under any partitioning; the
+    quantize step itself (v/scale*127, round-half-away) is plain IEEE
+    double arithmetic both engines execute identically.
+    """
+    e = t["embeddings"].select(
+        "vec_id", F.posexplode(_vec(F.col("embedding"))).alias("dim", "val")
+    )
+    scales = e.groupBy("dim").agg(F.max(F.abs("val")).alias("scale"))
+    coded = (
+        e.join(F.broadcast(scales), "dim")
+        .withColumn(
+            "q",
+            F.when(F.col("scale") == 0, F.lit(0))
+            .otherwise(F.round(F.col("val") / F.col("scale") * 127))
+            .cast("int"),
+        )
+        .withColumn("err", F.abs(F.col("val") - F.col("q") * F.col("scale") / 127))
+    )
+    return coded.groupBy("dim").agg(
+        F.min("scale").alias("scale"),
+        F.count("*").alias("n_vals"),
+        F.min("q").alias("q_min"),
+        F.max("q").alias("q_max"),
+        (
+            F.sum(F.floor(F.col("err") * 1e6).cast("long")).cast("double")
+            / (F.lit(1000000.0) * F.count("*"))
+        ).alias("mean_abs_err"),
+    )

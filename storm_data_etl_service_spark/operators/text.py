@@ -455,3 +455,83 @@ def bm25_doc_ranking(t, terms=BM25_QUERY_TERMS) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+# -- exact heavy hitters -----------------------------------------------------
+
+#: Misra-Gries summary capacity per partition.  Guarantees every
+#: bigram with global frequency > N/(HH_CAPACITY+1) survives candidate
+#: generation, so the final exact-recount filter is lossless.
+HH_CAPACITY = 640
+
+
+def bigrams_col(toks: Column) -> Column:
+    """Adjacent-token bigrams ("a b") from a token array; < 2 tokens
+    → empty (guarded: Spark's sequence(1, 0) would count DOWN)."""
+    pair = lambda i: F.concat_ws(
+        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    )
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1), pair),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _mg_candidates(batches):
+    """Streaming Misra-Gries over one partition's Arrow batches.
+
+    Classic decrement generalized to batch merges (Agarwal et al.,
+    "Mergeable Summaries"): fold each batch's exact counts in, then if
+    more than HH_CAPACITY counters remain, subtract the (C+1)-th
+    largest count from all and drop the non-positive.  Total subtracted
+    mass is <= n_partition/(C+1), so any item with local count above
+    that bound still holds a positive counter at the end.
+    """
+    import pandas as pd
+
+    counts: dict = {}
+    for pdf in batches:
+        for tok, c in pdf["token"].value_counts().items():
+            counts[tok] = counts.get(tok, 0) + int(c)
+        if len(counts) > HH_CAPACITY:
+            cut = sorted(counts.values(), reverse=True)[HH_CAPACITY]
+            counts = {k: v - cut for k, v in counts.items() if v > cut}
+    yield pd.DataFrame({"token": pd.Series(list(counts), dtype="object")})
+
+
+def heavy_hitter_bigrams(t) -> DataFrame:
+    """Exact corpus heavy hitters: every bigram whose frequency
+    exceeds N/(HH_CAPACITY+1), with its exact count — boilerplate and
+    template-phrase detection at corpus scale.
+
+    Two passes, neither shuffling the token stream by value:
+    1. candidate generation — per-partition Misra-Gries sketches via
+       ``mapInPandas`` (map-only; each partition emits <= C candidate
+       rows, so the driver-bound data is C x partitions, not the
+       vocabulary);
+    2. exact recount of candidates only — a broadcast semi-join gates
+       the stream, then one partial-aggregated groupBy counts the
+       survivors.
+
+    At 100 TB the distinct-n-gram cardinality is billions; a plain
+    groupBy(token) shuffles every distinct token, while this shuffles
+    only the gated candidates.  The MG superset guarantee + exact
+    recount + exact threshold make the result partitioning- and
+    batch-order-independent (the intermediate candidate SET varies,
+    the answer never does).
+    """
+    bigrams = (
+        t["documents"]
+        .withColumn("_toks", tokens_col(F.col("text")))
+        .select(F.explode(bigrams_col(F.col("_toks"))).alias("token"))
+    )
+    candidates = bigrams.mapInPandas(_mg_candidates, schema="token string").distinct()
+    total = bigrams.agg(F.count("*").alias("n_total"))
+    return (
+        bigrams.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("term_freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("term_freq") * (HH_CAPACITY + 1) > F.col("n_total"))
+        .select(F.col("token").alias("bigram"), "term_freq", "n_total")
+    )

@@ -465,3 +465,96 @@ def test_registry_md_is_fresh():
     assert Path("REGISTRY.md").read_text() == before, (
         "REGISTRY.md is stale; run scripts/dump_registry.py and commit"
     )
+
+
+def test_heavy_hitters_exact_vs_naive(spark, sf_dir):
+    """MG candidate generation + recount must equal the naive
+    full-shuffle groupBy answer exactly, under a partitioning the
+    operator didn't choose (the candidate SET is partition-dependent;
+    the answer must not be)."""
+    from storm_data_etl_service_spark.operators.text import (
+        HH_CAPACITY,
+        bigrams_col,
+        tokens_col,
+    )
+
+    t = load_tables(spark, sf_dir)
+    got = {
+        (r["bigram"], r["term_freq"], r["n_total"])
+        for r in run("heavy_hitter_bigrams", spark, sf_dir).collect()
+    }
+    bigrams = (
+        t["documents"]
+        .repartition(3)  # different partitioning than the source scan
+        .withColumn("_toks", tokens_col(F.col("text")))
+        .select(F.explode(bigrams_col(F.col("_toks"))).alias("token"))
+    )
+    n_total = bigrams.count()
+    naive = {
+        (r["token"], r["c"], n_total)
+        for r in bigrams.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") * (HH_CAPACITY + 1) > F.lit(n_total))
+        .collect()
+    }
+    assert got == naive
+    assert got, "fixture should contain heavy-hitter bigrams"
+
+
+def test_cluster_representative_is_best_member(spark, sf_dir):
+    """Every kept doc must be the longest (doc_id-tiebroken) member
+    of its component, and member counts must reconcile."""
+    reps = {
+        r["component_id"]: r
+        for r in run("neardup_cluster_representative", spark, sf_dir).collect()
+    }
+    comp = run("neardup_components", spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    members = comp.join(t["documents"].select("doc_id", "n_chars"), "doc_id").collect()
+    by_comp = {}
+    for r in members:
+        by_comp.setdefault(r["component_id"], []).append((r["n_chars"], r["doc_id"]))
+    assert set(reps) == set(by_comp)
+    for cid, mem in by_comp.items():
+        best = max((nc, -did) for nc, did in mem)
+        assert reps[cid]["kept_n_chars"] == best[0]
+        assert reps[cid]["kept_doc_id"] == -best[1]
+        assert reps[cid]["n_members"] == len(mem)
+        assert reps[cid]["total_chars"] == sum(nc for nc, _ in mem)
+
+
+def test_source_overlap_reconciles_with_pairs(spark, sf_dir):
+    """Matrix cells must sum to the total LSH pair count, and every
+    cell's sources must be lexicographically ordered."""
+    cells = run("neardup_source_overlap", spark, sf_dir).collect()
+    n_pairs = run("dedup_minhash_lsh", spark, sf_dir).count()
+    assert sum(r["n_pairs"] for r in cells) == n_pairs
+    assert all(r["source_a"] <= r["source_b"] for r in cells)
+
+
+def test_gini_matches_python_model(spark, sf_dir):
+    """The UDAF must equal the textbook formula computed driver-side."""
+    t = load_tables(spark, sf_dir)
+    got = {r["source"]: r["gini_n_chars"] for r in run("gini_by_source", spark, sf_dir).collect()}
+    docs = t["documents"].select("source", "n_chars").collect()
+    groups = {}
+    for r in docs:
+        groups.setdefault(r["source"], []).append(r["n_chars"])
+    for src, xs in groups.items():
+        xs = sorted(xs)
+        n, s = len(xs), sum(xs)
+        num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+        assert got[src] == num / float(n * s)
+        assert 0.0 <= got[src] < 1.0
+
+
+def test_int8_quantization_bounds(spark, sf_dir):
+    """Codes must stay in [-127, 127]; reconstruction error must be
+    bounded by half a quantization step per dimension."""
+    rows = run("embedding_quantize_int8", spark, sf_dir).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127
+        assert r["scale"] > 0
+        # half-step bound: |err| <= scale/254 (+ float slack)
+        assert r["mean_abs_err"] <= r["scale"] / 254 + 1e-9
