@@ -61,8 +61,17 @@ def main():
     os.environ.setdefault(
         "SPARK_GRAFT_SCAN_PARTITIONS", os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
+    # Size shuffle parallelism to the DATA, not the core count: at
+    # bench scale 32 reducers per stage are pure task-launch overhead
+    # (measured ~20% of wall), while at 1000x the same bytes//2MiB
+    # rule grows partitions right back past the core count.  AQE still
+    # re-coalesces at runtime; this only seeds the initial plan.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    data_bytes = sum(f.stat().st_size for f in Path(sf_dir).glob("*.parquet"))
+    shuffle_parts = max(8, min(4 * int(cpus), data_bytes // (2 << 20)))
     spark = get_spark(
         app_name="bench",
+        shuffle_partitions=int(shuffle_parts),
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 

@@ -558,3 +558,21 @@ def test_int8_quantization_bounds(spark, sf_dir):
         assert r["scale"] > 0
         # half-step bound: |err| <= scale/254 (+ float slack)
         assert r["mean_abs_err"] <= r["scale"] / 254 + 1e-9
+
+
+def test_semdedup_evidence_is_true_neardup_subset(spark, sf_dir):
+    """Every drop decision must cite a genuine above-threshold pair
+    (within-cell pruning can only LOSE pairs, never invent them), all
+    vectors must appear exactly once, and dropped vectors must cite a
+    lower-id keeper."""
+    rows = run("semdedup", spark, sf_dir).collect()
+    n_vecs = load_tables(spark, sf_dir)["embeddings"].count()
+    assert len(rows) == n_vecs
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in run("embedding_near_dup", spark, sf_dir).collect()
+    }
+    dropped = [r for r in rows if not r["kept"]]
+    for r in dropped:
+        assert r["dup_of"] < r["vec_id"]
+        assert (r["dup_of"], r["vec_id"]) in exact
