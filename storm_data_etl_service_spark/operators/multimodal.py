@@ -181,3 +181,22 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         ]
     )
     return media.select("media_id", "data").mapInPandas(kernel, schema=schema)
+
+
+def media_manifest_report(t) -> DataFrame:
+    """Per-kind media inventory: counts, byte totals/extremes, and
+    distinct-content cardinality — the manifest pass a multimodal
+    pipeline runs BEFORE any decode (sizing batches, spotting
+    truncated payloads, estimating dedup yield).
+
+    Pure JVM-side expressions over the binary column (length, sha2) —
+    no Python, one partial-aggregated shuffle on kind."""
+    m = media_from_documents(t)
+    nb = F.length("data").cast("long")
+    return m.groupBy("kind").agg(
+        F.count("*").alias("n_items"),
+        F.sum(nb).alias("total_bytes"),
+        F.min(nb).alias("min_bytes"),
+        F.max(nb).alias("max_bytes"),
+        F.countDistinct(F.sha2("data", 256)).alias("n_distinct_contents"),
+    )

@@ -2810,3 +2810,42 @@ REGISTRY["semdedup"] = QuerySpec(
     _semdedup_oracle(),
     ("dedup", "semantic", "embeddings", "kmeans"),
 )
+
+
+REGISTRY["langid_confusion_report"] = QuerySpec(
+    _t(X.langid_confusion_report),
+    f"""WITH pred AS ({_lang_id_oracle()})
+SELECT d.lang, p.lang_pred, count(*) AS n_docs
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY d.lang, p.lang_pred""",
+    ("text", "quality", "langid"),
+)
+
+REGISTRY["media_manifest_report"] = QuerySpec(
+    _t(M.media_manifest_report),
+    """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+  count(*) AS n_items,
+  cast(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+  cast(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+  cast(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+  count(DISTINCT sha256(text)) AS n_distinct_contents
+FROM documents GROUP BY 1""",
+    ("multimodal", "manifest"),
+)
+
+REGISTRY["video_frame_sample"] = QuerySpec(
+    lambda spark, sf_dir: M.frame_sample(
+        M.media_from_documents(load_tables(spark, sf_dir))
+    ),
+    """WITH f AS (
+  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS nb
+  FROM documents),
+idx AS (
+  SELECT media_id, text, cast(i AS BIGINT) AS frame_idx,
+         cast(i * 100 + 1 AS INTEGER) AS start
+  FROM f, range(0, 64) r(i) WHERE i * 100 < nb)
+SELECT media_id, frame_idx, sha256(substr(text, start, 100)) AS frame_sha
+FROM idx""",
+    ("multimodal", "pandas-udf", "fanout"),
+)

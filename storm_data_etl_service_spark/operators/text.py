@@ -535,3 +535,21 @@ def heavy_hitter_bigrams(t) -> DataFrame:
         .filter(F.col("term_freq") * (HH_CAPACITY + 1) > F.col("n_total"))
         .select(F.col("token").alias("bigram"), "term_freq", "n_total")
     )
+
+
+def langid_confusion_report(t) -> DataFrame:
+    """Label-vs-prediction confusion matrix for the n-gram language
+    heuristic against the corpus's ``lang`` labels — the calibration
+    readout that decides whether the cheap heuristic is good enough to
+    gate documents at scale or needs a model upgrade per language.
+
+    One join on doc_id (both sides are slim projections of the same
+    scan) and a groupBy over a |langs|² key space."""
+    pred = text_lang_id(t).select("doc_id", "lang_pred")
+    return (
+        t["documents"]
+        .select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )

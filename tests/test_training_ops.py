@@ -576,3 +576,29 @@ def test_semdedup_evidence_is_true_neardup_subset(spark, sf_dir):
     for r in dropped:
         assert r["dup_of"] < r["vec_id"]
         assert (r["dup_of"], r["vec_id"]) in exact
+
+
+def test_langid_confusion_reconciles(spark, sf_dir):
+    """Confusion cells must partition the corpus and beat the
+    majority-class baseline (the report MEASURES heuristic quality —
+    the fixture's stopword density varies by sf, so no high-accuracy
+    assumption)."""
+    t = load_tables(spark, sf_dir)
+    cells = run("langid_confusion_report", spark, sf_dir).collect()
+    n = t["documents"].count()
+    assert sum(r["n_docs"] for r in cells) == n
+    diag = sum(r["n_docs"] for r in cells if r["lang"] == r["lang_pred"])
+    majority = (
+        t["documents"].groupBy("lang").count().agg(F.max("count")).first()[0]
+    )
+    assert diag >= min(majority, 0.25 * n)
+
+
+def test_media_manifest_reconciles(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    rows = run("media_manifest_report", spark, sf_dir).collect()
+    assert {r["kind"] for r in rows} == {"image", "audio", "video"}
+    assert sum(r["n_items"] for r in rows) == t["documents"].count()
+    for r in rows:
+        assert 0 < r["min_bytes"] <= r["max_bytes"]
+        assert r["n_distinct_contents"] <= r["n_items"]
