@@ -261,3 +261,43 @@ def test_read_parquet_evolved_merges_generations(spark, tmp_path):
     assert set(df.columns) == {"id", "source", "score"}
     assert df.count() == 8
     assert df.filter(F.col("score").isNull()).count() == 5
+
+
+def test_spc_datasource_reads_typed_directory(spark, workdir):
+    """Spark-4 Python DataSource: per-file partitions, header-mapped
+    parse, per-type magnitude exclusivity — and the golden-ID
+    enrichment path works straight off the scan."""
+    from storm_data_etl_service_spark.functions.enrich import enrich
+    from storm_data_etl_service_spark.sources.spc_datasource import (
+        SPCReportsDataSource,
+    )
+    from storm_data_etl_service_spark.sources.storm_fixture import BASE_TS
+
+    d = workdir / "reports"
+    d.mkdir()
+    (d / "240426_rpts_hail.csv").write_text(CSV_HEADER + "\n" + CSV_ROW + "\n")
+    (d / "240426_rpts_torn.csv").write_text(
+        "Time,F_Scale,Location,County,State,Lat,Lon,Comments\n"
+        '2200,EF2, 3 N Salado ,Bell,TX, 30.98 ,-97.54,"Tornado. (FWD)"\n'
+        "1200,EF0,short,row\n"  # short row must be skipped
+    )
+    (d / "notes.txt").write_text("ignored")
+
+    spark.dataSource.register(SPCReportsDataSource)
+    df = spark.read.format("spc_reports").load(str(d))
+    rows = {r["EventType"]: r for r in df.collect()}
+    assert set(rows) == {"hail", "tornado"}  # short row skipped
+    assert df.rdd.getNumPartitions() == 2  # one partition per file
+    torn = rows["tornado"]
+    assert torn["F_Scale"] == "EF2" and torn["Size"] == "" and torn["Speed"] == ""
+    assert torn["Location"] == "3 N Salado" and torn["Lat"] == "30.98"  # trimmed
+    hail = rows["hail"]
+    assert hail["Size"] == "125" and hail["F_Scale"] == ""
+
+    enriched = enrich(
+        df.withColumn("kafka_timestamp", F.lit(BASE_TS).cast("timestamp"))
+    )
+    by_type = {r["event_type"]: r for r in enriched.collect()}
+    assert by_type["hail"]["id"] == "hail-5d91dda0f56ba124"
+    assert by_type["tornado"]["measurement"]["magnitude"] == 2.0
+    assert by_type["tornado"]["measurement"]["unit"] == "f_scale"
