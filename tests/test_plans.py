@@ -49,12 +49,15 @@ def test_enrichment_has_no_python_eval(spark, sf_dir):
     assert "WholeStageCodegen" in plan or "*(" in plan, plan[:1200]
 
 
-#: The ONLY queries allowed to leave the JVM: the opaque-media decode
-#: (no expression can decode bytes) and the two deliberate Python-API
-#: demonstrations, each of whose docstrings steers hot paths to the
-#: expression equivalent.
+#: The ONLY queries allowed to leave the JVM: opaque-media kernels
+#: (no expression can decode bytes), the Misra-Gries candidate sketch
+#: (genuinely imperative per-partition state), and the deliberate
+#: Python-API demonstrations, each of whose docstrings steers hot
+#: paths to the expression equivalent.
 INTENTIONAL_PYTHON_OPS = [
     "multimodal_decode_stats",
+    "video_frame_sample",
+    "heavy_hitter_bigrams",
     "token_spans_udtf",
     "user_resequence_pandas",
 ]
