@@ -276,20 +276,16 @@ def minhash_signature(base_hashes: Column, n_seeds: int = MINHASH_SEEDS) -> Colu
     return F.array(*[perm_min(a, b) for a, b in minhash_params(n_seeds)])
 
 
-def dedup_minhash_lsh(t) -> DataFrame:
-    """MinHash + LSH candidate pairs: signature (map-only) → band keys
-    → shuffle on (band, key) → pairs within a bucket.
-
-    With J≈threshold pairs, P(candidate) = 1-(1-J^r)^b; r=3, b=4
-    catches J≥0.8 with ≥99.7% probability.  The only shuffle is the
-    band-bucket join — this is the 100 TB dedup path.
-    """
+def lsh_band_keys(t) -> DataFrame:
+    """(doc_id, band, key) LSH index rows — the map-only half of
+    MinHash/LSH dedup, and exactly what a PERSISTED dedup index
+    stores (see dedup_incremental_minhash)."""
     sig = (
         _doc_shingles(t)
         .withColumn("_base", shingle_base_hashes(F.col("shingles")))
         .select("doc_id", minhash_signature(F.col("_base")).alias("mh"))
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -312,6 +308,17 @@ def dedup_minhash_lsh(t) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+
+
+def dedup_minhash_lsh(t) -> DataFrame:
+    """MinHash + LSH candidate pairs: signature (map-only) → band keys
+    → shuffle on (band, key) → pairs within a bucket.
+
+    With J≈threshold pairs, P(candidate) = 1-(1-J^r)^b; r=3, b=4
+    catches J≥0.8 with ≥99.7% probability.  The only shuffle is the
+    band-bucket join — this is the 100 TB dedup path.
+    """
+    bands = lsh_band_keys(t)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -321,6 +328,57 @@ def dedup_minhash_lsh(t) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+#: Documents with id >= this fraction of max(doc_id)+1 are "the new
+#: batch" in the incremental-dedup registry entry; below it, "the
+#: already-indexed corpus".
+INCREMENTAL_SPLIT = 0.8
+
+
+def dedup_incremental_minhash(t) -> DataFrame:
+    """Incremental near-dup: match a NEW document batch against the
+    persisted LSH index of the existing corpus (plus the batch
+    itself) WITHOUT re-pairing the corpus — the nightly-ingest shape:
+    index I/O is (new batch × bands) appended, and the only pair work
+    is new-vs-bucket.
+
+    At 100 TB the corpus index is a bucketed table keyed on
+    (band, key); the new batch's band keys shuffle-join into it, so
+    cost scales with the BATCH, not the corpus.  Here the "index" is
+    computed in-plan from the id-split (the registry entry is
+    self-contained); ``lsh_band_keys`` is the exact thing a real
+    deployment persists.
+
+    Output: (doc_id, matched_doc_id) — every candidate partner (old
+    or earlier-in-batch) for each new document; equal to the full
+    ``dedup_minhash_lsh`` pair set restricted to pairs whose higher
+    id is in the new batch (asserted in tests).
+    """
+    docs = t["documents"]
+    split = docs.agg(
+        F.floor((F.max("doc_id") + 1) * INCREMENTAL_SPLIT).alias("t0")
+    )
+    bands = lsh_band_keys(t)
+    all_b = bands.crossJoin(F.broadcast(split))
+    new_b = all_b.filter(F.col("doc_id") >= F.col("t0")).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("band").alias("nband"),
+        F.col("key").alias("nkey"),
+    )
+    return (
+        all_b.join(
+            new_b,
+            (F.col("band") == F.col("nband"))
+            & (F.col("key") == F.col("nkey"))
+            & (F.col("doc_id") < F.col("new_id")),
+        )
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.col("doc_id").alias("matched_doc_id"),
+        )
         .distinct()
     )
 

@@ -2849,3 +2849,15 @@ SELECT media_id, frame_idx, sha256(substr(text, start, 100)) AS frame_sha
 FROM idx""",
     ("multimodal", "pandas-udf", "fanout"),
 )
+
+
+REGISTRY["dedup_incremental_minhash"] = QuerySpec(
+    _t(D.dedup_incremental_minhash),
+    f"""WITH pairs AS (
+{_minhash_oracle()}),
+s AS (SELECT cast(floor((max(doc_id) + 1) * {D.INCREMENTAL_SPLIT}) AS BIGINT)
+        AS t0 FROM documents)
+SELECT doc_b AS doc_id, doc_a AS matched_doc_id
+FROM pairs, s WHERE doc_b >= t0""",
+    ("dedup", "neardup", "incremental", "lsh"),
+)

@@ -108,3 +108,33 @@ def test_file_service_pipeline_end_to_end(spark, workdir):
     out = spark.read.parquet(str(workdir / "out"))
     assert out.count() == 8
     assert "id" in out.columns
+
+
+def test_observe_metrics_piggyback_on_single_pass(spark):
+    """D9 via DataFrame.observe: exact counters ride the existing
+    action (CollectMetrics), matching independently-computed values."""
+    from pyspark.sql import functions as F
+
+    from storm_data_etl_service_spark.functions.enrich import enrich
+    from storm_data_etl_service_spark.observability import (
+        with_enrichment_metrics,
+    )
+    from storm_data_etl_service_spark.sources.storm_fixture import (
+        spark_fixture_df,
+    )
+
+    enriched = enrich(spark_fixture_df(spark))
+    observed, obs = with_enrichment_metrics(enriched)
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_records"] == enriched.count()
+    assert got["n_unknown_type"] == enriched.filter(
+        F.col("event_type") == ""
+    ).count()
+    assert got["n_with_severity"] == enriched.filter(
+        F.col("measurement.severity").isNotNull()
+    ).count()
+    assert got["max_magnitude"] == enriched.agg(
+        F.max("measurement.magnitude")
+    ).first()[0]
+    assert got["n_records"] > got["n_with_severity"] > 0

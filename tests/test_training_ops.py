@@ -602,3 +602,26 @@ def test_media_manifest_reconciles(spark, sf_dir):
     for r in rows:
         assert 0 < r["min_bytes"] <= r["max_bytes"]
         assert r["n_distinct_contents"] <= r["n_items"]
+
+
+def test_incremental_minhash_equals_full_restricted(spark, sf_dir):
+    """Batch-vs-index matching must equal the full pair scan
+    restricted to pairs whose higher id is in the new batch — the
+    invariant that makes nightly incremental dedup SAFE to trust."""
+    from storm_data_etl_service_spark.operators.dedup import INCREMENTAL_SPLIT
+
+    t = load_tables(spark, sf_dir)
+    t0 = int(
+        (t["documents"].agg(F.max("doc_id")).first()[0] + 1) * INCREMENTAL_SPLIT
+    )
+    full = {
+        (r["doc_b"], r["doc_a"])
+        for r in run("dedup_minhash_lsh", spark, sf_dir).collect()
+        if r["doc_b"] >= t0
+    }
+    inc = {
+        (r["doc_id"], r["matched_doc_id"])
+        for r in run("dedup_incremental_minhash", spark, sf_dir).collect()
+    }
+    assert inc == full
+    assert all(m < d for d, m in inc)
