@@ -2861,3 +2861,35 @@ SELECT doc_b AS doc_id, doc_a AS matched_doc_id
 FROM pairs, s WHERE doc_b >= t0""",
     ("dedup", "neardup", "incremental", "lsh"),
 )
+
+
+REGISTRY["bigram_surprisal_scores"] = QuerySpec(
+    _t(X.bigram_surprisal_scores),
+    r"""WITH tl AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ts
+  FROM documents),
+pairs AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(ts) - 1),
+                          i -> {'w1': ts[i], 'w2': ts[i+1]})) AS p
+  FROM tl WHERE len(ts) >= 2),
+tf AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS c
+       FROM pairs GROUP BY doc_id, p.w1, p.w2),
+bg AS (SELECT w1, w2, cast(sum(c) AS BIGINT) AS c_bigram
+       FROM tf GROUP BY w1, w2),
+starts AS (SELECT w1, cast(sum(c_bigram) AS BIGINT) AS c_start
+           FROM bg GROUP BY w1),
+vocab AS (
+  SELECT count(DISTINCT token) AS v FROM (
+    SELECT unnest(ts) AS token FROM tl)),
+scored AS (
+  SELECT tf.doc_id, tf.c,
+    -cast(floor(ln(cast(c_bigram + 1 AS DOUBLE) / (c_start + v)) * 1e6)
+          AS BIGINT) AS s_q
+  FROM tf JOIN bg USING (w1, w2) JOIN starts USING (w1), vocab)
+SELECT doc_id, cast(sum(c) AS BIGINT) AS n_bigrams,
+  cast(sum(c * s_q) AS DOUBLE) / (1e6 * sum(c)) AS avg_surprisal
+FROM scored GROUP BY doc_id""",
+    ("text", "quality", "language-model"),
+)

@@ -553,3 +553,69 @@ def langid_confusion_report(t) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def bigram_surprisal_scores(t) -> DataFrame:
+    """Per-document average bigram surprisal under the corpus's own
+    add-one-smoothed bigram LM — the perplexity-style quality gate
+    (KenLM-filter stand-in): high average surprisal = text whose word
+    transitions the corpus has rarely seen (OCR damage, shuffled
+    boilerplate, spam), low = fluent/templated.
+
+    Self-inclusive MLE (each doc scores against statistics that
+    include itself) — standard for corpus-relative outlier scoring.
+
+    Scale: the model IS two aggregate tables (bigram and
+    bigram-start counts), built map-side-combined from the same
+    (doc, w1, w2) count table that scoring probes — vocabulary-sized,
+    broadcast here; at trillion-token scale the probe becomes a
+    shuffle join on the bigram key and nothing else changes.  The
+    only libm call (ln) is floor-quantized to 1e-6 per term and
+    summed as exact int64, the same portability contract as
+    bm25_doc_ranking.
+    """
+    docs = t["documents"].withColumn("_toks", tokens_col(F.col("text")))
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("_toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("_toks"), i).alias("w1"),
+                        F.element_at(F.col("_toks"), i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    tf = pairs.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("c"))
+    bg = tf.groupBy("w1", "w2").agg(F.sum("c").alias("c_bigram"))
+    starts = bg.groupBy("w1").agg(F.sum("c_bigram").alias("c_start"))
+    vocab = (
+        t["documents"]
+        .select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .agg(F.countDistinct("token").alias("v"))
+    )
+    # -ln((c_bigram+1)/(c_start+V)), floor-quantized to 1e-6, exact int64
+    surprisal_q = -F.floor(
+        F.log(
+            (F.col("c_bigram") + 1).cast("double")
+            / (F.col("c_start") + F.col("v"))
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(bg), ["w1", "w2"])
+        .join(F.broadcast(starts), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("s_q", surprisal_q)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        (
+            F.sum(F.col("c") * F.col("s_q")).cast("double")
+            / (F.lit(1e6) * F.sum("c"))
+        ).alias("avg_surprisal"),
+    )

@@ -625,3 +625,26 @@ def test_incremental_minhash_equals_full_restricted(spark, sf_dir):
     }
     assert inc == full
     assert all(m < d for d, m in inc)
+
+
+def test_bigram_surprisal_flags_shuffled_text(spark, sf_dir):
+    """A document with corpus-unseen transitions must score strictly
+    higher average surprisal than the template it shuffles."""
+    from storm_data_etl_service_spark.operators.text import (
+        bigram_surprisal_scores,
+    )
+
+    common = "the cat sat on the mat"
+    docs = [(i, common) for i in range(10)] + [(99, "mat the on sat cat zebra")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["avg_surprisal"]
+        for r in bigram_surprisal_scores({"documents": df}).collect()
+    }
+    assert out[99] > out[0] > 0
+    # corpus-scale run: every doc scored, scores positive
+    rows = run("bigram_surprisal_scores", spark, sf_dir).collect()
+    t = load_tables(spark, sf_dir)
+    multi = t["documents"].filter(F.size(F.split(F.trim("text"), r"\s+")) >= 2)
+    assert len(rows) == multi.count()
+    assert all(r["avg_surprisal"] > 0 for r in rows)
