@@ -147,6 +147,29 @@ ANNOTATED = {
         "before the parquet write (file-level min/max on BOTH source "
         "dimensions → 2-D data skipping)."
     ),
+    "heavy_hitter_bigrams": (
+        "Two bounded passes: MapInPandas emits per-partition Misra-Gries "
+        "candidates (≤C rows each), BroadcastExchange gates the recount "
+        "semi-join, and the final count is a partial-aggregated groupBy "
+        "over survivors only — the token stream is never shuffled by value."
+    ),
+    "dedup_incremental_minhash": (
+        "The band-key index builds map-only (signature + explode), the new "
+        "batch filters via the broadcast 1-row split threshold, and the only "
+        "pair work is the band-bucket equi-join against the batch — corpus "
+        "cost is index scan, not re-pairing."
+    ),
+    "embedding_quantize_int8": (
+        "posexplode → tiny groupBy(dim) for scales → broadcast back across "
+        "the exploded scan → one more groupBy(dim). Dimension-parallel: "
+        "shuffle keys number EMBEDDING_DIM, payloads are partial aggregates."
+    ),
+    "bigram_surprisal_scores": (
+        "The LM is two aggregate tables derived from the same (doc,w1,w2) "
+        "count relation that scoring probes; both broadcast back over it "
+        "(vocabulary-sized), so the corpus stream shuffles once into the "
+        "count table and once into per-doc sums — both map-side combined."
+    ),
     "centroid_similarity_matrix": (
         "Centroid components stay exploded as (label, dim) rows; the "
         "pair join aligns on dim and the dot/norm moments reduce "
