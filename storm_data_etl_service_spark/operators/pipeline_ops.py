@@ -561,3 +561,52 @@ def props_extract_variant(t) -> DataFrame:
         .groupBy("k")
         .agg(F.count("*").alias("n"))
     )
+
+
+def corpus_dataset_card(t) -> DataFrame:
+    """One-row dataset datasheet: the numbers a training-data consumer
+    reads before touching the corpus — size, composition, duplication
+    burden, and length profile.  The capstone over the curation
+    surface (each column is a headline from one operator family).
+
+    Every input is a 1-row aggregate (or a pair-count over the pruned
+    LSH candidate set), crossJoined broadcast-style — no wide joins,
+    no collects; at 100 TB each leg is one partial-aggregated pass.
+    """
+    from storm_data_etl_service_spark.operators.dedup import dedup_minhash_lsh
+    from storm_data_etl_service_spark.operators.text import tokens_col
+
+    docs = t["documents"]
+    base = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.size(tokens_col(F.col("text"))).cast("long")).alias(
+            "total_tokens"
+        ),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        F.min(F.length("text").cast("long")).alias("min_chars"),
+        F.max(F.length("text").cast("long")).alias("max_chars"),
+    )
+    dup = docs.agg(
+        (F.count("*") - F.countDistinct(F.sha2("text", 256))).alias(
+            "n_exact_dup_docs"
+        )
+    )
+    pairs = dedup_minhash_lsh(t)
+    neardup = pairs.agg(F.count("*").alias("n_neardup_pairs"))
+    in_cluster = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .agg(F.count("*").alias("n_docs_in_neardup_pairs"))
+    )
+    return (
+        base.crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(neardup))
+        .crossJoin(F.broadcast(in_cluster))
+        .withColumn(
+            "mean_doc_tokens",
+            F.col("total_tokens").cast("double") / F.col("n_docs"),
+        )
+    )

@@ -2893,3 +2893,32 @@ SELECT doc_id, cast(sum(c) AS BIGINT) AS n_bigrams,
 FROM scored GROUP BY doc_id""",
     ("text", "quality", "language-model"),
 )
+
+
+REGISTRY["corpus_dataset_card"] = QuerySpec(
+    _t(P.corpus_dataset_card),
+    f"""WITH pairs AS (
+{_minhash_oracle()}),
+base AS (
+  SELECT count(*) AS n_docs,
+    count(DISTINCT source) AS n_sources,
+    count(DISTINCT lang) AS n_langs,
+    cast(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x != ''))) AS BIGINT) AS total_tokens,
+    cast(sum(length(text)) AS BIGINT) AS total_chars,
+    cast(min(length(text)) AS BIGINT) AS min_chars,
+    cast(max(length(text)) AS BIGINT) AS max_chars
+  FROM documents),
+dup AS (
+  SELECT count(*) - count(DISTINCT sha256(text)) AS n_exact_dup_docs
+  FROM documents),
+nd AS (SELECT count(*) AS n_neardup_pairs FROM pairs),
+ic AS (
+  SELECT count(*) AS n_docs_in_neardup_pairs FROM (
+    SELECT doc_a AS d FROM pairs UNION SELECT doc_b FROM pairs))
+SELECT base.*, dup.n_exact_dup_docs, nd.n_neardup_pairs,
+  ic.n_docs_in_neardup_pairs,
+  cast(total_tokens AS DOUBLE) / n_docs AS mean_doc_tokens
+FROM base, dup, nd, ic""",
+    ("curation", "datasheet", "capstone"),
+)

@@ -167,3 +167,42 @@ def drift_against_baseline(
         .withColumn("chi2", F.col("chi2_fp") / F.lit(1e9))
         .drop("chi2_fp")
     )
+
+
+def interval_left_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    within: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: matched pairs emit as
+    they join; an UNMATCHED left event emits with null right columns
+    only once the watermark proves no future right row can match it
+    (left.ts + within < watermark) — the streaming answer to
+    "which views never converted?".
+
+    The outer side makes the time bound mandatory, not just
+    state-hygiene: the engine must know when a left row's match window
+    is CLOSED before it may emit the null row, so both watermarks and
+    both-direction ts bounds are required for the plan to compile.
+
+    Operational gotcha (encoded in the test): the GLOBAL watermark is
+    the MIN over both sides' watermark nodes
+    (spark.sql.streaming.multipleWatermarkPolicy=min) — a quiet left
+    stream freezes eviction even while the right stream races ahead,
+    and null rows surface in the batch AFTER the advance."""
+    lw = left.withWatermark("ts", watermark).alias("l")
+    rw = right.withWatermark("ts", watermark).alias("r")
+    return lw.join(
+        rw,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") > F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {within}")),
+        "leftOuter",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("id_left"),
+        F.col("r.event_id").alias("id_right"),
+        F.col("l.ts").alias("ts_left"),
+        F.col("r.ts").alias("ts_right"),
+    )

@@ -554,3 +554,69 @@ def test_storm_replay_stream_source_resumes_without_duplicates(spark):
         assert enriched.select("event_type").distinct().count() == 3
     finally:
         shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
+    spark, workdir
+):
+    """LEFT OUTER stream-stream join: matched pairs join normally;
+    a never-matched left row emits with null right columns once the
+    watermark closes its match window."""
+    import os
+    import time
+
+    from storm_data_etl_service_spark.streaming.windows import (
+        interval_left_join_stream,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    src = workdir / "loj"
+    src.mkdir(parents=True)
+    b0 = [
+        {"event_id": 0, "ts": "2026-01-01T00:00:00", "user_id": 1, "event_type": "view"},
+        {"event_id": 1, "ts": "2026-01-01T00:02:00", "user_id": 1, "event_type": "click"},
+        {"event_id": 2, "ts": "2026-01-01T00:00:00", "user_id": 4, "event_type": "view"},
+    ]
+    # far-future rows drive the watermark past user 4's match window;
+    # BOTH branches need fresh events (global watermark = min over the
+    # two watermark nodes), and the FOLLOWING batch carries the
+    # evicted unmatched row out
+    b1 = [{"event_id": 8, "ts": "2026-01-01T02:00:00", "user_id": 9,
+           "event_type": "view"},
+          {"event_id": 9, "ts": "2026-01-01T02:00:30", "user_id": 9,
+           "event_type": "click"}]
+    b2 = [{"event_id": 10, "ts": "2026-01-01T02:01:00", "user_id": 9,
+           "event_type": "view"},
+          {"event_id": 11, "ts": "2026-01-01T02:01:30", "user_id": 9,
+           "event_type": "click"}]
+    for name, batch in (("b0.json", b0), ("b1.json", b1), ("b2.json", b2)):
+        with open(src / name, "w") as f:
+            for r in batch:
+                f.write(json.dumps(r) + "\n")
+    now = time.time()
+    os.utime(src / "b0.json", (now - 120, now - 120))
+    os.utime(src / "b1.json", (now - 60, now - 60))
+    os.utime(src / "b2.json", (now, now))
+
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        interval_left_join_stream(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "click"),
+        )
+        .writeStream.format("memory")
+        .queryName("loj_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(workdir / "ckpt_loj"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM loj_out").collect()
+    got = {(r["user_id"], r["id_left"], r["id_right"]) for r in rows}
+    assert (1, 0, 1) in got  # matched pair
+    assert (4, 2, None) in got  # unmatched view surfaced with nulls
+    assert all(r["ts_right"] is None for r in rows if r["id_right"] is None)
