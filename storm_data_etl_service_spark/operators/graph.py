@@ -246,3 +246,43 @@ def neardup_cluster_representative(t) -> DataFrame:
             "total_chars",
         )
     )
+
+
+#: Recursion bound for the SQL-surface components twin.  Must exceed
+#: the eccentricity of each component's min node; LSH near-dup
+#: clusters are near-cliques (diameter ≤ 3 in practice).
+SQL_CC_MAX_DEPTH = 6
+
+
+def neardup_components_sql(spark, t) -> DataFrame:
+    """Connected components via Spark 4's RECURSIVE CTE — the SQL
+    twin of ``neardup_components`` (same output contract, same DuckDB
+    oracle), demonstrating the engine's recursive-query surface.
+
+    Spark's recursion supports UNION ALL only, so cycles are broken
+    semantically: a label propagates only downhill (label < next
+    node), which is lossless for min-label components (the component
+    min is below every node on its paths), and walk growth is bounded
+    by SQL_CC_MAX_DEPTH.  The iterative DataFrame loop
+    (``connected_components``) remains the 100 TB path — it dedups
+    labels every round and checkpoints lineage; this entry is
+    API-surface parity, correct for the near-clique graphs near-dup
+    detection produces."""
+    from storm_data_etl_service_spark.operators.dedup import dedup_minhash_lsh
+
+    dedup_minhash_lsh(t).createOrReplaceTempView("lsh_pairs_for_sql_cc")
+    return spark.sql(f"""
+WITH RECURSIVE sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM lsh_pairs_for_sql_cc
+  UNION
+  SELECT doc_b, doc_a FROM lsh_pairs_for_sql_cc),
+reach (node, label, depth) AS (
+  SELECT u, u, 0 FROM (SELECT DISTINCT u FROM sym)
+  UNION ALL
+  SELECT s.v, r.label, r.depth + 1
+  FROM reach r JOIN sym s ON s.u = r.node
+  WHERE r.depth < {SQL_CC_MAX_DEPTH} AND r.label < s.v
+)
+SELECT node AS doc_id, min(label) AS component_id,
+       node = min(label) AS is_canonical
+FROM reach GROUP BY node""")

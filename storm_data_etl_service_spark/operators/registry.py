@@ -2895,6 +2895,14 @@ FROM scored GROUP BY doc_id""",
 )
 
 
+REGISTRY["neardup_components_sql"] = QuerySpec(
+    lambda spark, sf_dir: G.neardup_components_sql(
+        spark, load_tables(spark, sf_dir)
+    ),
+    REGISTRY["neardup_components"].oracle,
+    ("dedup", "neardup", "graph", "recursive-cte", "sql-api"),
+)
+
 REGISTRY["corpus_dataset_card"] = QuerySpec(
     _t(P.corpus_dataset_card),
     f"""WITH pairs AS (

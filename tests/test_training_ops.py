@@ -648,3 +648,17 @@ def test_bigram_surprisal_flags_shuffled_text(spark, sf_dir):
     multi = t["documents"].filter(F.size(F.split(F.trim("text"), r"\s+")) >= 2)
     assert len(rows) == multi.count()
     assert all(r["avg_surprisal"] > 0 for r in rows)
+
+
+def test_recursive_cte_components_match_iterative(spark, sf_dir):
+    """The RECURSIVE CTE twin must reproduce the iterative min-label
+    loop exactly (same clusters, same canonicals)."""
+    a = {
+        (r["doc_id"], r["component_id"], r["is_canonical"])
+        for r in run("neardup_components", spark, sf_dir).collect()
+    }
+    b = {
+        (r["doc_id"], r["component_id"], r["is_canonical"])
+        for r in run("neardup_components_sql", spark, sf_dir).collect()
+    }
+    assert a == b and a
