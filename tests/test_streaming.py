@@ -620,3 +620,46 @@ def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
     assert (1, 0, 1) in got  # matched pair
     assert (4, 2, None) in got  # unmatched view surfaced with nulls
     assert all(r["ts_right"] is None for r in rows if r["id_right"] is None)
+
+
+def test_state_store_reader_exposes_aggregation_state(spark, workdir):
+    """The statestore/state-metadata sources must surface the exact
+    per-key state a streaming aggregation is holding — checkpoint
+    debugging without touching the query."""
+    from storm_data_etl_service_spark.streaming.state_tools import (
+        read_state_keys,
+        state_store_summary,
+    )
+
+    src = workdir / "ss_src"
+    src.mkdir(parents=True)
+    (src / "b0.json").write_text(
+        "\n".join(
+            json.dumps({"user_id": u, "v": v})
+            for u, v in [(1, 2.0), (1, 3.0), (2, 5.0), (3, 1.5)]
+        )
+    )
+    ck = str(workdir / "ss_ck")
+    stream = spark.readStream.schema("user_id long, v double").json(str(src))
+    q = (
+        stream.groupBy("user_id")
+        .agg(F.sum("v").alias("total"))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ss_probe")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+
+    state = {
+        r["key"]["user_id"]: r["value"][0]  # value-struct fields are
+        for r in read_state_keys(spark, ck).collect()  # engine-named
+    }
+    assert state == {1: 5.0, 2: 5.0, 3: 1.5}
+
+    summary = state_store_summary(spark, ck).collect()
+    assert len(summary) == 1
+    assert summary[0]["operatorName"] == "stateStoreSave"
+    assert summary[0]["n_state_rows"] == 3
