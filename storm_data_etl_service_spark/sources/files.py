@@ -133,3 +133,26 @@ def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
     stable wide schema.  The per-file footer merge happens at planning
     time; data is still pruned/pushed down per file."""
     return spark.read.option("mergeSchema", True).parquet(*paths)
+
+
+def write_range_sorted_parquet(
+    df: DataFrame, path: str, sort_cols: list[str], n_files: int
+) -> None:
+    """Range-partitioned, within-file-sorted parquet — the 1-D
+    companion to ``operators.zorder_cluster``: a global sort order
+    laid out WITHOUT a global sort.  ``repartitionByRange`` samples
+    the sort key to cut balanced ranges (one shuffle), and
+    ``sortWithinPartitions`` orders each file locally — so parquet
+    footer min/max on the sort key become disjoint across files and a
+    range predicate prunes to the one file that can match.
+
+    At 100 TB this is how you keep a time- or key-ordered table
+    queryable: no single-reducer global sort, and every file's stats
+    are tight.  (Disjointness is proved from the written footers in
+    tests/test_layout_analytics.py.)"""
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

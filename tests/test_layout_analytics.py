@@ -580,3 +580,47 @@ def test_seasonal_anomaly_flags_planted_spike_and_outage(spark):
     for r in out:
         assert r["deviation"] == abs(r["n"] - r["med"])
         assert 1 <= r["dow_iso"] <= 7 and 0 <= r["hour"] <= 23
+
+
+def test_range_sorted_write_disjoint_ts_files(spark, t, tmp_path):
+    """write_range_sorted_parquet: file footer min/max on the sort key
+    must be pairwise disjoint — the 1-D data-skipping layout for
+    time-ordered tables, produced without a global sort."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from storm_data_etl_service_spark.sources.files import (
+        write_range_sorted_parquet,
+    )
+
+    out = str(tmp_path / "ts_sorted")
+    # gotcha, encoded: Spark's default INT96 timestamps write NO
+    # parquet min/max stats — the sorted layout would be unprunable
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        write_range_sorted_parquet(
+            t["events"].select("event_id", "ts", "user_id"), out, ["ts"], 4
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    ranges = []
+    for f in sorted(Path(out).glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = next(
+            i for i in range(md.schema.to_arrow_schema().names.__len__())
+            if md.schema.to_arrow_schema().names[i] == "ts"
+        )
+        lo = min(md.row_group(i).column(idx).statistics.min
+                 for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max
+                 for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) == 4
+    ranges.sort()
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ts-ranges overlap: {ranges}"
+    # content survives the relayout
+    assert (
+        spark.read.parquet(out).count() == t["events"].count()
+    )
