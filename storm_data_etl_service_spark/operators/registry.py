@@ -2930,3 +2930,32 @@ SELECT base.*, dup.n_exact_dup_docs, nd.n_neardup_pairs,
 FROM base, dup, nd, ic""",
     ("curation", "datasheet", "capstone"),
 )
+
+
+REGISTRY["doc_chunk_windows"] = QuerySpec(
+    _t(X.doc_chunk_windows),
+    rf"""WITH tl AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ts
+  FROM documents),
+sized AS (
+  SELECT doc_id, ts, len(ts) AS n,
+    CASE WHEN len(ts) = 0 THEN 0
+         WHEN len(ts) <= {X.CHUNK_TOKENS} THEN 1
+         ELSE cast(ceil(cast(len(ts) - {X.CHUNK_TOKENS} AS DOUBLE)
+                        / {X.CHUNK_STRIDE}) AS INTEGER) + 1 END AS n_chunks
+  FROM tl),
+idx AS (
+  SELECT doc_id, ts, cast(i AS BIGINT) AS chunk_idx
+  FROM sized, range(0, 64) r(i) WHERE i < n_chunks)
+SELECT doc_id, chunk_idx,
+  chunk_idx * {X.CHUNK_STRIDE} AS start_token,
+  cast(len(ts[chunk_idx * {X.CHUNK_STRIDE} + 1
+            : chunk_idx * {X.CHUNK_STRIDE} + {X.CHUNK_TOKENS}]) AS BIGINT)
+    AS n_chunk_tokens,
+  array_to_string(ts[chunk_idx * {X.CHUNK_STRIDE} + 1
+                   : chunk_idx * {X.CHUNK_STRIDE} + {X.CHUNK_TOKENS}], ' ')
+    AS chunk_text
+FROM idx""",
+    ("text", "chunking", "rag"),
+)

@@ -619,3 +619,48 @@ def bigram_surprisal_scores(t) -> DataFrame:
             / (F.lit(1e6) * F.sum("c"))
         ).alias("avg_surprisal"),
     )
+
+
+CHUNK_TOKENS = 40
+CHUNK_STRIDE = 30  # 10-token overlap between consecutive chunks
+
+
+def doc_chunk_windows(t) -> DataFrame:
+    """Overlapping token-window chunking (RAG / context-window prep):
+    each document expands to windows of CHUNK_TOKENS tokens advancing
+    by CHUNK_STRIDE — the stride < window overlap that keeps sentence
+    context across chunk boundaries.
+
+    Pure expression fan-out: the token array is staged once, window
+    starts come from ``sequence``, and each chunk re-joins its slice —
+    no Python, no shuffle; output cardinality is
+    ceil((n_tokens - overlap) / stride) rows per doc.  Chunks carry
+    (doc_id, chunk_idx, start_token, n_chunk_tokens, chunk_text) —
+    the downstream embedding pipeline's input contract.
+    """
+    docs = t["documents"].withColumn("_toks", tokens_col(F.col("text")))
+    n = F.size("_toks")
+    n_chunks = F.when(
+        n <= CHUNK_TOKENS,
+        F.when(n > 0, 1).otherwise(0),
+    ).otherwise(
+        F.ceil((n - F.lit(CHUNK_TOKENS)) / F.lit(CHUNK_STRIDE)).cast("int") + 1
+    )
+    chunks = docs.select(
+        "doc_id",
+        "_toks",
+        F.explode(
+            F.when(
+                n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    piece = F.slice(F.col("_toks"), start + 1, CHUNK_TOKENS)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start_token"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

@@ -662,3 +662,34 @@ def test_recursive_cte_components_match_iterative(spark, sf_dir):
         for r in run("neardup_components_sql", spark, sf_dir).collect()
     }
     assert a == b and a
+
+
+def test_doc_chunks_cover_and_overlap(spark, sf_dir):
+    """Chunk windows must start at stride multiples, cover every
+    token (last chunk reaches the end), and reconstruct the doc
+    when de-overlapped."""
+    from storm_data_etl_service_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    rows = run("doc_chunk_windows", spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"].split()
+        for r in load_tables(spark, sf_dir)["documents"].collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, toks in docs.items():
+        if not toks:
+            assert doc_id not in by_doc
+            continue
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        assert chunks[0]["start_token"] == 0
+        for i, c in enumerate(chunks):
+            assert c["start_token"] == i * CHUNK_STRIDE
+            piece = toks[c["start_token"]: c["start_token"] + CHUNK_TOKENS]
+            assert c["chunk_text"] == " ".join(piece)
+        last = chunks[-1]
+        assert last["start_token"] + last["n_chunk_tokens"] >= len(toks)
