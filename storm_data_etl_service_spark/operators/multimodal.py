@@ -200,3 +200,49 @@ def media_manifest_report(t) -> DataFrame:
         F.max(nb).alias("max_bytes"),
         F.countDistinct(F.sha2("data", 256)).alias("n_distinct_contents"),
     )
+
+
+def decode_media_arrow(media: DataFrame) -> DataFrame:
+    """The ``mapInArrow`` twin of ``decode_media``: the kernel
+    receives raw ``pyarrow.RecordBatch``es — no Arrow→pandas
+    materialization, no object boxing of the binary payloads.  For
+    byte-level feature kernels this is the cheaper Python boundary
+    (pandas conversion would copy every blob into Python objects);
+    pandas stays the right tool when the kernel genuinely wants
+    Series/NumPy semantics."""
+
+    def kernel(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            kinds = batch.column(1)
+            blobs = batch.column(2)
+            shas, sigs, sizes = [], [], []
+            for blob in blobs:
+                b = blob.as_py()
+                sizes.append(len(b))
+                shas.append(hashlib.sha256(b).hexdigest())
+                sigs.append(b[:4].hex())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    kinds,
+                    pa.array(sizes, pa.int64()),
+                    pa.array(shas, pa.string()),
+                    pa.array(sigs, pa.string()),
+                ],
+                names=[
+                    "media_id",
+                    "kind",
+                    "n_bytes",
+                    "content_sha",
+                    "byte_signature",
+                ],
+            )
+
+    return media.select("media_id", "kind", "data").mapInArrow(
+        kernel, schema=DECODE_RESULT_SCHEMA
+    )

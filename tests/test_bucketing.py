@@ -85,3 +85,28 @@ def test_bucket_pruning_on_key_equality(spark, sf_dir, bucketed_tables):
         assert df.count() == 1
     finally:
         spark.conf.set(key, prev)
+
+
+def test_analyze_table_stats_feed_cbo(spark, sf_dir):
+    """Warehouse-ops surface: saveAsTable + ANALYZE ... COMPUTE
+    STATISTICS makes rowCount/sizeInBytes available to the cost-based
+    optimizer — at 100 TB these catalog stats are what lets the
+    planner pick broadcast sides and join orders BEFORE runtime
+    (AQE then corrects at shuffle boundaries)."""
+    spark.sql("DROP TABLE IF EXISTS cbo_nation")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.saveAsTable("cbo_nation")
+    try:
+        spark.sql(
+            "ANALYZE TABLE cbo_nation COMPUTE STATISTICS FOR COLUMNS n_nationkey"
+        )
+        det = spark.sql("DESCRIBE TABLE EXTENDED cbo_nation").collect()
+        stats = [r for r in det if r["col_name"] == "Statistics"]
+        assert stats and "rows" in stats[0]["data_type"], det
+        coldet = spark.sql(
+            "DESCRIBE TABLE EXTENDED cbo_nation n_nationkey"
+        ).collect()
+        info = {r["info_name"]: r["info_value"] for r in coldet}
+        assert int(info["distinct_count"]) > 0
+        assert info["max"] is not None
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbo_nation")

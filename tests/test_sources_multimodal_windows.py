@@ -301,3 +301,20 @@ def test_spc_datasource_reads_typed_directory(spark, workdir):
     assert by_type["hail"]["id"] == "hail-5d91dda0f56ba124"
     assert by_type["tornado"]["measurement"]["magnitude"] == 2.0
     assert by_type["tornado"]["measurement"]["unit"] == "f_scale"
+
+
+def test_map_in_arrow_decode_matches_pandas_path(spark, sf_dir):
+    """The mapInArrow kernel must produce byte-identical features to
+    the mapInPandas path — same contract, cheaper boundary."""
+    from storm_data_etl_service_spark.operators.multimodal import (
+        decode_media_arrow,
+        media_from_documents,
+        multimodal_decode_stats,
+    )
+    from storm_data_etl_service_spark.schemas import load_tables
+
+    t = load_tables(spark, sf_dir)
+    media = media_from_documents(t)
+    arrow_rows = {tuple(r) for r in decode_media_arrow(media).collect()}
+    pandas_rows = {tuple(r) for r in multimodal_decode_stats(t).collect()}
+    assert arrow_rows == pandas_rows and arrow_rows
