@@ -2959,3 +2959,24 @@ SELECT doc_id, chunk_idx,
 FROM idx""",
     ("text", "chunking", "rag"),
 )
+
+
+REGISTRY["q1_group_count_pipe_sql"] = QuerySpec(
+    lambda spark, sf_dir: R.q1_group_count_pipe_sql(
+        spark, load_tables(spark, sf_dir)
+    ),
+    REGISTRY["q1_group_count"].oracle,
+    ("agg", "pipe-sql", "sql-api"),
+)
+
+REGISTRY["join_size_estimate"] = QuerySpec(
+    _t(R.join_size_estimate),
+    """WITH o AS (SELECT o_orderkey, count(*) AS n_o FROM orders GROUP BY o_orderkey),
+li AS (SELECT l_orderkey AS o_orderkey, count(*) AS n_l
+       FROM lineitem GROUP BY l_orderkey)
+SELECT cast(sum(n_o * n_l) AS BIGINT) AS est_join_rows,
+  count(*) AS n_matching_keys,
+  cast(max(n_o * n_l) AS BIGINT) AS max_key_fanout
+FROM o JOIN li USING (o_orderkey)""",
+    ("planning", "diagnosis", "join"),
+)

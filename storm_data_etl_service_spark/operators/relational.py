@@ -1032,3 +1032,42 @@ def full_outer_reconcile(t) -> DataFrame:
         .groupBy("status")
         .agg(F.count("*").alias("n"), _dsum(F.col("drift"), "total_drift"))
     )
+
+
+def q1_group_count_pipe_sql(spark, t) -> DataFrame:
+    """Q1 via Spark 4's SQL pipe syntax — the same grouped count as
+    ``q1_group_count`` written as a linear `|>` dataflow.  Pipe SQL
+    compiles to the identical Catalyst plan (same partial-agg +
+    single shuffle); the entry demonstrates the engine's third query
+    surface next to DataFrame and classic SQL."""
+    t["orders"].createOrReplaceTempView("orders_pipe")
+    return spark.sql(
+        """
+FROM orders_pipe
+|> AGGREGATE count(*) AS n GROUP BY o_orderpriority
+"""
+    )
+
+
+def join_size_estimate(t) -> DataFrame:
+    """Pre-join cardinality prediction: |orders ⋈ lineitem| computed
+    from the two sides' per-key count tables — sum over join keys of
+    n_left × n_right.  The 100 TB planning diagnostic that decides
+    whether a join is safe to run at all (and companion to
+    join_skew_report's per-key view): two cheap keyed aggregates and
+    a vocabulary-sized join instead of materializing the join.
+
+    Exact, not a sketch — so the test asserts it equals the real join
+    count; at scale the same query over approx_count sketches trades
+    exactness for one fewer shuffle."""
+    o = t["orders"].groupBy("o_orderkey").agg(F.count("*").alias("n_o"))
+    li = (
+        t["lineitem"]
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count("*").alias("n_l"))
+    )
+    return o.join(li, "o_orderkey").agg(
+        F.sum(F.col("n_o") * F.col("n_l")).alias("est_join_rows"),
+        F.count("*").alias("n_matching_keys"),
+        F.max(F.col("n_o") * F.col("n_l")).alias("max_key_fanout"),
+    )

@@ -693,3 +693,15 @@ def test_doc_chunks_cover_and_overlap(spark, sf_dir):
             assert c["chunk_text"] == " ".join(piece)
         last = chunks[-1]
         assert last["start_token"] + last["n_chunk_tokens"] >= len(toks)
+
+
+def test_join_size_estimate_is_exact(spark, sf_dir):
+    """The count-table prediction must equal the materialized join's
+    actual row count."""
+    t = load_tables(spark, sf_dir)
+    est = run("join_size_estimate", spark, sf_dir).first()
+    actual = t["orders"].join(
+        t["lineitem"], t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"]
+    ).count()
+    assert est["est_join_rows"] == actual
+    assert est["max_key_fanout"] <= actual
