@@ -2980,3 +2980,25 @@ SELECT cast(sum(n_o * n_l) AS BIGINT) AS est_join_rows,
 FROM o JOIN li USING (o_orderkey)""",
     ("planning", "diagnosis", "join"),
 )
+
+
+_GEO_R2 = repr(R.GEO_RADIUS_DEG * R.GEO_RADIUS_DEG)  # exact double literal
+
+REGISTRY["geo_neighbor_search"] = QuerySpec(
+    _t(R.geo_neighbor_search),
+    f"""WITH pts AS (
+  SELECT event_id,
+    25.0::DOUBLE + (user_id % 100) * 0.1::DOUBLE
+      + (event_id % 7) * 0.01::DOUBLE AS lat,
+    -100.0::DOUBLE + (user_id % 73) * 0.15::DOUBLE
+      + (event_id % 11) * 0.01::DOUBLE AS lon
+  FROM events),
+sites AS (SELECT event_id AS site_id, lat AS slat, lon AS slon
+          FROM pts WHERE event_id < {R.GEO_N_SITES})
+SELECT site_id, p.event_id AS point_id,
+  (p.lat - slat) * (p.lat - slat) + (p.lon - slon) * (p.lon - slon) AS d2
+FROM sites s JOIN pts p ON p.event_id != s.site_id
+WHERE (p.lat - slat) * (p.lat - slat) + (p.lon - slon) * (p.lon - slon)
+      <= {_GEO_R2}""",
+    ("geo", "spatial-join", "q7-scale"),
+)

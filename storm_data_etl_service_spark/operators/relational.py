@@ -1071,3 +1071,78 @@ def join_size_estimate(t) -> DataFrame:
         F.count("*").alias("n_matching_keys"),
         F.max(F.col("n_o") * F.col("n_l")).alias("max_key_fanout"),
     )
+
+
+GEO_CELL_DEG = 0.5   # grid cell size (degrees)
+GEO_RADIUS_DEG = 0.3  # match radius (degrees, squared-degree metric)
+GEO_N_SITES = 200     # query-site count in the canonical entry
+
+
+def _event_points(t) -> DataFrame:
+    """Deterministic synthetic coordinates for the events table (the
+    driver tables carry no geo columns; the derivation is shared
+    verbatim with the DuckDB oracle).  Mirrors the reference's
+    lat/lon domain (storm reports, reference
+    internal/domain/event.go:53-56)."""
+    return t["events"].select(
+        "event_id",
+        (25.0 + (F.col("user_id") % 100) * 0.1
+         + (F.col("event_id") % 7) * 0.01).alias("lat"),
+        (-100.0 + (F.col("user_id") % 73) * 0.15
+         + (F.col("event_id") % 11) * 0.01).alias("lon"),
+    )
+
+
+def geo_neighbor_search(t) -> DataFrame:
+    """Spatial lookup join: for each of the first GEO_N_SITES event
+    sites, every event within GEO_RADIUS_DEG — the scale form of the
+    reference's bounding-box scan (Q7, cmd/genmock/main.go:304-322):
+    instead of scanning all points per query, both sides key into a
+    GEO_CELL_DEG grid and each query probes only its 3×3 neighbor
+    cells (radius < cell size guarantees no misses).
+
+    At 100 TB: the point side shuffles once on the cell key; query
+    sites explode ×9 and broadcast; the refine predicate is pure
+    arithmetic (squared-degree metric — deterministic in both
+    engines, unlike haversine's libm trig; swap in haversine on a
+    real cluster where exactness-vs-oracle isn't the contract).
+    """
+    pts = _event_points(t)
+    cell_lat = F.floor(F.col("lat") / GEO_CELL_DEG)
+    cell_lon = F.floor(F.col("lon") / GEO_CELL_DEG)
+    data = pts.select(
+        F.col("event_id").alias("point_id"),
+        F.col("lat").alias("plat"),
+        F.col("lon").alias("plon"),
+        cell_lat.alias("clat"),
+        cell_lon.alias("clon"),
+    )
+    sites = (
+        pts.filter(F.col("event_id") < GEO_N_SITES)
+        .select(
+            F.col("event_id").alias("site_id"),
+            F.col("lat").alias("slat"),
+            F.col("lon").alias("slon"),
+            cell_lat.alias("sclat"),
+            cell_lon.alias("sclon"),
+        )
+        .withColumn("dlat", F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])))
+        .withColumn("dlon", F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])))
+        .select(
+            "site_id", "slat", "slon",
+            (F.col("sclat") + F.col("dlat")).alias("clat"),
+            (F.col("sclon") + F.col("dlon")).alias("clon"),
+        )
+    )
+    d2 = (
+        (F.col("plat") - F.col("slat")) * (F.col("plat") - F.col("slat"))
+        + (F.col("plon") - F.col("slon")) * (F.col("plon") - F.col("slon"))
+    )
+    return (
+        F.broadcast(sites)
+        .join(data, ["clat", "clon"])
+        .filter(F.col("point_id") != F.col("site_id"))
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= F.lit(GEO_RADIUS_DEG * GEO_RADIUS_DEG))
+        .select("site_id", "point_id", "d2")
+    )  # no distinct: a point lives in exactly one cell, pairs are unique

@@ -705,3 +705,39 @@ def test_join_size_estimate_is_exact(spark, sf_dir):
     ).count()
     assert est["est_join_rows"] == actual
     assert est["max_key_fanout"] <= actual
+
+
+def test_geo_neighbor_search_equals_naive_scan(spark, sf_dir):
+    """The 3x3 cell-probe join must find exactly the pairs the naive
+    all-pairs scan finds (radius < cell size => no misses)."""
+    from storm_data_etl_service_spark.operators.relational import (
+        GEO_N_SITES,
+        GEO_RADIUS_DEG,
+        _event_points,
+        geo_neighbor_search,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pts = _event_points(t)
+    sites = pts.filter(F.col("event_id") < GEO_N_SITES).select(
+        F.col("event_id").alias("site_id"),
+        F.col("lat").alias("slat"),
+        F.col("lon").alias("slon"),
+    )
+    d2 = (F.col("lat") - F.col("slat")) * (F.col("lat") - F.col("slat")) + (
+        F.col("lon") - F.col("slon")
+    ) * (F.col("lon") - F.col("slon"))
+    naive = {
+        (r["site_id"], r["point_id"])
+        for r in sites.crossJoin(pts)
+        .filter(F.col("event_id") != F.col("site_id"))
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= F.lit(GEO_RADIUS_DEG * GEO_RADIUS_DEG))
+        .select("site_id", F.col("event_id").alias("point_id"))
+        .collect()
+    }
+    fast = {
+        (r["site_id"], r["point_id"])
+        for r in geo_neighbor_search(t).collect()
+    }
+    assert fast == naive and fast
