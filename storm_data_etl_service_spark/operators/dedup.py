@@ -533,3 +533,33 @@ def neardup_source_overlap(t) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+def normalized_text_col(text: Column) -> Column:
+    """Dedup normalization: casefold, collapse whitespace runs, THEN
+    trim — the cheap canonicalization that catches re-encoded copies
+    exact hashing misses (trailing newlines, tab/space drift, case).
+    Collapse-before-trim matters: ``trim`` strips spaces only, so a
+    leading tab must first become a space to be strippable."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def dedup_exact_normalized(t) -> DataFrame:
+    """Exact dedup on NORMALIZED content: one group per distinct
+    canonical form, keeper = min doc_id, plus how many raw variants
+    the group collapses — the first rung of the dedup ladder
+    (normalized-exact < n-gram Jaccard < MinHash < embedding).
+
+    Same single partial-aggregated shuffle as ``dedup_exact``; the
+    normalization is codegen string ops on the scan."""
+    return (
+        t["documents"]
+        .groupBy(
+            F.sha2(normalized_text_col(F.col("text")), 256).alias("content_hash")
+        )
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.countDistinct("text").alias("n_raw_variants"),
+        )
+    )

@@ -3002,3 +3002,15 @@ WHERE (p.lat - slat) * (p.lat - slat) + (p.lon - slon) * (p.lon - slon)
       <= {_GEO_R2}""",
     ("geo", "spatial-join", "q7-scale"),
 )
+
+
+REGISTRY["dedup_exact_normalized"] = QuerySpec(
+    _t(D.dedup_exact_normalized),
+    r"""SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+    AS content_hash,
+  min(doc_id) AS keep_doc_id, count(*) AS n_copies,
+  count(DISTINCT text) AS n_raw_variants
+FROM documents
+GROUP BY sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))""",
+    ("dedup", "normalization"),
+)

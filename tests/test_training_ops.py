@@ -741,3 +741,32 @@ def test_geo_neighbor_search_equals_naive_scan(spark, sf_dir):
         for r in geo_neighbor_search(t).collect()
     }
     assert fast == naive and fast
+
+
+def test_normalized_dedup_collapses_planted_variants(spark, sf_dir):
+    """Case/whitespace variants of one text must land in one group
+    with the min-id keeper; distinct texts must not merge."""
+    from storm_data_etl_service_spark.operators.dedup import (
+        dedup_exact_normalized,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The  quick brown fox"),
+            (2, "the quick  BROWN fox  "),
+            (3, "\tThe quick brown fox"),
+            (4, "a different document"),
+        ],
+        "doc_id long, text string",
+    )
+    groups = dedup_exact_normalized({"documents": docs}).collect()
+    assert len(groups) == 2
+    big = next(g for g in groups if g["n_copies"] == 3)
+    assert big["keep_doc_id"] == 1 and big["n_raw_variants"] == 3
+    # corpus run: groups partition the corpus
+    t = load_tables(spark, sf_dir)
+    total = sum(
+        g["n_copies"]
+        for g in run("dedup_exact_normalized", spark, sf_dir).collect()
+    )
+    assert total == t["documents"].count()
