@@ -284,3 +284,51 @@ def parquet_dlq(dlq_dir: str):
         df.write.mode("append").parquet(dlq_dir)
 
     return write
+
+
+def incremental_dedup_batch_fn(index_dir: str, matches_dir: str):
+    """foreachBatch kernel for STREAMING corpus dedup against a
+    persisted LSH index — the production loop around
+    ``operators.dedup.dedup_incremental_minhash``:
+
+    per micro-batch of documents (doc_id, text):
+      1. compute the batch's (doc_id, band, key) LSH rows (map-only);
+      2. shuffle-join them against the parquet index accumulated by
+         every PREVIOUS batch → candidate matches (new doc, old doc);
+      3. append matches to ``matches_dir`` and the batch's own band
+         keys to ``index_dir`` — so later batches (and later runs:
+         the index is durable) dedup against everything before them.
+
+    At 100 TB the index is a bucketed table on (band, key); per-batch
+    cost scales with the batch, never the corpus.  Exactly-once comes
+    from the streaming checkpoint (reprocessed batches re-derive the
+    same deterministic band keys; downstream consumers drop duplicate
+    (doc_id, matched_doc_id) rows by key).
+    """
+    from pyspark.sql import functions as F
+
+    from storm_data_etl_service_spark.operators.dedup import lsh_band_keys
+
+    def process(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bands = lsh_band_keys({"documents": batch_df}).persist()
+        try:
+            try:
+                index = spark.read.parquet(index_dir)
+                have_index = True
+            except Exception:
+                have_index = False
+            if have_index:
+                matches = (
+                    index.withColumnRenamed("doc_id", "matched_doc_id")
+                    .join(bands, ["band", "key"])
+                    .filter(F.col("matched_doc_id") != F.col("doc_id"))
+                    .select("doc_id", "matched_doc_id")
+                    .distinct()
+                )
+                matches.write.mode("append").parquet(matches_dir)
+            bands.write.mode("append").parquet(index_dir)
+        finally:
+            bands.unpersist()
+
+    return process

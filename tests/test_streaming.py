@@ -703,3 +703,63 @@ def test_streaming_enrichment_throughput_beats_reference(spark, workdir):
     assert out.count() == n_rows
     rate = n_rows / elapsed
     assert rate > 1_000, f"only {rate:.0f} records/s"
+
+
+def test_streaming_incremental_dedup_matches_across_batches(spark, workdir):
+    """foreachBatch LSH-index dedup: batch N's documents must match
+    near-duplicates from batches < N (and not themselves), and the
+    persisted index must accumulate every batch's band keys."""
+    from storm_data_etl_service_spark.streaming.pipeline import (
+        incremental_dedup_batch_fn,
+    )
+
+    import os
+    import time
+
+    src = workdir / "docs_src"
+    src.mkdir(parents=True)
+    base = (
+        "spark shuffles the fact table once on its natural key while "
+        "dimension tables broadcast to every executor in the cluster"
+    )
+    variant = base.replace("cluster", "fleet")  # high-Jaccard near-dup
+    b0 = [{"doc_id": 1, "text": base},
+          {"doc_id": 2, "text": "a completely different document "
+                                "about storm report enrichment chains"}]
+    b1 = [{"doc_id": 11, "text": variant},
+          {"doc_id": 12, "text": "yet another unrelated text with no "
+                                 "overlap in its shingle space at all"}]
+    for name, batch in (("b0.json", b0), ("b1.json", b1)):
+        with open(src / name, "w") as f:
+            for r in batch:
+                f.write(json.dumps(r) + "\n")
+    now = time.time()
+    os.utime(src / "b0.json", (now - 60, now - 60))
+    os.utime(src / "b1.json", (now, now))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_dedup_batch_fn(
+                str(workdir / "lsh_index"), str(workdir / "matches")
+            )
+        )
+        .option("checkpointLocation", str(workdir / "dedup_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    matches = {
+        (r["doc_id"], r["matched_doc_id"])
+        for r in spark.read.parquet(str(workdir / "matches")).collect()
+    }
+    assert (11, 1) in matches  # batch-1 doc caught against batch-0 index
+    assert all(d != m for d, m in matches)
+    index = spark.read.parquet(str(workdir / "lsh_index"))
+    assert set(r["doc_id"] for r in index.select("doc_id").distinct().collect()) \
+        == {1, 2, 11, 12}
