@@ -3014,3 +3014,43 @@ FROM documents
 GROUP BY sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))""",
     ("dedup", "normalization"),
 )
+
+
+REGISTRY["label_separability_report"] = QuerySpec(
+    _t(S.label_separability_report),
+    """WITH ex AS (
+  SELECT label, vec_id, i AS pos, cast(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+per_dim AS (
+  SELECT label, pos,
+    cast(sum(cast(floor(val * 1e9) AS DECIMAL(25,0))) AS DOUBLE)
+      / (count(*) * 1e9) AS mv
+  FROM ex GROUP BY label, pos),
+intra AS (
+  SELECT label,
+    cast(sum(d2q) AS DOUBLE) / (count(*) * 1e9) AS intra_mean_d2,
+    count(*) AS n_vectors
+  FROM (
+    SELECT e.label, e.vec_id,
+      sum(cast(floor((e.val - p.mv) * (e.val - p.mv) * 1e9) AS BIGINT)) AS d2q
+    FROM ex e JOIN per_dim p ON e.label = p.label AND e.pos = p.pos
+    GROUP BY e.label, e.vec_id)
+  GROUP BY label),
+pair_d2 AS (
+  SELECT a.label AS la, b.label AS lb,
+    cast(sum(cast(floor((a.mv - b.mv) * (a.mv - b.mv) * 1e9) AS BIGINT))
+         AS DOUBLE) / 1e9 AS d2
+  FROM per_dim a JOIN per_dim b ON a.pos = b.pos AND a.label != b.label
+  GROUP BY a.label, b.label),
+nearest AS (
+  SELECT la AS label, d2 AS inter_min_d2, lb AS nearest_other_label
+  FROM (SELECT la, lb, d2,
+          row_number() OVER (PARTITION BY la ORDER BY d2, lb) AS rk
+        FROM pair_d2)
+  WHERE rk = 1)
+SELECT i.label, i.n_vectors, i.intra_mean_d2,
+  n.nearest_other_label, n.inter_min_d2,
+  n.inter_min_d2 / i.intra_mean_d2 AS separability
+FROM intra i JOIN nearest n USING (label)""",
+    ("similarity", "quality", "separability"),
+)

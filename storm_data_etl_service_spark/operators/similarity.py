@@ -665,3 +665,69 @@ def semdedup(t) -> DataFrame:
         "max_cos",
         F.col("dup_of").isNull().alias("kept"),
     )
+
+
+def label_separability_report(t) -> DataFrame:
+    """Embedding-space quality audit per label: mean squared distance
+    of members to their own centroid (intra-class scatter) vs the
+    squared distance to the NEAREST other centroid (inter-class
+    margin), and their ratio — the Fisher-style separability readout
+    that decides whether an embedding column is good enough to drive
+    semantic dedup / nearest-centroid labeling.
+
+    All distance terms are floor-quantized to 1e-9 and summed as
+    exact integers (the same portability contract as the centroid
+    means), so the report is bit-deterministic under any partitioning.
+    Scale: one exploded pass joins the broadcast per-dim centroid
+    table (|labels|×dims rows); the centroid-pair matrix is
+    |labels|² — both trivial next to the vector scan.
+    """
+    per_dim = _centroid_dims(t)  # label, pos, mv, cnt
+    ex = t["embeddings"].select(
+        "label", "vec_id", F.posexplode(_vec(F.col("embedding"))).alias("pos", "val")
+    )
+    term_q = F.floor(
+        (F.col("val") - F.col("mv")) * (F.col("val") - F.col("mv")) * 1e9
+    ).cast("long")
+    intra = (
+        ex.join(F.broadcast(per_dim.select("label", "pos", "mv")), ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(F.sum(term_q).alias("d2q"))
+        .groupBy("label")
+        .agg(
+            (F.sum("d2q").cast("double") / (F.count("*") * F.lit(1e9))).alias(
+                "intra_mean_d2"
+            ),
+            F.count("*").alias("n_vectors"),
+        )
+    )
+    a = per_dim.select(F.col("label").alias("la"), "pos", F.col("mv").alias("ma"))
+    b = per_dim.select(F.col("label").alias("lb"), "pos", F.col("mv").alias("mb"))
+    cterm_q = F.floor(
+        (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")) * 1e9
+    ).cast("long")
+    pair_d2 = (
+        a.join(b, "pos")
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg((F.sum(cterm_q).cast("double") / F.lit(1e9)).alias("d2"))
+    )
+    nearest = (
+        pair_d2.groupBy(F.col("la").alias("label"))
+        .agg(
+            F.min(F.struct(F.col("d2"), F.col("lb"))).alias("_b"),
+        )
+        .select(
+            "label",
+            F.col("_b.d2").alias("inter_min_d2"),
+            F.col("_b.lb").alias("nearest_other_label"),
+        )
+    )
+    return intra.join(nearest, "label").select(
+        "label",
+        "n_vectors",
+        "intra_mean_d2",
+        "nearest_other_label",
+        "inter_min_d2",
+        (F.col("inter_min_d2") / F.col("intra_mean_d2")).alias("separability"),
+    )

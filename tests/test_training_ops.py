@@ -770,3 +770,17 @@ def test_normalized_dedup_collapses_planted_variants(spark, sf_dir):
         for g in run("dedup_exact_normalized", spark, sf_dir).collect()
     )
     assert total == t["documents"].count()
+
+
+def test_label_separability_sanity(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    rows = run("label_separability_report", spark, sf_dir).collect()
+    labels = {
+        r["label"] for r in t["embeddings"].select("label").distinct().collect()
+    }
+    assert {r["label"] for r in rows} == labels
+    for r in rows:
+        assert r["nearest_other_label"] != r["label"]
+        assert r["intra_mean_d2"] > 0 and r["inter_min_d2"] > 0
+        assert r["separability"] > 0
+    assert sum(r["n_vectors"] for r in rows) == t["embeddings"].count()
