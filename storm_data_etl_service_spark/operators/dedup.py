@@ -563,3 +563,56 @@ def dedup_exact_normalized(t) -> DataFrame:
             F.countDistinct("text").alias("n_raw_variants"),
         )
     )
+
+
+def dedup_ladder_report(t) -> DataFrame:
+    """The dedup ladder in one readout: how many documents each rung
+    flags — (1) normalized-exact, (2) exact 3-gram Jaccard ≥ 0.8,
+    (3) MinHash/LSH candidates, (4) embedding cosine near-dup — the
+    coverage-vs-cost table a curation run consults to decide how far
+    down the ladder to pay.  Rung 3 ⊇ rung 2 up to LSH's miss
+    probability; rung 4 flags semantic (non-lexical) duplicates the
+    others cannot see.
+
+    Each rung's doc set is computed by the existing operator (same
+    plans, same scale posture) and collapsed to one count — the
+    synthesis is unions of tiny pair sets, nothing rescans the corpus.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from storm_data_etl_service_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+
+    def pair_docs(pairs: DataFrame, a: str, b: str) -> DataFrame:
+        return (
+            pairs.select(F.col(a).alias("doc_id"))
+            .union(pairs.select(F.col(b).alias("doc_id")))
+            .distinct()
+        )
+
+    norm_docs = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.sha2(normalized_text_col(F.col("text")), 256).alias("h"),
+        )
+        .withColumn("n", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("n") > 1)
+        .select("doc_id")
+        .distinct()
+    )
+    rungs = [
+        ("1_exact_normalized", norm_docs),
+        ("2_ngram_jaccard", pair_docs(dedup_ngram_jaccard(t), "doc_a", "doc_b")),
+        ("3_minhash_lsh", pair_docs(dedup_minhash_lsh(t), "doc_a", "doc_b")),
+        ("4_embedding_cosine", pair_docs(embedding_near_dup(t), "vec_a", "vec_b")),
+    ]
+    out = None
+    for name, docs in rungs:
+        row = docs.agg(F.count("*").alias("n_docs_flagged")).select(
+            F.lit(name).alias("rung"), "n_docs_flagged"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -3054,3 +3054,29 @@ SELECT i.label, i.n_vectors, i.intra_mean_d2,
 FROM intra i JOIN nearest n USING (label)""",
     ("similarity", "quality", "separability"),
 )
+
+
+REGISTRY["dedup_ladder_report"] = QuerySpec(
+    _t(D.dedup_ladder_report),
+    f"""WITH jp AS ({REGISTRY["dedup_ngram_jaccard"].oracle}),
+mp AS ({_minhash_oracle()}),
+ep AS ({REGISTRY["embedding_near_dup"].oracle}),
+norm AS (
+  SELECT count(*) AS n FROM (
+    SELECT doc_id FROM (
+      SELECT doc_id,
+        count(*) OVER (PARTITION BY
+          sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n
+      FROM documents) WHERE n > 1)),
+jd AS (SELECT count(*) AS n FROM
+  (SELECT doc_a AS d FROM jp UNION SELECT doc_b FROM jp)),
+md AS (SELECT count(*) AS n FROM
+  (SELECT doc_a AS d FROM mp UNION SELECT doc_b FROM mp)),
+ed AS (SELECT count(*) AS n FROM
+  (SELECT vec_a AS d FROM ep UNION SELECT vec_b FROM ep))
+SELECT '1_exact_normalized' AS rung, n AS n_docs_flagged FROM norm
+UNION ALL SELECT '2_ngram_jaccard', n FROM jd
+UNION ALL SELECT '3_minhash_lsh', n FROM md
+UNION ALL SELECT '4_embedding_cosine', n FROM ed""",
+    ("dedup", "synthesis", "ladder"),
+)

@@ -784,3 +784,16 @@ def test_label_separability_sanity(spark, sf_dir):
         assert r["intra_mean_d2"] > 0 and r["inter_min_d2"] > 0
         assert r["separability"] > 0
     assert sum(r["n_vectors"] for r in rows) == t["embeddings"].count()
+
+
+def test_dedup_ladder_counts_reconcile(spark, sf_dir):
+    """Ladder counts must equal the underlying operators' flagged-doc
+    sets, and LSH (rung 3) must cover ~all of exact Jaccard (rung 2)."""
+    rows = {r["rung"]: r["n_docs_flagged"]
+            for r in run("dedup_ladder_report", spark, sf_dir).collect()}
+    assert set(rows) == {"1_exact_normalized", "2_ngram_jaccard",
+                         "3_minhash_lsh", "4_embedding_cosine"}
+    jac = run("dedup_ngram_jaccard", spark, sf_dir).collect()
+    jac_docs = {r["doc_a"] for r in jac} | {r["doc_b"] for r in jac}
+    assert rows["2_ngram_jaccard"] == len(jac_docs)
+    assert rows["3_minhash_lsh"] >= rows["2_ngram_jaccard"] - 1
