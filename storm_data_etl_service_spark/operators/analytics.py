@@ -1307,3 +1307,41 @@ def gini_by_source(t) -> DataFrame:
         .groupBy("source")
         .agg(gini(F.col("n_chars")).alias("gini_n_chars"))
     )
+
+
+def revenue_pareto_curve(t) -> DataFrame:
+    """Revenue-concentration (Pareto) curve: customers ranked by
+    lifetime order value, cut into deciles, each decile's share of
+    total revenue — the "do 20% of customers carry 80% of revenue?"
+    readout.
+
+    Revenue sums run in DECIMAL end-to-end (including through the
+    ntile ranking) so decile totals are partition-order-exact; the
+    only doubles are the final share divisions.  The global ranking is
+    an ntile window over CUSTOMER cardinality (already aggregated —
+    orders of magnitude smaller than the fact table), and the grand
+    total broadcasts as one row instead of an all-rows window frame.
+    """
+    rev = t["orders"].groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    deciled = rev.withColumn("decile", F.ntile(10).over(w))
+    total = rev.agg(F.sum("rev").alias("total_rev"))
+    return (
+        deciled.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("rev").alias("decile_rev"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            F.col("decile_rev").cast("double").alias("decile_revenue"),
+            (
+                F.col("decile_rev").cast("double")
+                / F.col("total_rev").cast("double")
+            ).alias("revenue_share"),
+        )
+    )

@@ -3080,3 +3080,21 @@ UNION ALL SELECT '3_minhash_lsh', n FROM md
 UNION ALL SELECT '4_embedding_cosine', n FROM ed""",
     ("dedup", "synthesis", "ladder"),
 )
+
+
+REGISTRY["revenue_pareto_curve"] = QuerySpec(
+    _t(A.revenue_pareto_curve),
+    """WITH rev AS (
+  SELECT o_custkey, sum(cast(o_totalprice AS DECIMAL(25,6))) AS rev
+  FROM orders GROUP BY o_custkey),
+deciled AS (
+  SELECT o_custkey, rev,
+    ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+  FROM rev),
+tot AS (SELECT sum(rev) AS total_rev FROM rev)
+SELECT decile, count(*) AS n_customers,
+  cast(sum(rev) AS DOUBLE) AS decile_revenue,
+  cast(sum(rev) AS DOUBLE) / cast(total_rev AS DOUBLE) AS revenue_share
+FROM deciled, tot GROUP BY decile, total_rev""",
+    ("analytics", "pareto", "concentration"),
+)

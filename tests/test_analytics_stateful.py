@@ -340,3 +340,25 @@ def test_tws_profile_accumulates_value_and_map_state(spark):
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_pareto_deciles_partition_and_order(spark, sf_dir):
+    """Deciles must partition all customers, shares must sum to 1,
+    and decile 1 (top spenders) must dominate decile 10."""
+    rows = sorted(
+        REGISTRY["revenue_pareto_curve"].build(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    import math
+
+    n_cust = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert math.isclose(sum(r["revenue_share"] for r in rows), 1.0, rel_tol=1e-9)
+    assert rows[0]["revenue_share"] > rows[-1]["revenue_share"]
+    shares = [r["decile_revenue"] for r in rows]
+    assert shares == sorted(shares, reverse=True)
