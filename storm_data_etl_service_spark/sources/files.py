@@ -156,3 +156,50 @@ def write_range_sorted_parquet(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def codec_size_report(df: DataFrame, path: str, codecs=("snappy", "zstd", "gzip")) -> dict:
+    """Write the same frame under each parquet codec and report bytes
+    on disk — the storage-planning probe run before committing a
+    100 TB table to a codec (zstd typically wins on text-heavy
+    columns; snappy on already-high-entropy ones; the answer is
+    data-dependent, so measure, don't guess)."""
+    from pathlib import Path
+
+    out = {}
+    for codec in codecs:
+        dst = f"{path}/{codec}"
+        df.write.mode("overwrite").option("compression", codec).parquet(dst)
+        out[codec] = sum(
+            f.stat().st_size for f in Path(dst).rglob("*.parquet") if f.is_file()
+        )
+    return out
+
+
+#: Advisor targets: decompressed bytes per shuffle partition / output file.
+ADVISOR_SHUFFLE_TARGET = 128 * 1024 * 1024
+ADVISOR_FILE_TARGET = 512 * 1024 * 1024
+ADVISOR_COMPRESSION_RATIO = 3  # parquet-on-disk → in-memory expansion
+
+
+def layout_advisor(sf_dir: str, cpus: int = 32) -> dict:
+    """Partition-sizing advisor: from a dataset directory's on-disk
+    bytes, recommend ``spark.sql.shuffle.partitions`` and the output
+    file count — the same bytes-per-partition rule the bench harness
+    applies, packaged for operators (SURVEY §6 / SCALE.md: size
+    partitions to the DATA; the core count is a floor, not a target).
+    """
+    from pathlib import Path
+
+    disk = sum(
+        f.stat().st_size for f in Path(sf_dir).rglob("*.parquet") if f.is_file()
+    )
+    mem = disk * ADVISOR_COMPRESSION_RATIO
+    return {
+        "data_bytes_on_disk": disk,
+        "est_bytes_in_memory": mem,
+        "shuffle_partitions": int(
+            max(cpus, -(-mem // ADVISOR_SHUFFLE_TARGET))
+        ),
+        "output_files": int(max(1, -(-disk // ADVISOR_FILE_TARGET))),
+    }

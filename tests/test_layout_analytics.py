@@ -624,3 +624,23 @@ def test_range_sorted_write_disjoint_ts_files(spark, t, tmp_path):
     assert (
         spark.read.parquet(out).count() == t["events"].count()
     )
+
+
+def test_codec_report_and_layout_advisor(spark, t, tmp_path):
+    from storm_data_etl_service_spark.sources.files import (
+        codec_size_report,
+        layout_advisor,
+    )
+
+    report = codec_size_report(
+        t["documents"].select("doc_id", "text"), str(tmp_path / "codecs")
+    )
+    assert set(report) == {"snappy", "zstd", "gzip"}
+    assert all(v > 0 for v in report.values())
+    # text compresses: the heavier codecs must beat snappy on this data
+    assert report["zstd"] < report["snappy"]
+
+    adv = layout_advisor("/root/testdata/sf0.001")
+    assert adv["data_bytes_on_disk"] > 0
+    assert adv["shuffle_partitions"] >= 32  # floor = core count
+    assert adv["output_files"] >= 1
