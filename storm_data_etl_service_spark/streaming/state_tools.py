@@ -46,3 +46,25 @@ def state_store_summary(spark: SparkSession, checkpoint: str) -> DataFrame:
         "minBatchId",
         "maxBatchId",
     ).crossJoin(F.broadcast(counts))
+
+
+def progress_state_report(query) -> list[dict]:
+    """Per-operator state/lateness counters from a streaming query's
+    recent progress — numRowsDroppedByWatermark is the D2-adjacent
+    metric the engine keeps that the reference cannot (it has no
+    event-time semantics): how many rows arrived too late to change
+    a closed window.  One dict per (batch, stateful operator)."""
+    out = []
+    for p in query.recentProgress:
+        for op in p.get("stateOperators", []):
+            out.append(
+                {
+                    "batch_id": p["batchId"],
+                    "operator": op.get("operatorName"),
+                    "n_state_rows": op.get("numRowsTotal"),
+                    "n_updated": op.get("numRowsUpdated"),
+                    "n_dropped_late": op.get("numRowsDroppedByWatermark"),
+                    "watermark": p.get("eventTime", {}).get("watermark"),
+                }
+            )
+    return out

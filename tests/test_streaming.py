@@ -763,3 +763,66 @@ def test_streaming_incremental_dedup_matches_across_batches(spark, workdir):
     index = spark.read.parquet(str(workdir / "lsh_index"))
     assert set(r["doc_id"] for r in index.select("doc_id").distinct().collect()) \
         == {1, 2, 11, 12}
+
+
+def test_late_rows_dropped_by_watermark_are_counted(spark, workdir):
+    """A row older than the watermark must be dropped from a closed
+    window AND show up in progress_state_report's late counter."""
+    import os
+    import time
+
+    from storm_data_etl_service_spark.streaming.state_tools import (
+        progress_state_report,
+    )
+
+    src = workdir / "late_src"
+    src.mkdir(parents=True)
+    b0 = [
+        {"event_id": 1, "ts": "2026-01-01T00:01:00", "user_id": 1, "event_type": "view"},
+        {"event_id": 2, "ts": "2026-01-01T03:00:00", "user_id": 2, "event_type": "view"},
+    ]
+    # b1 advances the watermark to 02:00 → the 00:00 window EMITS and
+    # its state evicts; only then (b2) is a 00:02 row truly late —
+    # a late row whose window is still in state merges instead
+    # (semantics encoded here on purpose)
+    b1 = [
+        {"event_id": 3, "ts": "2026-01-01T03:10:00", "user_id": 3, "event_type": "view"},
+    ]
+    b2 = [
+        {"event_id": 4, "ts": "2026-01-01T00:02:00", "user_id": 4, "event_type": "view"},
+        {"event_id": 5, "ts": "2026-01-01T03:20:00", "user_id": 5, "event_type": "view"},
+    ]
+    for name, batch in (("b0.json", b0), ("b1.json", b1), ("b2.json", b2)):
+        with open(src / name, "w") as f:
+            for r in batch:
+                f.write(json.dumps(r) + "\n")
+    now = time.time()
+    os.utime(src / "b0.json", (now - 120, now - 120))
+    os.utime(src / "b1.json", (now - 60, now - 60))
+    os.utime(src / "b2.json", (now, now))
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    counts = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_agg")
+        .option("checkpointLocation", str(workdir / "late_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    report = progress_state_report(q)
+    assert sum(r["n_dropped_late"] or 0 for r in report) >= 1, report
+    # the late row must NOT have re-opened the 00:00 window
+    emitted = spark.sql("SELECT * FROM late_agg").collect()
+    first_window = [r for r in emitted if r["window"].start.minute == 0
+                    and r["window"].start.hour == 0]
+    assert all(r["n"] == 1 for r in first_window)
