@@ -82,3 +82,37 @@ def test_mg_threshold_filter_is_split_invariant(tokens, n_splits, cap):
         survivors = _run_mg(batches, cap)
         answer = {tok for tok in survivors if counts[tok] * (cap + 1) > n}
         assert answer == expect
+
+
+def test_float_ops_are_partitioning_independent(spark, sf_dir):
+    """The repo-wide determinism claim (SCALE.md rule 5), verified
+    mechanically: float-producing operators must return BIT-IDENTICAL
+    rows when every input table is adversarially repartitioned —
+    decimal routing / fixed-point quantization / ordered folds are
+    load-bearing, not decorative."""
+    from storm_data_etl_service_spark.operators import analytics as A
+    from storm_data_etl_service_spark.operators import similarity as S
+    from storm_data_etl_service_spark.operators import text as X
+    from storm_data_etl_service_spark.schemas import load_tables
+
+    base = load_tables(spark, sf_dir)
+    skewed = {name: base[name].repartition(3) for name in
+              ("documents", "embeddings", "events", "lineitem", "orders")}
+
+    def norm(row):
+        return tuple(
+            tuple(x) if isinstance(x, list) else x for x in row
+        )
+
+    ops = [
+        A.correlation_stats,
+        A.salted_group_sum,
+        S.embedding_label_centroids,
+        S.label_separability_report,
+        X.bigram_surprisal_scores,
+        X.rare_token_share,
+    ]
+    for op in ops:
+        a = {norm(r) for r in op(base).collect()}
+        b = {norm(r) for r in op(skewed).collect()}
+        assert a == b, f"{op.__name__} diverged under repartitioning"
