@@ -3098,3 +3098,32 @@ SELECT decile, count(*) AS n_customers,
 FROM deciled, tot GROUP BY decile, total_rev""",
     ("analytics", "pareto", "concentration"),
 )
+
+
+REGISTRY["label_top_terms"] = QuerySpec(
+    _t(X.label_top_terms),
+    rf"""WITH lab AS (
+  SELECT d.doc_id, e.label, d.text
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+toks AS (
+  SELECT label,
+    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       x -> x != '')) AS token
+  FROM lab),
+lab_tf AS (SELECT label, token, count(*) AS tf FROM toks GROUP BY label, token),
+lab_n AS (SELECT label, cast(sum(tf) AS BIGINT) AS n_label
+          FROM lab_tf GROUP BY label),
+tok_n AS (SELECT token, cast(sum(tf) AS BIGINT) AS n_token
+          FROM lab_tf GROUP BY token),
+tot AS (SELECT cast(sum(tf) AS BIGINT) AS n_total FROM lab_tf),
+scored AS (
+  SELECT label, token, tf,
+    cast(tf * n_total AS DOUBLE) / (n_label * n_token) AS lift
+  FROM lab_tf JOIN lab_n USING (label) JOIN tok_n USING (token), tot)
+SELECT label, token, tf, lift, rk FROM (
+  SELECT *, cast(row_number() OVER (
+    PARTITION BY label ORDER BY lift DESC, tf DESC, token) AS INTEGER) AS rk
+  FROM scored)
+WHERE rk <= {X.LABEL_TOP_TERMS_K}""",
+    ("text", "embeddings", "cross-modal", "cluster-naming"),
+)

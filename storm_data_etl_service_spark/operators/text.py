@@ -664,3 +664,46 @@ def doc_chunk_windows(t) -> DataFrame:
         F.size(piece).cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+LABEL_TOP_TERMS_K = 5
+
+
+def label_top_terms(t) -> DataFrame:
+    """Top characteristic terms per embedding LABEL: join the text
+    table to the embedding table's cluster labels (doc_id = vec_id)
+    and rank each label's tokens by the exact ratio lift
+    p(token|label) / p(token) — "what is cluster 7 about?", the
+    cross-modal readout that names semantic clusters.
+
+    All-integer counts + one double division per (label, token), so
+    it hash-matches the oracle; the label join is a slim two-column
+    broadcast, ranking windows run over label×vocabulary cardinality.
+    """
+    labels = t["embeddings"].select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    toks = (
+        t["documents"]
+        .join(F.broadcast(labels), "doc_id")
+        .select("label", F.explode(tokens_col(F.col("text"))).alias("token"))
+    )
+    lab_tf = toks.groupBy("label", "token").agg(F.count("*").alias("tf"))
+    lab_n = lab_tf.groupBy("label").agg(F.sum("tf").alias("n_label"))
+    tok_n = lab_tf.groupBy("token").agg(F.sum("tf").alias("n_token"))
+    total = lab_tf.agg(F.sum("tf").alias("n_total"))
+    lift = (F.col("tf") * F.col("n_total")).cast("double") / (
+        F.col("n_label") * F.col("n_token")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("lift"), F.desc("tf"), F.asc("token")
+    )
+    return (
+        lab_tf.join(F.broadcast(lab_n), "label")
+        .join(F.broadcast(tok_n), "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn("lift", lift)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= LABEL_TOP_TERMS_K)
+        .select("label", "token", "tf", "lift", "rk")
+    )
