@@ -707,3 +707,50 @@ def label_top_terms(t) -> DataFrame:
         .filter(F.col("rk") <= LABEL_TOP_TERMS_K)
         .select("label", "token", "tf", "lift", "rk")
     )
+
+
+def csv_fields_udtf(spark, t, field_names=("Time", "Size", "Location")) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 ``analyze`` API): splits a
+    delimited line into N NAMED columns where the column set comes
+    from a constant ARGUMENT — the output schema is computed at plan
+    time by the UDTF's ``analyze`` method, not declared statically.
+
+    The API-surface demo for plan-time-polymorphic table functions
+    (schema-on-read ingestion helpers); hot paths should still use
+    ``from_csv``/``split`` expressions (this is row-at-a-time
+    Python).  Drives the reference's raw-CSV shape: the demo input is
+    a comma-joined rendering of the documents table.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    class CsvFields:
+        @staticmethod
+        def analyze(line, names):
+            if not isinstance(names.value, str):
+                raise ValueError("names must be a constant string")
+            cols = [c.strip() for c in names.value.split(",")]
+            return AnalyzeResult(
+                StructType([StructField(c, StringType()) for c in cols])
+            )
+
+        def eval(self, line: str, names: str):
+            n = len(names.split(","))
+            parts = (line or "").split(",")
+            parts = (parts + [""] * n)[:n]
+            yield tuple(p.strip() for p in parts)
+
+    spark.udtf.register("csv_fields", udtf(CsvFields))
+    t["documents"].selectExpr(
+        "doc_id",
+        "concat_ws(',', cast(doc_id AS STRING), lang, source) AS line",
+    ).createOrReplaceTempView("csv_lines_udtf")
+    names = ",".join(field_names)
+    return spark.sql(
+        f"""
+        SELECT l.doc_id, s.*
+        FROM csv_lines_udtf l,
+             LATERAL csv_fields(l.line, '{names}') s
+        """
+    )

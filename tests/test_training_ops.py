@@ -797,3 +797,21 @@ def test_dedup_ladder_counts_reconcile(spark, sf_dir):
     jac_docs = {r["doc_a"] for r in jac} | {r["doc_b"] for r in jac}
     assert rows["2_ngram_jaccard"] == len(jac_docs)
     assert rows["3_minhash_lsh"] >= rows["2_ngram_jaccard"] - 1
+
+
+def test_polymorphic_udtf_schema_follows_argument(spark, sf_dir):
+    """The analyze() UDTF must emit exactly the argument-named columns
+    with the split values, for two different schemas."""
+    from storm_data_etl_service_spark.operators.text import csv_fields_udtf
+
+    t = load_tables(spark, sf_dir)
+    out = csv_fields_udtf(spark, t, ("id_str", "lang", "source"))
+    assert out.columns == ["doc_id", "id_str", "lang", "source"]
+    row = out.filter(F.col("doc_id") == 3).first()
+    doc = t["documents"].filter(F.col("doc_id") == 3).first()
+    assert row["id_str"] == "3" and row["lang"] == doc["lang"]
+    assert row["source"] == doc["source"]
+
+    two = csv_fields_udtf(spark, t, ("a", "b"))
+    assert two.columns == ["doc_id", "a", "b"]
+    assert two.count() == t["documents"].count()
