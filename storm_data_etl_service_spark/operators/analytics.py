@@ -1345,3 +1345,34 @@ def revenue_pareto_curve(t) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+def daily_user_sketch_rollup(t) -> DataFrame:
+    """Incremental distinct counting with MERGEABLE Datasketches HLL:
+    per-day user sketches (`hll_sketch_agg`), then the month's
+    distinct users by UNIONING the stored sketches — never
+    re-scanning the days.  The 100 TB cardinality workflow: persist
+    one small binary sketch per (day, dimension) partition, answer
+    any date-range distinct-count query by union, with ~2% error and
+    zero raw-data reads.
+
+    Approximate by design → rows-only driver check; the unit test
+    bounds per-day and unioned estimates against exact counts.
+    Output: one row per day + one '__all__' row from the union."""
+    days = t["events"].select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    daily = days.groupBy("day").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    per_day = daily.select(
+        "day",
+        F.expr("hll_sketch_estimate(sk)").alias("est_users"),
+        "n_events",
+    )
+    unioned = daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users"),
+        F.sum("n_events").alias("n_events"),
+    ).select(F.lit("__all__").alias("day"), "est_users", "n_events")
+    return per_day.unionByName(unioned)

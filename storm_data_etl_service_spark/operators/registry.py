@@ -3127,3 +3127,10 @@ SELECT label, token, tf, lift, rk FROM (
 WHERE rk <= {X.LABEL_TOP_TERMS_K}""",
     ("text", "embeddings", "cross-modal", "cluster-naming"),
 )
+
+
+REGISTRY["daily_user_sketch_rollup"] = QuerySpec(
+    _t(A.daily_user_sketch_rollup),
+    None,  # Datasketches binary sketches: approximate, rows-only check
+    ("analytics", "sketch", "hll", "incremental"),
+)

@@ -362,3 +362,22 @@ def test_pareto_deciles_partition_and_order(spark, sf_dir):
     assert rows[0]["revenue_share"] > rows[-1]["revenue_share"]
     shares = [r["decile_revenue"] for r in rows]
     assert shares == sorted(shares, reverse=True)
+
+
+def test_hll_sketch_union_bounds(spark, sf_dir):
+    """Per-day sketch estimates and the sketch-union rollup must land
+    within HLL error of the exact distinct counts — and the union
+    must NOT sum the days (re-counted users collapse)."""
+    t = load_tables(spark, sf_dir)
+    rows = {r["day"]: r for r in run("daily_user_sketch_rollup", spark, sf_dir).collect()}
+    ev = t["events"].select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id")
+    exact_all = ev.select("user_id").distinct().count()
+    est_all = rows["__all__"]["est_users"]
+    assert abs(est_all - exact_all) / exact_all < 0.05
+    daily_exact = {
+        r["day"]: r["n"]
+        for r in ev.groupBy("day").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for day, n in daily_exact.items():
+        assert abs(rows[day]["est_users"] - n) / n < 0.1
+    assert est_all < sum(daily_exact.values())  # union ≠ sum of days
