@@ -203,3 +203,34 @@ def layout_advisor(sf_dir: str, cpus: int = 32) -> dict:
         ),
         "output_files": int(max(1, -(-disk // ADVISOR_FILE_TARGET))),
     }
+
+
+def read_storm_xml(spark: SparkSession, path: str, row_tag: str = "alert") -> DataFrame:
+    """Storm reports from XML (Spark 4's native XML source) — the
+    format NOAA CAP-style alert feeds arrive in.  Elements are read
+    as strings (the raw-record contract is all-string, reference
+    internal/domain/event.go:11-23), absent elements become '' and
+    the event type derives from which magnitude element is present
+    (Size→hail, F_Scale→tornado, Speed→wind — the per-type
+    exclusivity invariant in reverse)."""
+    schema = ", ".join(
+        f"`{f}` string" for f in RAW_CSV_SCHEMA.fieldNames() if f != "EventType"
+    )
+    raw = (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .schema(schema)
+        .load(path)
+    )
+    et = (
+        F.when(F.coalesce(F.trim("Size"), F.lit("")) != "", "hail")
+        .when(F.coalesce(F.trim("F_Scale"), F.lit("")) != "", "tornado")
+        .when(F.coalesce(F.trim("Speed"), F.lit("")) != "", "wind")
+        .otherwise("")
+    )
+    cols = [
+        F.coalesce(F.trim(F.col(f)), F.lit("")).alias(f)
+        for f in RAW_CSV_SCHEMA.fieldNames()
+        if f != "EventType"
+    ]
+    return raw.select(*cols, et.alias("EventType"))

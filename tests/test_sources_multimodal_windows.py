@@ -318,3 +318,38 @@ def test_map_in_arrow_decode_matches_pandas_path(spark, sf_dir):
     arrow_rows = {tuple(r) for r in decode_media_arrow(media).collect()}
     pandas_rows = {tuple(r) for r in multimodal_decode_stats(t).collect()}
     assert arrow_rows == pandas_rows and arrow_rows
+
+
+def test_read_storm_xml_enriches(spark, workdir):
+    """Native XML source → raw-record contract → full enrichment:
+    the golden hail record reproduces its deterministic ID from an
+    XML rendering of the same report."""
+    from storm_data_etl_service_spark.functions.enrich import enrich
+    from storm_data_etl_service_spark.sources.files import read_storm_xml
+    from storm_data_etl_service_spark.sources.storm_fixture import BASE_TS
+
+    xml = workdir / "alerts.xml"
+    xml.write_text(
+        """<?xml version="1.0"?>
+<alerts>
+  <alert><Time>1510</Time><Size>125</Size>
+    <Location>8 ESE Chappel</Location><County>San Saba</County>
+    <State>TX</State><Lat>31.02</Lat><Lon>-98.44</Lon>
+    <Comments>1.25 inch hail reported at Colorado Bend State Park. (SJT)</Comments></alert>
+  <alert><Time>2200</Time><F_Scale>EF2</F_Scale>
+    <Location>3 N Salado</Location><County>Bell</County>
+    <State>TX</State><Lat>30.98</Lat><Lon>-97.54</Lon>
+    <Comments>Tornado. (FWD)</Comments></alert>
+</alerts>"""
+    )
+    raw = read_storm_xml(spark, str(xml))
+    rows = {r["EventType"]: r for r in raw.collect()}
+    assert set(rows) == {"hail", "tornado"}
+    assert rows["hail"]["Speed"] == "" and rows["hail"]["F_Scale"] == ""
+
+    enriched = enrich(
+        raw.withColumn("kafka_timestamp", F.lit(BASE_TS).cast("timestamp"))
+    )
+    by_type = {r["event_type"]: r for r in enriched.collect()}
+    assert by_type["hail"]["id"] == "hail-5d91dda0f56ba124"
+    assert by_type["tornado"]["measurement"]["magnitude"] == 2.0
