@@ -1376,3 +1376,55 @@ def daily_user_sketch_rollup(t) -> DataFrame:
         F.sum("n_events").alias("n_events"),
     ).select(F.lit("__all__").alias("day"), "est_users", "n_events")
     return per_day.unionByName(unioned)
+
+
+CEP_WINDOW_MICROS = 3_600_000_000  # 1 hour
+
+
+def cep_click_error_pattern(t) -> DataFrame:
+    """CEP-lite sequence detection with window frames: per user,
+    CLICK followed by an ERROR within one hour with NO PURCHASE in
+    between — the "A then B within T without C" pattern class
+    (Flink MATCH_RECOGNIZE territory) expressed as two range-frame
+    minima over one per-user sort:
+
+    for each click, the next error and next purchase timestamps
+    inside the hour come from ``min(CASE ...)`` over
+    ``RANGE [0, 1h]`` frames on the microsecond axis; the pattern
+    fires when the error exists and precedes any purchase.  One
+    shuffle on user_id, both frames share the sort — no self-joins,
+    no exploding intermediate of candidate pairs.
+
+    Output: per-user pattern count + the user's click volume.
+    """
+    ev = t["events"].select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("tm"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tm")
+        .rangeBetween(0, CEP_WINDOW_MICROS)
+    )
+    next_error = F.min(
+        F.when(F.col("event_type") == "error", F.col("tm"))
+    ).over(w)
+    next_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("tm"))
+    ).over(w)
+    flagged = (
+        ev.withColumn("ne", next_error)
+        .withColumn("np", next_purchase)
+        .filter(F.col("event_type") == "click")
+        .withColumn(
+            "matched",
+            F.col("ne").isNotNull()
+            & (F.col("np").isNull() | (F.col("np") > F.col("ne"))),
+        )
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.sum(F.col("matched").cast("long")).alias("n_patterns"),
+    )

@@ -3134,3 +3134,25 @@ REGISTRY["daily_user_sketch_rollup"] = QuerySpec(
     None,  # Datasketches binary sketches: approximate, rows-only check
     ("analytics", "sketch", "hll", "incremental"),
 )
+
+
+REGISTRY["cep_click_error_pattern"] = QuerySpec(
+    _t(A.cep_click_error_pattern),
+    f"""WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tm FROM events),
+framed AS (
+  SELECT user_id, event_type,
+    min(CASE WHEN event_type = 'error' THEN tm END) OVER (
+      PARTITION BY user_id ORDER BY tm
+      RANGE BETWEEN CURRENT ROW AND {A.CEP_WINDOW_MICROS} FOLLOWING) AS ne,
+    min(CASE WHEN event_type = 'purchase' THEN tm END) OVER (
+      PARTITION BY user_id ORDER BY tm
+      RANGE BETWEEN CURRENT ROW AND {A.CEP_WINDOW_MICROS} FOLLOWING) AS np
+  FROM ev)
+SELECT user_id, count(*) AS n_clicks,
+  cast(sum(CASE WHEN ne IS NOT NULL AND (np IS NULL OR np > ne)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_patterns
+FROM framed WHERE event_type = 'click'
+GROUP BY user_id""",
+    ("analytics", "cep", "sequence-pattern"),
+)

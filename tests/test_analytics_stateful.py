@@ -381,3 +381,40 @@ def test_hll_sketch_union_bounds(spark, sf_dir):
     for day, n in daily_exact.items():
         assert abs(rows[day]["est_users"] - n) / n < 0.1
     assert est_all < sum(daily_exact.values())  # union ≠ sum of days
+
+
+def test_cep_pattern_matches_python_model(spark, sf_dir):
+    """Range-frame CEP must agree with a straightforward per-user
+    Python scan of the same events."""
+    from storm_data_etl_service_spark.operators.analytics import (
+        CEP_WINDOW_MICROS,
+    )
+
+    t = load_tables(spark, sf_dir)
+    rows = t["events"].select("user_id", "event_type", F.unix_micros("ts").alias("tm")).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["tm"], r["event_type"]))
+    expect = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        clicks = 0
+        pats = 0
+        for i, (tm, et) in enumerate(evs):
+            if et != "click":
+                continue
+            clicks += 1
+            ne = min((t2 for t2, e2 in evs[i:] if e2 == "error"
+                      and t2 <= tm + CEP_WINDOW_MICROS), default=None)
+            np_ = min((t2 for t2, e2 in evs[i:] if e2 == "purchase"
+                       and t2 <= tm + CEP_WINDOW_MICROS), default=None)
+            if ne is not None and (np_ is None or np_ > ne):
+                pats += 1
+        if clicks:
+            expect[u] = (clicks, pats)
+    got = {
+        r["user_id"]: (r["n_clicks"], r["n_patterns"])
+        for r in run("cep_click_error_pattern", spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(p for _, p in got.values())
