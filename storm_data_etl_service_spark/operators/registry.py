@@ -3156,3 +3156,113 @@ FROM framed WHERE event_type = 'click'
 GROUP BY user_id""",
     ("analytics", "cep", "sequence-pattern"),
 )
+
+
+def _storm_stats_spark(spark, sf_dir):
+    """genmock stats-report parity (reference cmd/genmock/main.go:
+    204-250 'collectStats'/'printStats' + 290-353 filtered counts):
+    the whole downstream report as ONE relation of (metric, key,
+    value_long, value_double) rows over the enriched fixture — each
+    branch is a tiny aggregate of the shared enrichment frame."""
+    from pyspark.sql import functions as F
+
+    e = _storm_enrich_spark(spark, sf_dir)
+
+    def metric(name, key_col, agg_df):
+        return agg_df.select(
+            F.lit(name).alias("metric"),
+            key_col.alias("key"),
+            F.col("_n").cast("long").alias("value_long"),
+            F.col("_d").cast("double").alias("value_double"),
+        )
+
+    by_type = metric(
+        "count_by_type",
+        F.col("event_type"),
+        e.groupBy("event_type").agg(
+            F.count("*").alias("_n"), F.lit(None).alias("_d")
+        ),
+    )
+    by_sev = metric(
+        "count_by_severity",
+        F.coalesce(F.col("measurement_severity"), F.lit("")),
+        e.groupBy("measurement_severity").agg(
+            F.count("*").alias("_n"), F.lit(None).alias("_d")
+        ),
+    )
+    by_state = metric(
+        "count_by_state",
+        F.col("location_state"),
+        e.groupBy("location_state").agg(
+            F.count("*").alias("_n"), F.lit(None).alias("_d")
+        ),
+    )
+    totals = metric(
+        "total",
+        F.lit(""),
+        e.agg(F.count("*").alias("_n"), F.lit(None).alias("_d")),
+    )
+    with_sev = metric(
+        "with_severity",
+        F.lit(""),
+        e.agg(
+            F.count("measurement_severity").alias("_n"), F.lit(None).alias("_d")
+        ),
+    )
+    max_hail = metric(
+        "max_hail_magnitude",
+        F.lit(""),
+        e.filter(F.col("event_type") == "hail").agg(
+            F.lit(None).cast("long").alias("_n"),
+            F.max("measurement_magnitude").alias("_d"),
+        ),
+    )
+    geo_box = metric(
+        "geo_box_count",
+        F.lit(""),
+        e.filter(
+            (F.abs(F.col("geo_lat") - 32.75) <= 0.75)
+            & (F.abs(F.col("geo_lon") + 97.15) <= 0.75)
+        ).agg(F.count("*").alias("_n"), F.lit(None).alias("_d")),
+    )
+    thresh = metric(
+        "count_mag_ge_1_75",
+        F.lit(""),
+        e.filter(F.col("measurement_magnitude") >= 1.75).agg(
+            F.count("*").alias("_n"), F.lit(None).alias("_d")
+        ),
+    )
+    out = by_type
+    for part in (by_sev, by_state, totals, with_sev, max_hail, geo_box, thresh):
+        out = out.unionByName(part)
+    return out
+
+
+REGISTRY["storm_stats_report"] = QuerySpec(
+    _storm_stats_spark,
+    f"""WITH enriched AS ({_storm_enrich_oracle()})
+SELECT 'count_by_type' AS metric, event_type AS key,
+  count(*) AS value_long, cast(NULL AS DOUBLE) AS value_double
+FROM enriched GROUP BY event_type
+UNION ALL
+SELECT 'count_by_severity', coalesce(measurement_severity, ''),
+  count(*), NULL
+FROM enriched GROUP BY measurement_severity
+UNION ALL
+SELECT 'count_by_state', location_state, count(*), NULL
+FROM enriched GROUP BY location_state
+UNION ALL
+SELECT 'total', '', count(*), NULL FROM enriched
+UNION ALL
+SELECT 'with_severity', '', count(measurement_severity), NULL FROM enriched
+UNION ALL
+SELECT 'max_hail_magnitude', '', NULL, max(measurement_magnitude)
+FROM enriched WHERE event_type = 'hail'
+UNION ALL
+SELECT 'geo_box_count', '', count(*), NULL FROM enriched
+WHERE abs(geo_lat - 32.75) <= 0.75 AND abs(geo_lon + 97.15) <= 0.75
+UNION ALL
+SELECT 'count_mag_ge_1_75', '', count(*), NULL FROM enriched
+WHERE measurement_magnitude >= 1.75""",
+    ("reference-parity", "genmock", "report"),
+)
