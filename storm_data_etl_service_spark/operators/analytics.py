@@ -1428,3 +1428,46 @@ def cep_click_error_pattern(t) -> DataFrame:
         F.count("*").alias("n_clicks"),
         F.sum(F.col("matched").cast("long")).alias("n_patterns"),
     )
+
+
+def type_weekday_mutual_information(t) -> DataFrame:
+    """Mutual information (nats) between event type and ISO weekday —
+    the association-strength companion to the chi-square drift
+    monitor: MI ≈ 0 means the type mix is day-independent (safe to
+    sample by day); rising MI means weekday-conditioned behaviour.
+
+    Exact contingency counts from one groupBy; MI terms
+    n_xy·ln(n_xy·N/(n_x·n_y)) use a floor-1e-6-quantized ln scaled by
+    the exact integer n_xy, so the statistic is bit-deterministic and
+    oracle-hashable (same contract as bigram_surprisal_scores).
+    """
+    cells = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.dayofweek("ts").alias("dow"),
+        )
+        .agg(F.count("*").alias("n_xy"))
+    )
+    margins_x = cells.groupBy("event_type").agg(F.sum("n_xy").alias("n_x"))
+    margins_y = cells.groupBy("dow").agg(F.sum("n_xy").alias("n_y"))
+    total = cells.agg(F.sum("n_xy").alias("n"))
+    term_q = F.col("n_xy") * F.floor(
+        F.log(
+            (F.col("n_xy") * F.col("n")).cast("double")
+            / (F.col("n_x") * F.col("n_y"))
+        )
+        * 1e6
+    ).cast("long")
+    return (
+        cells.join(F.broadcast(margins_x), "event_type")
+        .join(F.broadcast(margins_y), "dow")
+        .crossJoin(F.broadcast(total))
+        .agg(
+            (F.sum(term_q).cast("double") / (F.lit(1e6) * F.max("n"))).alias(
+                "mi_nats"
+            ),
+            F.count("*").alias("n_cells"),
+            F.max("n").alias("n_events"),
+        )
+    )

@@ -3266,3 +3266,24 @@ SELECT 'count_mag_ge_1_75', '', count(*), NULL FROM enriched
 WHERE measurement_magnitude >= 1.75""",
     ("reference-parity", "genmock", "report"),
 )
+
+
+REGISTRY["type_weekday_mutual_information"] = QuerySpec(
+    _t(A.type_weekday_mutual_information),
+    """WITH cells AS (
+  SELECT event_type, cast(dayofweek(ts) + 1 AS INTEGER) AS dow,
+         count(*) AS n_xy
+  FROM events GROUP BY event_type, dayofweek(ts)),
+mx AS (SELECT event_type, cast(sum(n_xy) AS BIGINT) AS n_x
+       FROM cells GROUP BY event_type),
+my AS (SELECT dow, cast(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY dow),
+tot AS (SELECT cast(sum(n_xy) AS BIGINT) AS n FROM cells)
+SELECT
+  cast(sum(n_xy * cast(floor(ln(cast(n_xy * n AS DOUBLE) / (n_x * n_y))
+                             * 1e6) AS BIGINT)) AS DOUBLE)
+    / (1e6 * max(n)) AS mi_nats,
+  count(*) AS n_cells,
+  max(n) AS n_events
+FROM cells JOIN mx USING (event_type) JOIN my USING (dow), tot""",
+    ("analytics", "information-theory", "association"),
+)

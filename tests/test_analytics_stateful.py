@@ -418,3 +418,27 @@ def test_cep_pattern_matches_python_model(spark, sf_dir):
     }
     assert got == expect
     assert any(p for _, p in got.values())
+
+
+def test_mutual_information_matches_python_model(spark, sf_dir):
+    """Quantized MI must replicate a python model exactly and sit in
+    [−quantization_slack, ln(min(|X|,|Y|))]."""
+    import math
+    from collections import Counter
+
+    t = load_tables(spark, sf_dir)
+    got = run("type_weekday_mutual_information", spark, sf_dir).first()
+    rows = t["events"].select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).collect()
+    xy = Counter((r["event_type"], r["dow"]) for r in rows)
+    x = Counter(r["event_type"] for r in rows)
+    y = Counter(r["dow"] for r in rows)
+    n = len(rows)
+    acc = 0
+    for (et, d), nxy in xy.items():
+        acc += nxy * math.floor(math.log(nxy * n / (x[et] * y[d])) * 1e6)
+    expect = acc / (1e6 * n)
+    assert got["mi_nats"] == expect
+    assert -1e-5 <= got["mi_nats"] <= math.log(min(len(x), len(y))) + 1e-9
+    assert got["n_events"] == n
