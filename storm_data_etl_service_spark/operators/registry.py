@@ -3287,3 +3287,31 @@ SELECT
 FROM cells JOIN mx USING (event_type) JOIN my USING (dow), tot""",
     ("analytics", "information-theory", "association"),
 )
+
+
+REGISTRY["source_token_entropy"] = QuerySpec(
+    _t(X.source_token_entropy),
+    rf"""WITH toks AS (
+  SELECT source,
+    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       x -> x != '')) AS token
+  FROM documents),
+tf AS (SELECT source, token, count(*) AS n_t FROM toks GROUP BY source, token),
+per AS (
+  SELECT source, token, n_t,
+    cast(sum(n_t) OVER (PARTITION BY source) AS BIGINT) AS n_s
+  FROM tf),
+agg AS (
+  SELECT source, max(n_s) AS n_tokens, count(*) AS vocab_size,
+    -cast(sum(n_t * cast(floor(ln(cast(n_t AS DOUBLE) / n_s) * 1e6)
+                         AS BIGINT)) AS DOUBLE) / (1e6 * max(n_s))
+      AS entropy_nats
+  FROM per GROUP BY source)
+SELECT source, n_tokens, vocab_size, entropy_nats,
+  cast(cast(floor(ln(cast(vocab_size AS DOUBLE)) * 1e6) AS BIGINT)
+       AS DOUBLE) / 1e6 AS entropy_ceiling_nats,
+  entropy_nats / (cast(cast(floor(ln(cast(vocab_size AS DOUBLE)) * 1e6)
+                            AS BIGINT) AS DOUBLE) / 1e6) AS diversity_ratio
+FROM agg""",
+    ("text", "quality", "entropy"),
+)

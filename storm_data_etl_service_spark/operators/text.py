@@ -754,3 +754,45 @@ def csv_fields_udtf(spark, t, field_names=("Time", "Size", "Location")) -> DataF
              LATERAL csv_fields(l.line, '{names}') s
         """
     )
+
+
+def source_token_entropy(t) -> DataFrame:
+    """Per-source token-distribution entropy (nats) — the vocabulary
+    diversity gate: a source whose entropy sits far below its
+    ln(vocab) ceiling is template/boilerplate-dominated even when raw
+    dedup finds nothing.
+
+    H = -Σ (n_t/N)·ln(n_t/N) per source, computed from exact counts
+    with the floor-1e-6 ln quantization contract; one groupBy to the
+    (source, token) counts, one to the report."""
+    toks = t["documents"].select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("source", "token").agg(F.count("*").alias("n_t"))
+    term_q = F.col("n_t") * F.floor(
+        F.log(F.col("n_t").cast("double") / F.col("n_s")) * 1e6
+    ).cast("long")
+    per_src = tf.withColumn(
+        "n_s", F.sum("n_t").over(Window.partitionBy("source"))
+    )
+    return (
+        per_src.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.count("*").alias("vocab_size"),
+            (-F.sum(term_q).cast("double") / (F.lit(1e6) * F.max("n_s"))).alias(
+                "entropy_nats"
+            ),
+        )
+        .withColumn(
+            "entropy_ceiling_nats",
+            F.floor(F.log(F.col("vocab_size").cast("double")) * 1e6).cast(
+                "long"
+            ).cast("double")
+            / 1e6,
+        )
+        .withColumn(
+            "diversity_ratio",
+            F.col("entropy_nats") / F.col("entropy_ceiling_nats"),
+        )
+    )

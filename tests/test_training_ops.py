@@ -815,3 +815,31 @@ def test_polymorphic_udtf_schema_follows_argument(spark, sf_dir):
     two = csv_fields_udtf(spark, t, ("a", "b"))
     assert two.columns == ["doc_id", "a", "b"]
     assert two.count() == t["documents"].count()
+
+
+def test_source_entropy_flags_templated_source(spark, sf_dir):
+    """A planted one-phrase source must score far lower diversity
+    than a varied source; entropy must respect the ln(vocab) ceiling."""
+    from storm_data_etl_service_spark.operators.text import (
+        source_token_entropy,
+    )
+
+    # skewed token distribution (one token dominates) = low entropy;
+    # NB uniform repetition would be MAXIMAL entropy, not low
+    docs = spark.createDataFrame(
+        [(i, "offer " * 30 + "buy now sale", "spam") for i in range(3)]
+        + [
+            (10, "the quick brown fox jumps", "varied"),
+            (11, "over lazy dogs and cats daily", "varied"),
+            (12, "seven distinct words appear here too", "varied"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in source_token_entropy({"documents": docs}).collect()}
+    assert out["spam"]["diversity_ratio"] < out["varied"]["diversity_ratio"]
+    for r in out.values():
+        # +2e-6 slack: per-term ln quantization can nudge past the ceiling
+        assert 0 <= r["entropy_nats"] <= r["entropy_ceiling_nats"] + 2e-6
+    # corpus run sanity
+    rows = run("source_token_entropy", spark, sf_dir).collect()
+    assert all(0 < r["diversity_ratio"] <= 1.0 + 1e-5 for r in rows)
