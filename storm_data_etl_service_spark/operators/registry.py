@@ -3315,3 +3315,32 @@ SELECT source, n_tokens, vocab_size, entropy_nats,
 FROM agg""",
     ("text", "quality", "entropy"),
 )
+
+
+REGISTRY["vocab_growth_curve"] = QuerySpec(
+    _t(X.vocab_growth_curve),
+    rf"""WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       x -> x != '')) AS token
+  FROM documents),
+first_seen AS (SELECT token, min(doc_id) AS first_doc FROM toks GROUP BY token),
+deciled AS (
+  SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS decile,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != ''))
+      AS n_toks
+  FROM documents),
+bounds AS (
+  SELECT decile, max(doc_id) AS max_doc, count(*) AS n_docs,
+    cast(sum(n_toks) AS BIGINT) AS decile_tokens
+  FROM deciled GROUP BY decile),
+cum AS (
+  SELECT decile, max_doc,
+    cast(sum(n_docs) OVER (ORDER BY decile) AS BIGINT) AS cum_docs,
+    sum(decile_tokens) OVER (ORDER BY decile) AS cum_tokens
+  FROM bounds)
+SELECT decile, max_doc, cum_docs, cum_tokens, count(*) AS cum_vocab
+FROM cum JOIN first_seen ON first_doc <= max_doc
+GROUP BY decile, max_doc, cum_docs, cum_tokens""",
+    ("text", "scaling", "heaps-law"),
+)

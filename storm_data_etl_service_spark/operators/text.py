@@ -796,3 +796,45 @@ def source_token_entropy(t) -> DataFrame:
             F.col("entropy_nats") / F.col("entropy_ceiling_nats"),
         )
     )
+
+
+def vocab_growth_curve(t) -> DataFrame:
+    """Heaps-law vocabulary growth: cumulative distinct tokens after
+    each decile of the corpus (in doc_id order) — the data-scaling
+    diagnostic: a flattening curve means additional slices buy little
+    new vocabulary (diminishing data returns); near-linear growth
+    means the corpus is still discovering its domain.
+
+    No windowed distinct-accumulation (that would re-count the
+    corpus per step): each token contributes once at its FIRST doc
+    (min(doc_id) per token — one groupBy), and each decile's
+    cumulative vocabulary is a count of first-appearances at or
+    below the decile's doc threshold — a broadcast join of 10
+    thresholds against the vocabulary-sized first-seen table."""
+    toks = t["documents"].select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    first_seen = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    deciled = t["documents"].select(
+        "doc_id",
+        F.ntile(10).over(Window.orderBy("doc_id")).alias("decile"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    bounds = deciled.groupBy("decile").agg(
+        F.max("doc_id").alias("max_doc"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("decile_tokens"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bounds.select(
+        "decile",
+        "max_doc",
+        F.sum("n_docs").over(w).alias("cum_docs"),
+        F.sum("decile_tokens").over(w).alias("cum_tokens"),
+    )
+    return (
+        F.broadcast(cum)
+        .join(first_seen, F.col("first_doc") <= F.col("max_doc"))
+        .groupBy("decile", "max_doc", "cum_docs", "cum_tokens")
+        .agg(F.count("*").alias("cum_vocab"))
+    )

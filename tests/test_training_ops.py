@@ -843,3 +843,29 @@ def test_source_entropy_flags_templated_source(spark, sf_dir):
     # corpus run sanity
     rows = run("source_token_entropy", spark, sf_dir).collect()
     assert all(0 < r["diversity_ratio"] <= 1.0 + 1e-5 for r in rows)
+
+
+def test_vocab_growth_is_monotone_and_reconciles(spark, sf_dir):
+    """Cumulative vocab/docs/tokens must be non-decreasing; the last
+    decile must equal the corpus totals."""
+    t = load_tables(spark, sf_dir)
+    rows = sorted(
+        run("vocab_growth_curve", spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert a["cum_vocab"] <= b["cum_vocab"]
+        assert a["cum_docs"] < b["cum_docs"]
+        assert a["cum_tokens"] <= b["cum_tokens"]
+    last = rows[-1]
+    total_vocab = (
+        t["documents"]
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("tok")
+        .distinct()
+        .count()
+    )
+    assert last["cum_vocab"] == total_vocab
+    assert last["cum_docs"] == t["documents"].count()
