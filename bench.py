@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "heavy_hitter_bigrams",     # Misra-Gries sketch + exact recount
     "embedding_quantize_int8",  # dimension-parallel int8 audit
     "tfidf_top_terms",          # explode → dual agg → broadcast-back → window top-k
+    "bigram_surprisal_scores",  # corpus-self-trained bigram LM scoring
+    "geo_neighbor_search",      # grid-cell spatial join + exact refine
+    "cep_click_error_pattern",  # range-frame CEP sequence detection
     "ann_cosine_topk",          # brute-force cosine top-k
     "multimodal_decode_stats",  # Arrow-batched mapInPandas path
     "mad_outlier_stats",        # two percentile windows, one shuffle
