@@ -270,3 +270,29 @@ def test_dynamic_partition_pruning_on_file_source(spark, sf_dir):
         assert got == {(r["event_type"], r["count"]) for r in expect.collect()}
     finally:
         shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_new_ops_plan_shapes(spark, sf_dir):
+    """Scale-property lock-in for the newer operators: broadcasts
+    where dims are small, no cartesian products anywhere, and the
+    MG recount gated by a broadcast semi-join."""
+    plan = plan_of("geo_neighbor_search", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of("dedup_incremental_minhash", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+    plan = plan_of("heavy_hitter_bigrams", spark, sf_dir)
+    assert "LeftSemi" in plan, plan[:2000]  # broadcast-gated recount
+    assert "BroadcastExchange" in plan
+
+    plan = plan_of("label_top_terms", spark, sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+    plan = plan_of("cep_click_error_pattern", spark, sf_dir)
+    # the two range frames stage separate Window nodes (different CASE
+    # inputs) but share ONE exchange + sort — the scale property
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan[:2000]
+    assert plan.count("Sort [user_id") == 1, plan[:2000]
