@@ -164,6 +164,17 @@ ANNOTATED = {
         "the exploded scan → one more groupBy(dim). Dimension-parallel: "
         "shuffle keys number EMBEDDING_DIM, payloads are partial aggregates."
     ),
+    "geo_neighbor_search": (
+        "Grid-cell spatial join: the ×9-exploded query sites broadcast, the "
+        "point side scans once into the cell-key hash join, and the refine "
+        "predicate stays in codegen arithmetic — candidates are bounded by "
+        "the 3×3 neighborhood instead of all-pairs distances."
+    ),
+    "cep_click_error_pattern": (
+        "CEP on window frames: both next-event minima are RANGE[0,1h] "
+        "frames over ONE user_id exchange + sort; the pattern predicate is "
+        "a projection — no self-joins, no candidate-pair blowup."
+    ),
     "bigram_surprisal_scores": (
         "The LM is two aggregate tables derived from the same (doc,w1,w2) "
         "count relation that scoring probes; both broadcast back over it "
