@@ -610,3 +610,46 @@ def corpus_dataset_card(t) -> DataFrame:
             F.col("total_tokens").cast("double") / F.col("n_docs"),
         )
     )
+
+
+def pii_incidence_report(t) -> DataFrame:
+    """Per-source PII incidence audit — the measurement companion to
+    ``text_scrub_pii``: how many documents (and total hits) per
+    source match each PII pattern class.  The compliance readout that
+    decides which sources need scrubbing before release.  Same
+    planted-specimen device as the scrubber (the synthetic corpus is
+    clean): every third doc plants an email, every fifth a phone —
+    so the report provably counts what is there, incl. zero rows.
+
+    One projection computes all pattern counts in a single scan
+    (regexp_count is codegen), one groupBy on source."""
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" u"), F.col("doc_id").cast("string"), F.lit("@ex.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" 555-123-4567")).otherwise(
+            F.lit("")
+        ),
+    )
+    n_email = F.regexp_count(planted, F.lit(EMAIL_RE))
+    n_phone = F.regexp_count(planted, F.lit(PHONE_RE))
+    return (
+        t["documents"]
+        .select("source", "doc_id", n_email.alias("ne"), n_phone.alias("np"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("ne") > 0, 1).otherwise(0)).alias(
+                "docs_with_email"
+            ),
+            F.sum("ne").cast("long").alias("email_hits"),
+            F.sum(F.when(F.col("np") > 0, 1).otherwise(0)).alias(
+                "docs_with_phone"
+            ),
+            F.sum("np").cast("long").alias("phone_hits"),
+        )
+    )

@@ -3344,3 +3344,27 @@ FROM cum JOIN first_seen ON first_doc <= max_doc
 GROUP BY decile, max_doc, cum_docs, cum_tokens""",
     ("text", "scaling", "heaps-law"),
 )
+
+
+REGISTRY["pii_incidence_report"] = QuerySpec(
+    _t(P.pii_incidence_report),
+    rf"""WITH planted AS (
+  SELECT source, doc_id,
+    text
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' u' || cast(doc_id AS VARCHAR) || '@ex.com' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN ' 555-123-4567' ELSE '' END AS ptext
+  FROM documents),
+counted AS (
+  SELECT source,
+    len(regexp_extract_all(ptext, '{P.EMAIL_RE}')) AS ne,
+    len(regexp_extract_all(ptext, '{P.PHONE_RE}')) AS np
+  FROM planted)
+SELECT source, count(*) AS n_docs,
+  cast(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+  cast(sum(ne) AS BIGINT) AS email_hits,
+  cast(sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+  cast(sum(np) AS BIGINT) AS phone_hits
+FROM counted GROUP BY source""",
+    ("curation", "pii", "compliance"),
+)

@@ -869,3 +869,23 @@ def test_vocab_growth_is_monotone_and_reconciles(spark, sf_dir):
     )
     assert last["cum_vocab"] == total_vocab
     assert last["cum_docs"] == t["documents"].count()
+
+
+def test_pii_incidence_counts_planted_specimens(spark, sf_dir):
+    """Incidence must equal the planting rule: every third doc an
+    email, every fifth a phone."""
+    t = load_tables(spark, sf_dir)
+    rows = run("pii_incidence_report", spark, sf_dir).collect()
+    docs = t["documents"].select("doc_id", "source").collect()
+    by_src = {}
+    for d in docs:
+        e, p = d["doc_id"] % 3 == 0, d["doc_id"] % 5 == 0
+        cur = by_src.setdefault(d["source"], [0, 0, 0])
+        cur[0] += 1
+        cur[1] += int(e)
+        cur[2] += int(p)
+    for r in rows:
+        n, ne, np_ = by_src[r["source"]]
+        assert r["n_docs"] == n
+        assert r["docs_with_email"] == ne == r["email_hits"]
+        assert r["docs_with_phone"] == np_ == r["phone_hits"]
