@@ -3368,3 +3368,22 @@ SELECT source, count(*) AS n_docs,
 FROM counted GROUP BY source""",
     ("curation", "pii", "compliance"),
 )
+
+
+def _shared_sql_spark(spark, sf_dir):
+    """ONE SQL text, two engines: the Spark side executes the exact
+    DuckDB oracle string over registered views (schemas.register_views)
+    — the portability proof that the engine's SQL surface speaks the
+    same ANSI dialect the oracle does, decimal routing included."""
+    from storm_data_etl_service_spark.schemas import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(REGISTRY["tpch_q6_forecast_revenue"].oracle)
+
+
+REGISTRY["tpch_q6_shared_sql"] = QuerySpec(
+    _shared_sql_spark,
+    None,  # set below: literally the same string as the Spark side
+    ("sql-api", "portability", "tpch"),
+)
+REGISTRY["tpch_q6_shared_sql"].oracle = REGISTRY["tpch_q6_forecast_revenue"].oracle
