@@ -3387,3 +3387,25 @@ REGISTRY["tpch_q6_shared_sql"] = QuerySpec(
     ("sql-api", "portability", "tpch"),
 )
 REGISTRY["tpch_q6_shared_sql"].oracle = REGISTRY["tpch_q6_forecast_revenue"].oracle
+
+
+REGISTRY["tokenizer_fertility_by_lang"] = QuerySpec(
+    _t(X.tokenizer_fertility_by_lang),
+    r"""WITH per_doc AS (
+  SELECT lang, length(text) AS n_chars,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    x -> x != '')) AS n_words,
+    len(list_filter(
+      regexp_extract_all(text,
+        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'),
+      x -> NOT regexp_matches(x, '^\s+$'))) AS n_bpe
+  FROM documents)
+SELECT lang, count(*) AS n_docs,
+  cast(sum(n_chars) AS BIGINT) AS total_chars,
+  cast(sum(n_words) AS BIGINT) AS total_words,
+  cast(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+  cast(sum(n_chars) AS DOUBLE) / sum(n_bpe) AS chars_per_token,
+  cast(sum(n_bpe) AS DOUBLE) / sum(n_words) AS tokens_per_word
+FROM per_doc GROUP BY lang""",
+    ("text", "tokenizer", "budget"),
+)

@@ -838,3 +838,40 @@ def vocab_growth_curve(t) -> DataFrame:
         .groupBy("decile", "max_doc", "cum_docs", "cum_tokens")
         .agg(F.count("*").alias("cum_vocab"))
     )
+
+
+def tokenizer_fertility_by_lang(t) -> DataFrame:
+    """Tokenizer fertility per language: characters per BPE-ish token
+    and BPE tokens per whitespace word — the multilingual token-budget
+    planner (a language whose fertility runs high pays more context
+    window per character; mixture weights and cost models need this
+    per-slice, not corpus-wide).
+
+    Exact integer totals per language, two double divisions at the
+    end; one scan, one tiny groupBy."""
+    bpe_matches = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
+    per_doc = t["documents"].select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_words"),
+        F.size(
+            F.filter(bpe_matches, lambda x: ~x.rlike(r"^\s+$"))
+        ).cast("long").alias("n_bpe"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.col("total_chars").cast("double") / F.col("total_bpe_tokens"),
+        )
+        .withColumn(
+            "tokens_per_word",
+            F.col("total_bpe_tokens").cast("double") / F.col("total_words"),
+        )
+    )

@@ -889,3 +889,12 @@ def test_pii_incidence_counts_planted_specimens(spark, sf_dir):
         assert r["n_docs"] == n
         assert r["docs_with_email"] == ne == r["email_hits"]
         assert r["docs_with_phone"] == np_ == r["phone_hits"]
+
+
+def test_tokenizer_fertility_bounds(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    rows = run("tokenizer_fertility_by_lang", spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == t["documents"].count()
+    for r in rows:
+        assert r["chars_per_token"] > 1.0  # tokens are multi-char
+        assert r["tokens_per_word"] >= 1.0  # BPE splits, never merges words
