@@ -1,4 +1,6 @@
-"""Deduplication operators: exact, n-gram Jaccard, MinHash/LSH, SimHash.
+"""Deduplication operators: exact (raw + normalized), n-gram Jaccard
+(naive + prefix-filtered), MinHash/LSH (batch + incremental-index),
+SimHash, cross-source overlap, and the ladder synthesis report.
 
 Beyond-reference surface (BASELINE.json north star): the dedup suite a
 large-scale training-data pipeline needs, generalizing the reference's
