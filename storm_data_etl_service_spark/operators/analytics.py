@@ -181,12 +181,31 @@ def salted_group_sum(t, n_salts: int = 8) -> DataFrame:
 
 def approx_distinct_counts(t) -> DataFrame:
     """HyperLogLog++ sketch counts — the 100 TB path for cardinality
-    (single pass, fixed memory, no exact shuffle).  Approximate by
-    design, so no SQL oracle: the harness records a rows-only check,
-    and the unit test bounds the error against the exact counts."""
-    return t["events"].agg(
-        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
-        F.approx_count_distinct("event_type", 0.02).alias("n_types_approx"),
+    (single pass, fixed memory, no exact shuffle).
+
+    Oracle contract: the sketch estimate itself is approximate by
+    design, so the *checked* columns are the exact distinct counts
+    (which DuckDB can reproduce) plus a Spark-computed
+    ``hll_within_bound`` boolean asserting the HLL estimate landed
+    within 3x the configured relative error of the exact count; the
+    oracle asserts that boolean is literally TRUE.  At 100 TB you
+    would run only the sketch half; the exact half here is the
+    correctness anchor at test scale."""
+    agg = t["events"].agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.approx_count_distinct("user_id", 0.02).alias("_au"),
+        F.approx_count_distinct("event_type", 0.02).alias("_at"),
+    )
+    rel_ok = lambda approx, exact: (
+        F.abs(F.col(approx).cast("double") - F.col(exact)) <= 0.06 * F.col(exact)
+    )
+    return agg.select(
+        "n_users",
+        "n_types",
+        (rel_ok("_au", "n_users") & rel_ok("_at", "n_types")).alias(
+            "hll_within_bound"
+        ),
     )
 
 

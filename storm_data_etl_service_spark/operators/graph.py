@@ -249,12 +249,38 @@ def neardup_cluster_representative(t) -> DataFrame:
 
 
 #: Recursion bound for the SQL-surface components twin.  Must exceed
-#: the eccentricity of each component's min node; LSH near-dup
-#: clusters are near-cliques (diameter ≤ 3 in practice).
-SQL_CC_MAX_DEPTH = 6
+#: the longest SHORTEST-path from any component's min node (its
+#: eccentricity); LSH near-dup clusters are near-cliques (diameter
+#: ≤ 3 in practice), so 12 gives ~4x headroom for chain-shaped
+#: clusters at larger scale factors.  ``sql_cc_depth_headroom``
+#: PROVES sufficiency per dataset — see its docstring for the
+#: fixpoint argument (raw max depth is NOT the right probe: downhill
+#: walks revisit nodes through cycles, so the frontier only empties
+#: at the cap by construction).
+SQL_CC_MAX_DEPTH = 12
 
 
-def neardup_components_sql(spark, t) -> DataFrame:
+def _sql_cc_reach_cte(depth_bound: int) -> str:
+    """Shared recursive-CTE body: symmetric edge closure + downhill
+    min-label walks (label < next node), depth-bounded.  The
+    recursive member is DISTINCT so each step's frontier is bounded
+    by the (node, label) closure — without it, path multiplicity in
+    near-cliques multiplies the frontier exponentially with depth."""
+    return f"""
+WITH RECURSIVE sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM lsh_pairs_for_sql_cc
+  UNION
+  SELECT doc_b, doc_a FROM lsh_pairs_for_sql_cc),
+reach (node, label, depth) AS (
+  SELECT u, u, 0 FROM (SELECT DISTINCT u FROM sym)
+  UNION ALL
+  SELECT DISTINCT s.v, r.label, r.depth + 1
+  FROM reach r JOIN sym s ON s.u = r.node
+  WHERE r.depth < {depth_bound} AND r.label < s.v
+)"""
+
+
+def neardup_components_sql(spark, t, depth_bound: int = SQL_CC_MAX_DEPTH) -> DataFrame:
     """Connected components via Spark 4's RECURSIVE CTE — the SQL
     twin of ``neardup_components`` (same output contract, same DuckDB
     oracle), demonstrating the engine's recursive-query surface.
@@ -263,7 +289,11 @@ def neardup_components_sql(spark, t) -> DataFrame:
     semantically: a label propagates only downhill (label < next
     node), which is lossless for min-label components (the component
     min is below every node on its paths), and walk growth is bounded
-    by SQL_CC_MAX_DEPTH.  The iterative DataFrame loop
+    by ``depth_bound``.  A component whose min-label eccentricity
+    exceeds the bound would get silently wrong labels — which is why
+    ``sql_cc_depth_headroom`` exposes the deepest depth actually used
+    (strictly below the bound ⇒ natural termination ⇒ exact result;
+    tests assert this at every SF).  The iterative DataFrame loop
     (``connected_components``) remains the 100 TB path — it dedups
     labels every round and checkpoints lineage; this entry is
     API-surface parity, correct for the near-clique graphs near-dup
@@ -271,18 +301,34 @@ def neardup_components_sql(spark, t) -> DataFrame:
     from storm_data_etl_service_spark.operators.dedup import dedup_minhash_lsh
 
     dedup_minhash_lsh(t).createOrReplaceTempView("lsh_pairs_for_sql_cc")
-    return spark.sql(f"""
-WITH RECURSIVE sym AS (
-  SELECT doc_a AS u, doc_b AS v FROM lsh_pairs_for_sql_cc
-  UNION
-  SELECT doc_b, doc_a FROM lsh_pairs_for_sql_cc),
-reach (node, label, depth) AS (
-  SELECT u, u, 0 FROM (SELECT DISTINCT u FROM sym)
-  UNION ALL
-  SELECT s.v, r.label, r.depth + 1
-  FROM reach r JOIN sym s ON s.u = r.node
-  WHERE r.depth < {SQL_CC_MAX_DEPTH} AND r.label < s.v
-)
+    return spark.sql(
+        _sql_cc_reach_cte(depth_bound)
+        + """
 SELECT node AS doc_id, min(label) AS component_id,
        node = min(label) AS is_canonical
-FROM reach GROUP BY node""")
+FROM reach GROUP BY node"""
+    )
+
+
+def sql_cc_depth_headroom(spark, t, depth_bound: int = SQL_CC_MAX_DEPTH) -> int:
+    """Deepest FIRST discovery of any (node, label) pair — the sound
+    convergence probe for the bounded recursion.
+
+    Raw ``max(depth)`` is always the cap on any cyclic graph (downhill
+    walks revisit nodes through different paths forever), so the
+    fixpoint argument uses first discoveries instead: every pair first
+    seen at depth d < bound had its successors expanded (at d+1 ≤
+    bound), so if NO pair is first discovered at the cap itself, the
+    (node, label) closure is complete and the component labels are
+    exact.  Assert ``headroom < depth_bound`` in tests at each SF."""
+    from storm_data_etl_service_spark.operators.dedup import dedup_minhash_lsh
+
+    dedup_minhash_lsh(t).createOrReplaceTempView("lsh_pairs_for_sql_cc")
+    row = spark.sql(
+        _sql_cc_reach_cte(depth_bound)
+        + """
+SELECT max(first_depth) AS max_first_depth FROM (
+  SELECT node, label, min(depth) AS first_depth
+  FROM reach GROUP BY node, label)"""
+    ).first()
+    return row["max_first_depth"]

@@ -8,12 +8,15 @@ correct shape for CPU-heavy per-item Python work at 100 TB (the batch
 iterator amortizes serialization; partitioning is untouched, so the
 stage is embarrassingly parallel).
 
-The actual image/audio decoding libraries are not available in this
-environment, so the decode kernels are STUBBED: real library calls
-are gated behind import-try and raise ``NotImplementedError``; the
-deterministic fallback extracts byte-level features (size, sha256,
-leading-byte signature) so the Spark-side plumbing — schema, batch
-iteration, UDF signatures — is real and oracle-testable.
+Codec libraries (JPEG/PNG/audio decoders) are not available in this
+environment, so format *decoding* runs on deterministic fallbacks:
+byte-level features (size, sha256, leading-byte signature) for
+``decode_media``, raw-RGB8 buffers for the geometric ops.  The
+geometric kernel itself is REAL: ``image_resize`` is a complete
+NumPy nearest-neighbor resampler over raw pixel buffers (Pillow is
+an optional fast path for bilinear), value-tested byte-for-byte —
+so the Spark-side plumbing — schema, batch iteration, UDF
+signatures — and the pixel math are both exercised.
 """
 
 from __future__ import annotations
@@ -127,36 +130,161 @@ def multimodal_decode_stats(t) -> DataFrame:
     return decode_media(media_from_documents(t))
 
 
-def image_resize(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize plumbing: real kernel requires PIL (absent here) —
-    the stub validates the pipeline shape and fails loudly if reached
-    without the library."""
+#: Channels in the raw-image contract (interleaved RGB8).
+IMAGE_CHANNELS = 3
+
+RESIZE_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+
+def raw_images_from_documents(t, width: int = 8, height: int = 8) -> DataFrame:
+    """Deterministic RAW images from ``documents``: interleaved RGB8
+    pixel buffers (``width*height*3`` bytes) tiled from the UTF-8 text
+    bytes, with the dimensions carried in ``meta`` — the
+    post-decode representation a real image pipeline hands to
+    geometric ops.  Pure expressions (repeat/substr/encode), so the
+    source stays JVM-side and column-prunable."""
+    n = width * height * IMAGE_CHANNELS
+    # an empty text cannot tile into pixels; mirror the filter in oracles
+    docs = t["documents"].filter(F.length("text") > 0)
+    reps = F.ceil(F.lit(n) / F.greatest(F.length("text"), F.lit(1))).cast("int")
+    pixels = F.encode(F.substring(F.repeat(F.col("text"), reps), 1, n), "UTF-8")
+    meta = F.struct(
+        F.lit("raw-rgb8").alias("format"),
+        F.lit(width).alias("width"),
+        F.lit(height).alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        pixels.alias("data"),
+        meta.alias("meta"),
+    )
+
+
+def image_resize(
+    media: DataFrame, width: int, height: int, method: str = "nearest"
+) -> DataFrame:
+    """Real image resize over raw RGB8 payloads (``media_id, data,
+    meta.width, meta.height`` → ``media_id, width, height, data``).
+
+    ``method="nearest"`` is a vectorized NumPy gather — always
+    available, deterministic (sample index ``floor(i * src/dst)``,
+    the classic nearest-neighbor grid), and tested byte-for-byte
+    against an independent golden.  ``method="bilinear"`` uses Pillow
+    when installed (optional dependency — raises ImportError with
+    install guidance, not NotImplementedError: the default path is a
+    complete kernel without it).
+
+    A payload shorter than ``meta.width*meta.height*3`` is a contract
+    violation and raises — silently padding would hide upstream
+    truncation.  Arrow-batched ``mapInPandas``; partitioning is
+    untouched, so the stage scales embarrassingly at 100 TB."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image  # noqa: F401
-        except ImportError as exc:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "image decode requires Pillow, which is not available in "
-                "this environment; plumbing (schema/batching) is real"
-            ) from exc
-        raise NotImplementedError("real resize kernel not implemented")
+        import numpy as np
 
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("data", T.BinaryType()),
-        ]
+        if method == "bilinear":
+            try:
+                from PIL import Image
+            except ImportError as exc:
+                raise ImportError(
+                    "image_resize(method='bilinear') requires Pillow "
+                    "(pip install pillow); method='nearest' has no "
+                    "dependency"
+                ) from exc
+
+        ch = IMAGE_CHANNELS
+        ys = (np.arange(height) * 1.0).astype(np.int64)
+        xs = (np.arange(width) * 1.0).astype(np.int64)
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "data": []}
+            for mid, blob, sw, sh in zip(
+                pdf["media_id"], pdf["data"], pdf["src_w"], pdf["src_h"]
+            ):
+                sw, sh = int(sw), int(sh)
+                b = bytes(blob)
+                need = sw * sh * ch
+                if len(b) < need:
+                    raise ValueError(
+                        f"media {mid}: payload {len(b)} B < "
+                        f"{sw}x{sh}x{ch} = {need} B raw-RGB8 contract"
+                    )
+                img = np.frombuffer(b, dtype=np.uint8, count=need).reshape(
+                    sh, sw, ch
+                )
+                if method == "bilinear":
+                    from PIL import Image
+
+                    resized = np.asarray(
+                        Image.fromarray(img, "RGB").resize(
+                            (width, height), Image.BILINEAR
+                        )
+                    )
+                else:
+                    ri = ys * sh // height
+                    ci = xs * sw // width
+                    resized = img[ri][:, ci]
+                out["media_id"].append(mid)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["data"].append(resized.tobytes())
+            yield pd.DataFrame(out)
+
+    return media.select(
+        "media_id",
+        "data",
+        F.col("meta.width").alias("src_w"),
+        F.col("meta.height").alias("src_h"),
+    ).mapInPandas(kernel, schema=RESIZE_RESULT_SCHEMA)
+
+
+def image_resize_stats(t, out_width: int = 4, out_height: int = 4) -> DataFrame:
+    """Registry surface for the resize kernel: raw images from
+    ``documents`` → nearest-neighbor resize → per-corpus shape report.
+    The oracle checks the full fan-in (count + exact output byte
+    volume); the pixel-exact golden lives in pytest (DuckDB has no
+    BLOB hashing to value-check bytes in SQL)."""
+    resized = image_resize(raw_images_from_documents(t), out_width, out_height)
+    return resized.agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.length("data")).alias("total_out_bytes"),
+        F.min(F.length("data")).alias("min_out_bytes"),
+        F.max(F.length("data")).alias("max_out_bytes"),
     )
-    return media.select("media_id", "data").mapInPandas(kernel, schema=schema)
 
 
-def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+#: Hard cap on frames sampled per media item.  Matches the registered
+#: oracle's range(0, 64) bound AND is the scale-safe posture: an
+#: uncapped per-row fan-out is a skew bomb (one 10 GB video would emit
+#: millions of rows from a single input row); real samplers bound
+#: frames-per-clip for the same reason.
+MAX_FRAMES = 64
+
+
+def frame_sample(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = MAX_FRAMES
+) -> DataFrame:
     """Video frame-sampling plumbing: emits (media_id, frame_idx,
-    frame_sha) per sampled frame.  Deterministic fake: 'frames' are
-    fixed-size windows over the payload bytes — the fan-out shape
-    (1 row → N frame rows through the batch iterator) is the real
-    contract; a codec-backed kernel drops in behind the same schema."""
+    frame_sha) per sampled frame, at most ``max_frames`` per item.
+    Deterministic fake: 'frames' are fixed-size windows over the
+    payload bytes — the fan-out shape (1 row → N bounded frame rows
+    through the batch iterator) is the real contract; a codec-backed
+    kernel drops in behind the same schema.
+
+    Oracle-parity note: the DuckDB oracle slices the document TEXT
+    (char windows) while this kernel slices the payload BYTES; the
+    two coincide exactly iff the fixture text is ASCII — asserted by
+    tests/test_sources_multimodal_windows.py over every test SF, so a
+    non-ASCII fixture fails loudly instead of silently diverging."""
     import hashlib
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -166,6 +294,8 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 b = bytes(blob)
                 window = max(64, every_ms // 10)
                 for idx, start in enumerate(range(0, len(b), window)):
+                    if idx >= max_frames:
+                        break
                     out["media_id"].append(mid)
                     out["frame_idx"].append(idx)
                     out["frame_sha"].append(

@@ -792,8 +792,15 @@ def source_token_entropy(t) -> DataFrame:
             / 1e6,
         )
         .withColumn(
+            # ln(1)=0 ceiling for a single-token vocabulary: define the
+            # degenerate ratio as NULL on BOTH engines (Spark yields
+            # NULL on double/0 while DuckDB yields inf/NaN — the WHEN
+            # guard pins them to the same answer)
             "diversity_ratio",
-            F.col("entropy_nats") / F.col("entropy_ceiling_nats"),
+            F.when(
+                F.col("vocab_size") > 1,
+                F.col("entropy_nats") / F.col("entropy_ceiling_nats"),
+            ),
         )
     )
 

@@ -76,7 +76,13 @@ def file_source(spark: SparkSession, path: str) -> DataFrame:
 
 def split_poison(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     """D2 — parse the envelope payload and fork valid / dead-letter."""
-    parsed = parse_raw_events(raw)
+    return split_parsed(parse_raw_events(raw))
+
+
+def split_parsed(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Fork an already-parsed envelope frame into valid / dead-letter
+    (factored out so ``_process_batch`` can persist the parse once and
+    derive both forks from the cache — single parse per micro-batch)."""
     poison = parsed.filter(F.col("is_poison")).select(
         F.col("value").cast("string").alias("raw_value"),
         "topic",
@@ -124,13 +130,13 @@ def dedup_first_wins(enriched: DataFrame, order_col: str = "kafka_offset") -> Da
 
 def kafka_sink_frame(enriched: DataFrame) -> DataFrame:
     """S3/S5 — shape the enriched event for the Kafka sink: key = id,
-    value = wire JSON (omitempty via ignoreNullFields), headers
-    event_type + processed_at (reference
-    internal/adapter/kafka/writer.go:55-68)."""
-    payload = F.to_json(
-        F.struct(*[F.col(c) for c in enriched.columns if not c.startswith("kafka_")]),
-        {"ignoreNullFields": "true"},
-    )
+    value = byte-exact Go-marshaled wire JSON (declaration key order +
+    full ``omitempty`` semantics incl. empty-string ``comments``/
+    ``source_office``, see functions/wire.py), headers event_type +
+    processed_at (reference internal/adapter/kafka/writer.go:55-68)."""
+    from storm_data_etl_service_spark.functions.wire import storm_wire_json
+
+    payload = storm_wire_json(enriched)
     headers = F.array(
         F.struct(F.lit("event_type").alias("key"), F.col("event_type").cast("binary").alias("value")),
         F.struct(
@@ -196,16 +202,31 @@ class StormStreamPipeline:
         self.processed_at = processed_at
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        valid, poison = split_poison(batch_df)
-        n_poison = poison.count()
-        if n_poison and self.dlq_writer is not None:
-            self.dlq_writer(poison, batch_id)
-        enriched = enrich(
-            valid, processed_at=self.processed_at, passthrough=("kafka_offset",)
-        )
-        deduped = dedup_first_wins(enriched).drop("kafka_offset")
-        n_out = deduped.count()
-        self.sink_writer(deduped, batch_id)
+        """Single-pass micro-batch kernel: the raw envelope is parsed
+        ONCE into a persisted frame (poison count + DLQ write are cache
+        scans, not re-parses), and the produced count piggybacks on the
+        sink write itself via ``DataFrame.observe`` — exactly one
+        enrich+dedup execution per batch, no standalone ``.count()``
+        actions recomputing the plan (the reference counts in-process
+        for free, internal/pipeline/pipeline.go:104-153)."""
+        from pyspark.sql import Observation
+
+        parsed = parse_raw_events(batch_df).persist()
+        try:
+            valid, poison = split_parsed(parsed)
+            n_poison = poison.count()  # cache scan — parse ran once above
+            if n_poison and self.dlq_writer is not None:
+                self.dlq_writer(poison, batch_id)
+            enriched = enrich(
+                valid, processed_at=self.processed_at, passthrough=("kafka_offset",)
+            )
+            deduped = dedup_first_wins(enriched).drop("kafka_offset")
+            obs = Observation(f"sink_batch_{batch_id}")
+            observed = deduped.observe(obs, F.count(F.lit(1)).alias("n_out"))
+            self.sink_writer(observed, batch_id)
+            n_out = obs.get["n_out"]
+        finally:
+            parsed.unpersist()
         self.metrics.record_batch(
             consumed=n_out + n_poison, produced=n_out, errors=n_poison
         )
@@ -294,10 +315,20 @@ def incremental_dedup_batch_fn(index_dir: str, matches_dir: str):
     per micro-batch of documents (doc_id, text):
       1. compute the batch's (doc_id, band, key) LSH rows (map-only);
       2. shuffle-join them against the parquet index accumulated by
-         every PREVIOUS batch → candidate matches (new doc, old doc);
+         every PREVIOUS batch → candidate matches (new doc, old doc),
+         PLUS a self-join of the batch's own bands → earlier-in-batch
+         matches (matched_doc_id < doc_id) — the same contract as
+         ``dedup_incremental_minhash``, so a duplicate pair arriving
+         inside one micro-batch is still caught;
       3. append matches to ``matches_dir`` and the batch's own band
          keys to ``index_dir`` — so later batches (and later runs:
          the index is durable) dedup against everything before them.
+
+    The index read is gated on an explicit filesystem existence check
+    (Hadoop FS, so any supported scheme works), NOT a blanket except:
+    a corrupt or transiently-unreadable index raises and fails the
+    batch, which the streaming checkpoint then retries — silently
+    dropping that batch's matches is the one wrong outcome.
 
     At 100 TB the index is a bucketed table on (band, key); per-batch
     cost scales with the batch, never the corpus.  Exactly-once comes
@@ -309,24 +340,36 @@ def incremental_dedup_batch_fn(index_dir: str, matches_dir: str):
 
     from storm_data_etl_service_spark.operators.dedup import lsh_band_keys
 
+    def _index_exists(spark) -> bool:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(index_dir)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
+
     def process(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
         bands = lsh_band_keys({"documents": batch_df}).persist()
         try:
-            try:
-                index = spark.read.parquet(index_dir)
-                have_index = True
-            except Exception:
-                have_index = False
-            if have_index:
-                matches = (
-                    index.withColumnRenamed("doc_id", "matched_doc_id")
+            # within-batch: earlier-in-batch partner wins, i.e. the
+            # matched_doc_id < doc_id contract of
+            # dedup_incremental_minhash — so a duplicate pair arriving
+            # in ONE micro-batch is caught, not just across batches
+            matches = (
+                bands.select("band", "key", F.col("doc_id").alias("matched_doc_id"))
+                .join(bands, ["band", "key"])
+                .filter(F.col("matched_doc_id") < F.col("doc_id"))
+                .select("doc_id", "matched_doc_id")
+            )
+            if _index_exists(spark):
+                # cross-batch: anything already indexed is from an
+                # earlier batch — a valid partner regardless of id order
+                matches = matches.unionByName(
+                    spark.read.parquet(index_dir)
+                    .withColumnRenamed("doc_id", "matched_doc_id")
                     .join(bands, ["band", "key"])
                     .filter(F.col("matched_doc_id") != F.col("doc_id"))
                     .select("doc_id", "matched_doc_id")
-                    .distinct()
                 )
-                matches.write.mode("append").parquet(matches_dir)
+            matches.distinct().write.mode("append").parquet(matches_dir)
             bands.write.mode("append").parquet(index_dir)
         finally:
             bands.unpersist()

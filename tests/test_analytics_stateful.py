@@ -44,10 +44,10 @@ def test_pivot_row_sums_match_totals(spark, sf_dir):
 
 def test_approx_distinct_within_bound(spark, sf_dir):
     exact = run("distinct_counts", spark, sf_dir).first()
-    approx = run("approx_distinct_counts", spark, sf_dir).first()
-    assert approx["n_types_approx"] == exact["n_types"]  # tiny cardinality: exact
-    rel_err = abs(approx["n_users_approx"] - exact["n_users"]) / exact["n_users"]
-    assert rel_err < 0.1, (exact, approx)
+    row = run("approx_distinct_counts", spark, sf_dir).first()
+    assert row["n_users"] == exact["n_users"]
+    assert row["n_types"] == exact["n_types"]
+    assert row["hll_within_bound"] is True
 
 
 def test_lsh_search_recall_vs_brute_force(spark, sf_dir):

@@ -99,20 +99,105 @@ def test_frame_sample_fans_out(spark, sf_dir):
     assert any(len(v) > 1 for v in by_media.values())  # real fan-out
 
 
-def test_image_resize_stub_fails_loudly_without_pil(spark, sf_dir):
-    try:
-        import PIL  # noqa: F401
+def test_frame_sample_caps_at_max_frames(spark):
+    """A payload needing more than MAX_FRAMES windows must stop at
+    exactly MAX_FRAMES — the oracle's range(0, 64) bound and the
+    anti-skew fan-out cap (one huge payload must not explode into an
+    unbounded row fan-out)."""
+    from storm_data_etl_service_spark.operators.multimodal import MAX_FRAMES
 
-        pytest.skip("PIL present; stub not reachable")
-    except ImportError:
-        pass
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"].limit(1)
-    media = media_from_documents({"documents": docs})
-    with pytest.raises(Exception) as exc_info:
-        image_resize(media, 32, 32).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
+    big = spark.createDataFrame(
+        [(1, bytearray(b"x" * (MAX_FRAMES * 100 + 500)))],
+        "media_id long, data binary",
     )
+    frames = frame_sample(big, every_ms=1000).collect()
+    assert len(frames) == MAX_FRAMES
+    assert sorted(r["frame_idx"] for r in frames) == list(range(MAX_FRAMES))
+
+
+def test_frame_sample_fixture_is_byte_char_equivalent(spark, sf_dir):
+    """The kernel windows BYTES while the DuckDB oracle windows text
+    CHARS — equivalent iff the documents fixture is pure ASCII.
+    Assert that here so a future non-ASCII fixture fails loudly
+    instead of silently hash-diverging at larger scale factors."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    non_ascii = docs.filter(
+        F.octet_length("text") != F.char_length("text")
+    ).count()
+    assert non_ascii == 0, (
+        f"{non_ascii} non-ASCII documents: frame_sample's byte windows "
+        "no longer match the char-based oracle — make the oracle "
+        "byte-based or re-encode the fixture"
+    )
+
+
+def _raw_image_df(spark, pixels, w, h):
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("width", T.IntegerType()),
+                        T.StructField("height", T.IntegerType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    return spark.createDataFrame([(1, bytearray(pixels), (w, h))], schema)
+
+
+def test_image_resize_nearest_matches_numpy_golden(spark):
+    """Pixel-exact: the kernel's 4x4→2x2 nearest-neighbor result must
+    equal an independently computed numpy gather (floor(i*src/dst)
+    grid) byte-for-byte."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    out = image_resize(_raw_image_df(spark, src.tobytes(), 4, 4), 2, 2).first()
+    golden = src[[0, 2]][:, [0, 2]]  # floor(i*4/2) = 0, 2
+    assert bytes(out["data"]) == golden.tobytes()
+    assert (out["width"], out["height"]) == (2, 2)
+
+
+def test_image_resize_identity_and_upscale(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    df = _raw_image_df(spark, src.tobytes(), 3, 3)
+    same = image_resize(df, 3, 3).first()
+    assert bytes(same["data"]) == src.tobytes()  # identity resize
+    up = image_resize(df, 6, 6).first()
+    want = src[(np.arange(6) * 3 // 6)][:, (np.arange(6) * 3 // 6)]
+    assert bytes(up["data"]) == want.tobytes()
+
+
+def test_image_resize_rejects_truncated_payload(spark):
+    """A payload shorter than the declared dimensions must FAIL, not
+    silently pad — truncation upstream is data corruption."""
+    df = _raw_image_df(spark, b"\x01\x02\x03", 4, 4)  # 3 B << 48 B
+    with pytest.raises(Exception, match="raw-RGB8 contract"):
+        image_resize(df, 2, 2).collect()
+
+
+def test_image_resize_corpus_round_trip(spark, sf_dir):
+    """End-to-end over documents-derived raw images: every output is
+    exactly out_w*out_h*3 bytes and ids are preserved."""
+    from storm_data_etl_service_spark.operators.multimodal import (
+        raw_images_from_documents,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    imgs = raw_images_from_documents(t)
+    rows = image_resize(imgs.limit(20), 4, 4).collect()
+    assert rows and all(len(bytes(r["data"])) == 4 * 4 * 3 for r in rows)
 
 
 # --- streaming windows -------------------------------------------------------

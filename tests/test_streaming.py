@@ -145,6 +145,34 @@ def test_metrics_and_readiness(spark, workdir):
     assert metrics.consumed == metrics.produced + metrics.transform_errors
 
 
+def test_process_batch_is_single_pass(spark, workdir, monkeypatch):
+    """D9 single-pass contract: the produced count rides the sink
+    write via ``observe`` and the parse is persisted — so the only
+    ``.count()`` action per micro-batch is the cheap cache-scan poison
+    count.  Guards against reintroducing standalone actions that
+    recompute parse+enrich+dedup per batch (2-3x waste at backfill
+    batch sizes)."""
+    # patch the concrete class (pyspark.sql.DataFrame is the abstract
+    # base in Spark 4; instances are classic.dataframe.DataFrame)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    counted_plans = []
+    orig_count = DataFrame.count
+
+    def spy_count(self):
+        counted_plans.append(self.columns)
+        return orig_count(self)
+
+    monkeypatch.setattr(DataFrame, "count", spy_count)
+    metrics = _run_pipeline(spark, workdir)
+    assert metrics.produced == 16
+    # one poison-fork count per micro-batch, nothing else: no count()
+    # over the enriched/deduped frame (that total comes from observe)
+    assert 1 <= len(counted_plans) <= metrics.batches
+    for cols in counted_plans:
+        assert "raw_value" in cols, f"unexpected count() on {cols}"
+
+
 def test_restart_is_idempotent(spark, workdir):
     """D3/D8 — restarting over the same checkpoint must not reprocess
     committed batches (offsets advanced past the poison pill too)."""
@@ -728,7 +756,9 @@ def test_streaming_incremental_dedup_matches_across_batches(spark, workdir):
                                 "about storm report enrichment chains"}]
     b1 = [{"doc_id": 11, "text": variant},
           {"doc_id": 12, "text": "yet another unrelated text with no "
-                                 "overlap in its shingle space at all"}]
+                                 "overlap in its shingle space at all"},
+          # near-dup of doc 11 INSIDE the same micro-batch
+          {"doc_id": 13, "text": variant.replace("executor", "worker")}]
     for name, batch in (("b0.json", b0), ("b1.json", b1)):
         with open(src / name, "w") as f:
             for r in batch:
@@ -759,10 +789,11 @@ def test_streaming_incremental_dedup_matches_across_batches(spark, workdir):
         for r in spark.read.parquet(str(workdir / "matches")).collect()
     }
     assert (11, 1) in matches  # batch-1 doc caught against batch-0 index
+    assert (13, 11) in matches  # caught WITHIN one micro-batch
     assert all(d != m for d, m in matches)
     index = spark.read.parquet(str(workdir / "lsh_index"))
     assert set(r["doc_id"] for r in index.select("doc_id").distinct().collect()) \
-        == {1, 2, 11, 12}
+        == {1, 2, 11, 12, 13}
 
 
 def test_late_rows_dropped_by_watermark_are_counted(spark, workdir):

@@ -664,6 +664,27 @@ def test_recursive_cte_components_match_iterative(spark, sf_dir):
     assert a == b and a
 
 
+def test_recursive_cte_components_provably_converged(spark, sf_dir):
+    """The bounded SQL recursion must reach its (node, label)
+    fixpoint BELOW the cap: no pair first-discovered at the cap depth
+    means every pair's successors were expanded, so the bounded
+    result is exact (not just fixture-coincidentally equal).  Guards
+    the unbounded-oracle / bounded-Spark divergence a chain-shaped
+    cluster would cause at larger scale factors."""
+    from storm_data_etl_service_spark.operators.graph import (
+        SQL_CC_MAX_DEPTH,
+        sql_cc_depth_headroom,
+    )
+    from storm_data_etl_service_spark.schemas import load_tables
+
+    used = sql_cc_depth_headroom(spark, load_tables(spark, sf_dir))
+    assert used is not None and used < SQL_CC_MAX_DEPTH, (
+        f"fixpoint not reached below the cap ({used} >= "
+        f"{SQL_CC_MAX_DEPTH}): labels may be truncated — raise "
+        "SQL_CC_MAX_DEPTH"
+    )
+
+
 def test_doc_chunks_cover_and_overlap(spark, sf_dir):
     """Chunk windows must start at stride multiples, cover every
     token (last chunk reaches the end), and reconstruct the doc
@@ -843,6 +864,24 @@ def test_source_entropy_flags_templated_source(spark, sf_dir):
     # corpus run sanity
     rows = run("source_token_entropy", spark, sf_dir).collect()
     assert all(0 < r["diversity_ratio"] <= 1.0 + 1e-5 for r in rows)
+
+
+def test_source_entropy_degenerate_single_token_vocab(spark):
+    """vocab_size == 1 → ln(1) = 0 ceiling: diversity_ratio must be
+    NULL (identically on both engines), never inf/NaN or a crash."""
+    from storm_data_etl_service_spark.operators.text import (
+        source_token_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "echo echo echo echo", "degenerate"),
+         (2, "some normal words here", "healthy")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in source_token_entropy({"documents": docs}).collect()}
+    assert out["degenerate"]["vocab_size"] == 1
+    assert out["degenerate"]["diversity_ratio"] is None
+    assert out["healthy"]["diversity_ratio"] is not None
 
 
 def test_vocab_growth_is_monotone_and_reconciles(spark, sf_dir):
