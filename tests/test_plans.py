@@ -56,6 +56,7 @@ def test_enrichment_has_no_python_eval(spark, sf_dir):
 #: paths to the expression equivalent.
 INTENTIONAL_PYTHON_OPS = [
     "multimodal_decode_stats",
+    "image_resize_stats",
     "video_frame_sample",
     "heavy_hitter_bigrams",
     "token_spans_udtf",
