@@ -107,6 +107,67 @@ def dedup_ngram_jaccard(t) -> DataFrame:
     )
 
 
+def dedup_containment(t, threshold: float = 0.9) -> DataFrame:
+    """Near-SUPERSET pairs by word-3-gram containment
+    C(sub→super) = |sub ∩ super| / |sub| ≥ 0.9.
+
+    The dedup-ladder rung Jaccard misses: a short document embedded
+    verbatim inside a much longer one (quote farms, boilerplate
+    wrappers, scrape-of-a-scrape expansions) has near-1.0 containment
+    but LOW Jaccard — |A∩B|/|A∪B| is diluted by the superset's extra
+    shingles, so a J ≥ 0.8 gate never fires.  Emits one row per
+    DIRECTED pair (doc_sub contained in doc_super) with both scores so
+    downstream keep-policies can drop the subset and keep the superset.
+
+    Scale: same bounded shape as ``dedup_ngram_jaccard`` — one shingle
+    self-join computes |∩| per unordered pair, then both directions are
+    derived from that single pair row (c/na and c/nb), so containment
+    costs no second join.  The prefix-filter acceleration does NOT
+    carry over (prefix filtering is sound for Jaccard's symmetric
+    bound, not for asymmetric containment — the subset may share only
+    high-frequency shingles its prefix excludes); the scale path for
+    containment at 100 TB is banding the SMALLER doc's signature,
+    which this exact form anchors.  Generalizes the reference's
+    duplicate detection (cmd/validate/main.go:357-391) to asymmetric
+    content containment."""
+    sh = _doc_shingles(t)
+    counts = sh.select("doc_id", F.size("shingles").alias("ns"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nb"))
+    pairs = common.join(ca, "doc_a").join(cb, "doc_b")
+    c = F.col("common").cast("double")
+    jaccard = c / (F.col("na") + F.col("nb") - F.col("common"))
+    # both directions from the one unordered pair row
+    fwd = pairs.select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_super"),
+        F.col("na").cast("long").alias("n_sub"),
+        F.col("nb").cast("long").alias("n_super"),
+        (c / F.col("na")).alias("containment"),
+        jaccard.alias("jaccard"),
+    )
+    rev = pairs.select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_super"),
+        F.col("nb").cast("long").alias("n_sub"),
+        F.col("na").cast("long").alias("n_super"),
+        (c / F.col("nb")).alias("containment"),
+        jaccard.alias("jaccard"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= threshold)
+
+
 def dedup_jaccard_prefix_join(t) -> DataFrame:
     """Exact near-dup pairs by word-3-gram Jaccard ≥ 0.8 via PREFIX
     FILTERING (Chaudhuri et al. / PPJoin) — same output contract as

@@ -903,6 +903,37 @@ FROM documents""",
         " count(*) AS n_copies FROM documents GROUP BY sha256(text)",
         ("dedup",),
     ),
+    "dedup_containment": QuerySpec(
+        # Asymmetric near-superset detection: directed containment
+        # |sub ∩ super| / |sub| >= 0.9 — catches short-doc-inside-
+        # long-doc duplication that symmetric Jaccard dilutes away.
+        _t(D.dedup_containment),
+        f"""WITH {_TOKS_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+counts AS (SELECT doc_id, len(shingles) AS ns FROM shf),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b, common, na, nb
+  FROM common
+  JOIN (SELECT doc_id AS doc_a, ns AS na FROM counts) USING (doc_a)
+  JOIN (SELECT doc_id AS doc_b, ns AS nb FROM counts) USING (doc_b)),
+directed AS (
+  SELECT doc_a AS doc_sub, doc_b AS doc_super,
+         CAST(na AS BIGINT) AS n_sub, CAST(nb AS BIGINT) AS n_super,
+         CAST(common AS DOUBLE) / na AS containment,
+         CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+  FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a, CAST(nb AS BIGINT), CAST(na AS BIGINT),
+         CAST(common AS DOUBLE) / nb,
+         CAST(common AS DOUBLE) / (na + nb - common)
+  FROM pairs)
+SELECT * FROM directed WHERE containment >= 0.9""",
+        ("dedup", "neardup", "containment"),
+    ),
     "dedup_jaccard_prefix_join": QuerySpec(
         # Same contract as dedup_ngram_jaccard — same oracle — but via
         # the prefix-filtering plan (exact recall, no common-shingle
@@ -1708,6 +1739,36 @@ SELECT doc_id, token, tf, df, tfidf, rk FROM (
   FROM tf JOIN dfreq USING (token), nd)
 WHERE rk <= 3""",
     ("text", "tfidf"),
+)
+
+REGISTRY["cms_token_frequencies"] = QuerySpec(
+    # The count-min sketch is held as a (r, c, cell_n) TABLE of
+    # sha256-prefix hash cells, so — unlike approx_distinct_counts,
+    # whose HLL internals no oracle can reproduce — DuckDB rebuilds
+    # the whole sketch bit-for-bit and the estimates hash-match.
+    _t(X.cms_token_frequencies),
+    f"""WITH {_TOKEN_CTE},
+tf AS (SELECT token, count(*) AS exact_n FROM toks GROUP BY token),
+cells AS (
+  SELECT token, exact_n, r,
+         ('0x' || substr(sha256('cms' || r || '|' || token), 1, 8))::BIGINT % 256 AS c
+  FROM tf CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)),
+sketch AS (
+  SELECT r, c, CAST(sum(exact_n) AS BIGINT) AS cell_n
+  FROM cells GROUP BY r, c),
+total AS (SELECT CAST(sum(exact_n) AS BIGINT) AS stream_n FROM tf),
+probes AS (SELECT token FROM tf ORDER BY exact_n DESC, token LIMIT 20),
+est AS (
+  SELECT pc.token, pc.exact_n, min(s.cell_n) AS cms_estimate
+  FROM cells pc
+  JOIN probes USING (token)
+  JOIN sketch s ON s.r = pc.r AND s.c = pc.c
+  GROUP BY 1, 2)
+SELECT token, exact_n, cms_estimate,
+       cms_estimate >= exact_n AS no_undercount,
+       (cms_estimate - exact_n) * 256 <= 3 * stream_n AS within_eps_bound
+FROM est CROSS JOIN total""",
+    ("text", "sketch", "cms"),
 )
 
 REGISTRY["full_outer_reconcile"] = QuerySpec(

@@ -280,6 +280,81 @@ def tfidf_top_terms(t) -> DataFrame:
     )
 
 
+#: Count-min sketch geometry: depth (independent hash rows) × width.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_token_frequencies(t, top_n: int = 20) -> DataFrame:
+    """Count-min sketch token frequencies, as a TABLE — the mergeable
+    fixed-memory path for per-item counts at 100 TB, completing the
+    sketch family (HLL cardinality, KLL-style quantiles, Misra-Gries
+    heavy hitters).
+
+    The sketch is depth×width (4×256) COUNT cells keyed by
+    (row, sha256-hash(token) mod width); estimate(token) = min over
+    rows of its cell — never an undercount, over by at most the
+    colliding mass.  Holding it as a (r, c, cell_n) relation instead
+    of an opaque binary blob keeps every property Spark gives tables:
+    cells merge across partitions/days/sources by SUM (the same
+    incremental shape as daily_user_sketch_rollup), the build is one
+    map-side-combined aggregation, and the probe is a broadcast join
+    against ≤ depth×width rows.
+
+    Emits the top-`top_n` exact tokens with their sketch estimates,
+    plus the deterministic ``no_undercount``/``within_eps_bound``
+    audit columns.  Everything is integer arithmetic on sha256 prefix
+    hashes (the engine-portable trick of dataset_split_assign), so —
+    unlike ``approx_distinct_counts``, whose HLL internals no oracle
+    can reproduce — the DuckDB oracle rebuilds the ENTIRE sketch
+    bit-for-bit and the estimates hash-match exactly.
+
+    Scale: the sketch builds from the (token, count) aggregate —
+    algebraically identical to sketching the raw stream, but the
+    shuffle carries vocabulary cardinality, not corpus cardinality.
+    At 100 TB you keep per-partition sketch partials and merge by
+    cell; the exact side here is the test-scale correctness anchor."""
+    toks = t["documents"].select(F.explode(tokens_col(F.col("text"))).alias("token"))
+    tf = toks.groupBy("token").agg(F.count("*").alias("exact_n"))
+
+    def cell(r: int) -> Column:
+        h = F.conv(
+            F.substring(F.sha2(F.concat(F.lit(f"cms{r}|"), F.col("token")), 256), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        return F.struct(F.lit(r).cast("int").alias("r"), (h % CMS_WIDTH).alias("c"))
+
+    cells = tf.select(
+        "token",
+        "exact_n",
+        F.explode(F.array(*[cell(r) for r in range(CMS_DEPTH)])).alias("cell"),
+    ).select("token", "exact_n", F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+    sketch = cells.groupBy("r", "c").agg(F.sum("exact_n").alias("cell_n"))
+    total = tf.agg(F.sum("exact_n").alias("stream_n"))
+
+    probes = tf.orderBy(F.desc("exact_n"), F.asc("token")).limit(top_n)
+    probe_cells = cells.join(F.broadcast(probes.select("token")), "token")
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cell_n").alias("cms_estimate"))
+        .crossJoin(F.broadcast(total))
+    )
+    # classic CMS guarantee: overcount <= e/width * N (w.h.p.); both
+    # sides integer, so the bound column is engine-exact
+    overcount = F.col("cms_estimate") - F.col("exact_n")
+    return est.select(
+        "token",
+        "exact_n",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact_n")).alias("no_undercount"),
+        (overcount * CMS_WIDTH <= F.lit(3) * F.col("stream_n")).alias(
+            "within_eps_bound"
+        ),
+    )
+
+
 RARE_DOC_FREQ = 2  # a token is "rare" if it appears in <= 2 documents
 
 

