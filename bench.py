@@ -41,8 +41,10 @@ BENCH_QUERIES = [
     "q12_dedup_first_wins",     # first-wins dedup window
     "p5_deterministic_id",      # sha256 content IDs
     "dedup_minhash_lsh",        # MinHash signature + LSH band join
+    "dedup_containment",        # directed near-superset shingle join
     "dedup_incremental_minhash",  # new-batch vs persisted LSH index
     "heavy_hitter_bigrams",     # Misra-Gries sketch + exact recount
+    "cms_token_frequencies",    # count-min sketch table build + probe
     "embedding_quantize_int8",  # dimension-parallel int8 audit
     "tfidf_top_terms",          # explode → dual agg → broadcast-back → window top-k
     "bigram_surprisal_scores",  # corpus-self-trained bigram LM scoring
