@@ -399,13 +399,15 @@ def token_spans_udtf(spark, t) -> DataFrame:
     API-surface demonstration with a real contract: the same rows as
     a ``posexplode`` of ``tokens_col`` (the oracle checks exactly
     that), so callers should prefer the expression form in hot paths
-    — a UDTF is row-at-a-time Python, the right tool only when the
-    expansion logic genuinely needs imperative code (parsers,
-    generators, per-row model calls).  Runs distributed: the UDTF
-    maps over partitions like any projection; no shuffle."""
+    — a UDTF is imperative Python, the right tool only when the
+    expansion logic genuinely needs it (parsers, generators, per-row
+    model calls).  ``useArrow=True`` keeps the boundary Arrow-batched
+    (``ArrowEvalPythonUDTF``, not row-pickled ``BatchEvalPythonUDTF``).
+    Runs distributed: the UDTF maps over partitions like any
+    projection; no shuffle."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, token string, token_len int")
+    @udtf(returnType="pos int, token string, token_len int", useArrow=True)
     class TokenSpans:
         def eval(self, text: str):
             for i, tok in enumerate((text or "").split(), 1):
