@@ -75,7 +75,9 @@ def main():
     # rule grows partitions right back past the core count.  AQE still
     # re-coalesces at runtime; this only seeds the initial plan.
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    data_bytes = sum(f.stat().st_size for f in Path(sf_dir).glob("*.parquet"))
+    data_bytes = sum(
+        f.stat().st_size for f in Path(sf_dir).rglob("*.parquet") if f.is_file()
+    )
     shuffle_parts = max(8, min(4 * int(cpus), data_bytes // (2 << 20)))
     spark = get_spark(
         app_name="bench",

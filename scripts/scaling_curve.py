@@ -1,0 +1,264 @@
+#!/usr/bin/env python
+"""Measured scaling curve for the headline bench queries.
+
+Runs ``bench.py`` (same protocol: warmup, noop sink, data-sized
+shuffle parallelism) at every provided scale factor — sf0.001, sf0.01,
+sf0.1 — and at a synthesized ``sf1.6``: the sf0.1 tables replicated
+x16 with per-replica key offsets, so join/group cardinalities scale
+the way a larger TPC-H SF does:
+
+* dimension tables (region, nation) are kept as-is;
+* every surrogate key (custkey, orderkey, partkey, suppkey, event_id,
+  user_id, doc_id, vec_id) is offset by ``replica * (max_key + 1)``,
+  so per-key group sizes and join fan-outs stay constant while key
+  cardinality scales with the data — the realistic growth mode;
+* ``documents.text`` is word-rotated per replica (replica i starts at
+  word i of the original) so the near-dup rate stays at the corpus's
+  natural level instead of every doc gaining 15 exact twins, which
+  would quadratically inflate dedup OUTPUT and contaminate the
+  time-vs-input slope;
+* one ``embedding`` element per replica is nudged so cosine
+  near-duplicate structure likewise stays natural.
+
+The scaled data is derived exclusively from the driver-provided
+/root/testdata parquet (TESTDATA.md) and lives in /tmp scratch; it is
+used for timing only, never for correctness oracles.
+
+Output: SCALING.json + SCALING.md with per-query times at each scale
+and the marginal scaling exponent on the largest step
+(log t-ratio / log data-ratio; 1.0 = perfectly linear, <1 =
+overhead-amortizing, >1.2 flagged).
+
+Usage: python scripts/scaling_curve.py [--replicas N] [--keep]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SCRATCH = Path("/tmp/spark_graft_scale")
+
+
+def build_scaled(src_dir: str, out_dir: Path, n: int) -> None:
+    from pyspark.sql import functions as F
+
+    from storm_data_etl_service_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale-gen", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    out_dir.mkdir(parents=True, exist_ok=True)
+    reps = spark.range(n).select(F.col("id").cast("long").alias("_rep"))
+
+    def load(t):
+        return spark.read.parquet(f"{src_dir}/{t}.parquet")
+
+    def offset(df, col, base):
+        return df.withColumn(col, (F.col(col) + F.col("_rep") * F.lit(base)).cast("long"))
+
+    def write(df, t):
+        # scratch files mirror the testdata layout: one dir per table
+        # name is fine — schemas.load_tables reads by glob path
+        df.drop("_rep").repartition(32).write.mode("overwrite").parquet(
+            str(out_dir / f"{t}.parquet")
+        )
+
+    def key_base(df, col):
+        return df.agg(F.max(col)).collect()[0][0] + 1
+
+    cust = load("customer")
+    supp = load("supplier")
+    part = load("part")
+    orders = load("orders")
+    li = load("lineitem")
+    events = load("events")
+    docs = load("documents")
+    emb = load("embeddings")
+
+    k_c = key_base(cust, "c_custkey")
+    k_s = key_base(supp, "s_suppkey")
+    k_p = key_base(part, "p_partkey")
+    k_o = key_base(orders, "o_orderkey")
+    k_e = key_base(events, "event_id")
+    k_u = key_base(events, "user_id")
+    k_d = key_base(docs, "doc_id")
+    k_v = key_base(emb, "vec_id")
+
+    for t in ("region", "nation"):
+        write(load(t).withColumn("_rep", F.lit(0)), t)
+
+    write(offset(cust.crossJoin(reps), "c_custkey", k_c), "customer")
+    write(offset(supp.crossJoin(reps), "s_suppkey", k_s), "supplier")
+    write(offset(part.crossJoin(reps), "p_partkey", k_p), "part")
+    o = offset(offset(orders.crossJoin(reps), "o_orderkey", k_o), "o_custkey", k_c)
+    write(o, "orders")
+    l = offset(
+        offset(offset(li.crossJoin(reps), "l_orderkey", k_o), "l_partkey", k_p),
+        "l_suppkey",
+        k_s,
+    )
+    write(l, "lineitem")
+    write(
+        offset(offset(events.crossJoin(reps), "event_id", k_e), "user_id", k_u),
+        "events",
+    )
+
+    # word-rotate text by replica index; recompute n_chars for
+    # consistency (multi-space runs collapse under the rotation)
+    d = offset(docs.crossJoin(reps), "doc_id", k_d)
+    words = F.split(F.col("text"), " ")
+    k = (F.col("_rep") % F.greatest(F.size(words), F.lit(1))).cast("int")
+    rotated = F.concat_ws(
+        " ",
+        F.flatten(
+            F.array(
+                F.slice(words, k + F.lit(1), F.greatest(F.size(words) - k, F.lit(0))),
+                F.slice(words, F.lit(1), k),
+            )
+        ),
+    )
+    d = d.withColumn("text", rotated).withColumn("n_chars", F.length("text"))
+    write(d, "documents")
+
+    # nudge element (_rep % dim) by a replica-dependent epsilon: keeps
+    # norms ~unchanged but breaks exact cross-replica colinearity
+    e = offset(emb.crossJoin(reps), "vec_id", k_v)
+    dim = F.greatest(F.size("embedding"), F.lit(1))
+    tgt = (F.col("_rep") % dim).cast("int")
+    eps = (F.col("_rep") % F.lit(17)).cast("float") * F.lit(0.013)
+    e = e.withColumn("_tgt", tgt).withColumn("_eps", eps)
+    e = e.withColumn(
+        "embedding",
+        F.expr(
+            "transform(embedding, (x, j) -> CASE WHEN j = _tgt "
+            "THEN cast(x + _eps AS float) ELSE x END)"
+        ),
+    ).drop("_tgt", "_eps")
+    write(e, "embeddings")
+    spark.stop()
+
+
+def run_bench(sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    last_err = None
+    for attempt in range(2):
+        out = subprocess.run(
+            [sys.executable, str(REPO / "bench.py")],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=str(REPO),
+        )
+        if out.returncode == 0:
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            return json.loads(line)
+        last_err = out.stderr[-4000:]
+        print(f"bench failed (attempt {attempt + 1}):\n{last_err}", flush=True)
+    raise RuntimeError(f"bench.py failed twice at {sf_dir}:\n{last_err}")
+
+
+def main() -> int:
+    replicas = 16
+    keep = "--keep" in sys.argv
+    if "--replicas" in sys.argv:
+        replicas = int(sys.argv[sys.argv.index("--replicas") + 1])
+
+    scaled_sf = round(0.1 * replicas, 2)
+    scaled_dir = SCRATCH / f"sf{scaled_sf}"
+    if not (scaled_dir / "lineitem.parquet").exists():
+        print(f"synthesizing x{replicas} of sf0.1 -> {scaled_dir}", flush=True)
+        build_scaled("/root/testdata/sf0.1", scaled_dir, replicas)
+
+    scales = [
+        ("/root/testdata/sf0.001", 0.001),
+        ("/root/testdata/sf0.01", 0.01),
+        ("/root/testdata/sf0.1", 0.1),
+        (str(scaled_dir), scaled_sf),
+    ]
+    results = {}
+    for sf_dir, sf in scales:
+        print(f"bench @ sf{sf} ...", flush=True)
+        results[str(sf)] = run_bench(sf_dir)
+        print(f"  total {results[str(sf)]['value']} s", flush=True)
+
+    sfs = [str(s) for _, s in scales]
+    top_ratio = scales[-1][1] / scales[-2][1]
+    queries = list(results[sfs[0]]["queries"])
+    rows = {}
+    flagged = []
+    for q in queries:
+        times = [results[s]["queries"].get(q) for s in sfs]
+        t_prev, t_top = times[-2], times[-1]
+        exponent = (
+            math.log(t_top / t_prev) / math.log(top_ratio)
+            if t_prev and t_top and t_prev > 0
+            else None
+        )
+        rows[q] = {"times_sec": times, "top_step_exponent": (
+            round(exponent, 3) if exponent is not None else None)}
+        if exponent is not None and t_top > (top_ratio * 1.3) * t_prev:
+            flagged.append(q)
+
+    summary = {
+        "scales": sfs,
+        "replicas": replicas,
+        "top_step_data_ratio": top_ratio,
+        "totals_sec": {s: results[s]["value"] for s in sfs},
+        "flagged_superlinear": flagged,
+        "queries": rows,
+    }
+    (REPO / "SCALING.json").write_text(json.dumps(summary, indent=1))
+
+    md = [
+        "# SCALING — measured time-vs-data curve for the headline queries",
+        "",
+        f"Generated by `scripts/scaling_curve.py`: `bench.py` (same warmup +",
+        "noop-sink protocol) at the three provided scale factors plus a",
+        f"synthesized **sf{scaled_sf}** (sf0.1 replicated x{replicas} with",
+        "per-replica key offsets; text word-rotated / embeddings nudged so",
+        "duplicate structure stays natural — see the script docstring).",
+        f"Span: **{scales[-1][1] / scales[0][1]:.0f}x** between smallest and largest.",
+        "",
+        "`exp` = marginal scaling exponent on the largest step",
+        f"(x{top_ratio:.0f} data): `log(t_big/t_sf0.1) / log({top_ratio:.0f})`.",
+        "1.0 is perfectly linear; < 1 means fixed overhead still",
+        "amortizing; > 1.2 would be flagged as super-linear.",
+        "",
+        f"**Result: {len(flagged)}/{len(queries)} queries flagged super-linear"
+        + (f" — {', '.join(flagged)}**" if flagged else ".**"),
+        "",
+        "| query | " + " | ".join(f"sf{s}" for s in sfs) + " | exp |",
+        "|---|" + "---|" * (len(sfs) + 1),
+    ]
+    for q, r in sorted(rows.items(), key=lambda kv: -(kv[1]["times_sec"][-1] or 0)):
+        cells = " | ".join("-" if t is None else f"{t:.2f}" for t in r["times_sec"])
+        md.append(f"| {q} | {cells} | {r['top_step_exponent']} |")
+    md += [
+        "",
+        "| total | " + " | ".join(f"{results[s]['value']:.1f}" for s in sfs) + " | |",
+        "",
+        "The provided-SF span (0.001→0.1) is overhead-dominated (totals",
+        "barely move across 100x data); the synthesized step is the first",
+        "where data cost exceeds fixed cost, which is why the exponent is",
+        "computed there.",
+        "",
+    ]
+    (REPO / "SCALING.md").write_text("\n".join(md))
+    print(f"\nwrote SCALING.md / SCALING.json; flagged={flagged}")
+
+    if not keep:
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

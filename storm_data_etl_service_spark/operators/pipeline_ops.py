@@ -71,13 +71,16 @@ def ngram_counts(t, min_count: int = 40) -> DataFrame:
     on the bigram, map-side combine first)."""
     toks = F.col("_toks")
     n = F.size(toks)
+    # zip-of-slices, not element_at-over-sequence (see
+    # dedup.shingles_col: the sequence form is O(tokens²) when the
+    # optimizer inlines the token tree into each element access)
+    m = n - 1
     bigrams = F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
+        F.zip_with(
+            F.slice(toks, 1, m),
+            F.slice(toks, 2, m),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (

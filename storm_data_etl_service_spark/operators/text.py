@@ -544,13 +544,17 @@ HH_CAPACITY = 640
 
 def bigrams_col(toks: Column) -> Column:
     """Adjacent-token bigrams ("a b") from a token array; < 2 tokens
-    → empty (guarded: Spark's sequence(1, 0) would count DOWN)."""
-    pair = lambda i: F.concat_ws(
-        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-    )
+    → empty.  zip-of-slices, not element_at-over-sequence: the
+    optimizer can inline the token tree into every element access
+    (see dedup.shingles_col), making the sequence form O(tokens²)."""
+    m = F.size(toks) - 1
     return F.when(
         F.size(toks) >= 2,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - 1), pair),
+        F.zip_with(
+            F.slice(toks, 1, m),
+            F.slice(toks, 2, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -652,17 +656,19 @@ def bigram_surprisal_scores(t) -> DataFrame:
     bm25_doc_ranking.
     """
     docs = t["documents"].withColumn("_toks", tokens_col(F.col("text")))
+    # zip-of-slices, not element_at-over-sequence (see
+    # dedup.shingles_col: the sequence form is O(tokens²) when the
+    # optimizer inlines the token tree into each element access)
+    m = F.size("_toks") - 1
     pairs = docs.select(
         "doc_id",
         F.explode(
             F.when(
                 F.size("_toks") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_toks") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("_toks"), i).alias("w1"),
-                        F.element_at(F.col("_toks"), i + 1).alias("w2"),
-                    ),
+                F.zip_with(
+                    F.slice(F.col("_toks"), 1, m),
+                    F.slice(F.col("_toks"), 2, m),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
                 ),
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("p"),

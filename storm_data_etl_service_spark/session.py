@@ -39,9 +39,16 @@ def get_spark(
     warehouse = os.environ.get(
         "SPARK_GRAFT_WAREHOUSE", os.path.join(tempfile.gettempdir(), "spark-warehouse")
     )
+    # In local mode the driver JVM IS the executor; Spark's 1g default
+    # heap can't even build a 64 MB broadcast side under 32 concurrent
+    # tasks (observed: broadcast OOM at ~sf1.6).  Size it like the
+    # executor it stands in for — overridable for constrained hosts.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
