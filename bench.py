@@ -85,11 +85,17 @@ def main():
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
-    def run(name: str) -> float:
+    def run_once(name: str) -> float:
         df = REGISTRY[name].build(spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
+
+    def run(name: str) -> float:
+        # best-of-2: single-shot timings on a shared host swing 2-3x
+        # from GC pauses / neighbor noise; the min is the steady-state
+        # engine cost and is stable run-to-run.
+        return min(run_once(name), run_once(name))
 
     # Warm up every plan shape at the smallest SF first: whole-stage
     # codegen compiles per unique generated source, so the sf-target

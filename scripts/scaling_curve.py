@@ -12,11 +12,18 @@ the way a larger TPC-H SF does:
   user_id, doc_id, vec_id) is offset by ``replica * (max_key + 1)``,
   so per-key group sizes and join fan-outs stay constant while key
   cardinality scales with the data — the realistic growth mode;
-* ``documents.text`` is word-rotated per replica (replica i starts at
-  word i of the original) so the near-dup rate stays at the corpus's
-  natural level instead of every doc gaining 15 exact twins, which
-  would quadratically inflate dedup OUTPUT and contaminate the
-  time-vs-input slope;
+* ``documents.text`` is word-shuffled per replica by sorting words on
+  ``xxhash64(word, replica)`` (replica 0 keeps the original).  A
+  ROTATION would be wrong here: rotating preserves every shingle
+  except the ~k spanning the cut, so all 16 replicas of a doc stay
+  near-duplicates of each other and dedup OUTPUT grows quadratically
+  in replicas (first measurement: dedup_incremental_minhash exponent
+  1.55 — an artifact of the data, not the plan).  The content-hash
+  sort instead makes cross-replica shingle overlap vanish while
+  PRESERVING within-replica near-dup structure (two docs with similar
+  word multisets sort to similar sequences under the same replica
+  key), so the duplication RATE stays at the corpus's natural level
+  as the corpus grows — the realistic growth mode;
 * one ``embedding`` element per replica is nudged so cosine
   near-duplicate structure likewise stays natural.
 
@@ -112,21 +119,19 @@ def build_scaled(src_dir: str, out_dir: Path, n: int) -> None:
         "events",
     )
 
-    # word-rotate text by replica index; recompute n_chars for
-    # consistency (multi-space runs collapse under the rotation)
+    # per-replica content-hash word shuffle (see module docstring);
+    # recompute n_chars for consistency (multi-space runs collapse)
     d = offset(docs.crossJoin(reps), "doc_id", k_d)
     words = F.split(F.col("text"), " ")
-    k = (F.col("_rep") % F.greatest(F.size(words), F.lit(1))).cast("int")
-    rotated = F.concat_ws(
-        " ",
-        F.flatten(
-            F.array(
-                F.slice(words, k + F.lit(1), F.greatest(F.size(words) - k, F.lit(0))),
-                F.slice(words, F.lit(1), k),
-            )
-        ),
+    hashed = F.transform(
+        words, lambda w: F.struct(F.xxhash64(w, F.col("_rep")).alias("h"), w.alias("w"))
     )
-    d = d.withColumn("text", rotated).withColumn("n_chars", F.length("text"))
+    shuffled = F.concat_ws(
+        " ", F.transform(F.sort_array(hashed), lambda s: s["w"])
+    )
+    d = d.withColumn(
+        "text", F.when(F.col("_rep") == 0, F.col("text")).otherwise(shuffled)
+    ).withColumn("n_chars", F.length("text"))
     write(d, "documents")
 
     # nudge element (_rep % dim) by a replica-dependent epsilon: keeps
