@@ -42,7 +42,11 @@ BENCH_QUERIES = [
     "p5_deterministic_id",      # sha256 content IDs
     "dedup_minhash_lsh",        # MinHash signature + LSH band join
     "dedup_containment",        # directed near-superset shingle join
+    "dedup_jaccard_prefix_join",  # exact PPJoin-style prefix filter
     "dedup_incremental_minhash",  # new-batch vs persisted LSH index
+    "duplicated_span_report",   # rolling 10-token span dedup
+    "semdedup",                 # k-means cells + per-cell pair scan
+    "ann_ivf_search",           # broadcast-centroid IVF probe
     "heavy_hitter_bigrams",     # Misra-Gries sketch + exact recount
     "cms_token_frequencies",    # count-min sketch table build + probe
     "embedding_quantize_int8",  # dimension-parallel int8 audit
