@@ -316,19 +316,90 @@ def moving_avg_events(t, frame: int = 9) -> DataFrame:
     )
 
 
-def balance_deciles(t) -> DataFrame:
-    """Customer balance ranking surface: ntile deciles, percent_rank,
-    cume_dist in one window pass (single global sort — at scale this
-    is a range-partitioned sort, and rank families all reuse it)."""
+def global_row_number(df: DataFrame, order_cols, rn_name: str = "_grn", n_parts: int = 32) -> DataFrame:
+    """Distributed EXACT global row_number — the scale-safe form of an
+    unpartitioned ranking window, which Spark otherwise executes by
+    moving every row to ONE partition (WindowExec warns exactly this).
+
+    Three bounded steps: range-repartition on the sort key (the
+    distributed sort — range boundaries come from sampling, and where
+    they land never changes the result because the order is total),
+    per-partition ``row_number``, then per-partition row counts
+    (``n_parts`` rows — cluster-sized, not data-sized) cumulated into
+    start offsets and broadcast back.  ``order_cols`` must define a
+    TOTAL order (include a unique tiebreak column).
+    """
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return t["customer"].select(
-        "c_custkey",
-        "c_acctbal",
-        F.ntile(10).over(w).alias("decile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+    part = df.repartitionByRange(n_parts, *order_cols)
+    staged = part.withColumn("_pid", F.spark_partition_id())
+    lw = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = staged.withColumn("_lrn", F.row_number().over(lw))
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    # unpartitioned window — but over n_parts rows, not the data
+    ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(ow), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rn_name, (F.col("_lrn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def with_global_ntile(df: DataFrame, n: int, order_cols, col_name: str = "ntile") -> DataFrame:
+    """Exact ``ntile(n)`` over a global order WITHOUT a
+    single-partition window: global row number (distributed, see
+    ``global_row_number``) plus ntile's bucket arithmetic — the first
+    ``N mod n`` buckets take ``floor(N/n)+1`` rows, the rest
+    ``floor(N/n)`` — against a broadcast 1-row total.  Identical
+    output to ``F.ntile(n).over(Window.orderBy(...))`` for any total
+    order (oracle-checked on three queries)."""
+    ranked = global_row_number(df, order_cols, "_grn")
+    tot = ranked.agg(F.count("*").alias("_N"))
+    q = F.floor(F.col("_N") / n)
+    r = F.col("_N") % n
+    rn = F.col("_grn")
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading buckets
+    bucket = F.when(rn <= big, F.ceil(rn / (q + 1))).otherwise(
+        r + F.ceil((rn - big) / q)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(col_name, bucket.cast("int"))
+        .drop("_N", "_grn")
+    )
+
+
+def balance_deciles(t) -> DataFrame:
+    """Customer balance ranking surface: ntile deciles, percent_rank,
+    cume_dist — all derived from ONE distributed global row number
+    (``global_row_number``; the order is total, so rank = row_number
+    and the closed forms ``(rn-1)/(N-1)`` / ``rn/N`` reproduce
+    percent_rank / cume_dist exactly) instead of an unpartitioned
+    ranking window that would funnel every customer into a single
+    partition."""
+    order = [F.desc("c_acctbal"), F.asc("c_custkey")]
+    ranked = global_row_number(
+        t["customer"].select("c_custkey", "c_acctbal"), order, "_grn"
+    )
+    tot = ranked.agg(F.count("*").alias("_N"))
+    rn, N = F.col("_grn"), F.col("_N")
+    q, r = F.floor(N / 10), N % 10
+    big = r * (q + 1)
+    decile = F.when(rn <= big, F.ceil(rn / (q + 1))).otherwise(
+        r + F.ceil((rn - big) / q)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            decile.cast("int").alias("decile"),
+            F.when(N > 1, (rn - 1) / (N - 1)).otherwise(F.lit(0.0)).alias("pct_rank"),
+            (rn / N).alias("cume"),
+        )
     )
 
 
@@ -1337,15 +1408,18 @@ def revenue_pareto_curve(t) -> DataFrame:
     Revenue sums run in DECIMAL end-to-end (including through the
     ntile ranking) so decile totals are partition-order-exact; the
     only doubles are the final share divisions.  The global ranking is
-    an ntile window over CUSTOMER cardinality (already aggregated —
-    orders of magnitude smaller than the fact table), and the grand
-    total broadcasts as one row instead of an all-rows window frame.
+    customer-cardinality — still data-sized, so it uses the
+    DISTRIBUTED exact ntile (``with_global_ntile``: range-partitioned
+    sort + broadcast offsets), never an unpartitioned window that
+    funnels every customer into one partition; the grand total
+    broadcasts as one row instead of an all-rows window frame.
     """
     rev = t["orders"].groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("rev")
     )
-    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
-    deciled = rev.withColumn("decile", F.ntile(10).over(w))
+    deciled = with_global_ntile(
+        rev, 10, [F.desc("rev"), F.asc("o_custkey")], "decile"
+    )
     total = rev.agg(F.sum("rev").alias("total_rev"))
     return (
         deciled.groupBy("decile")

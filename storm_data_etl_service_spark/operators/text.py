@@ -900,15 +900,23 @@ def vocab_growth_curve(t) -> DataFrame:
     (min(doc_id) per token — one groupBy), and each decile's
     cumulative vocabulary is a count of first-appearances at or
     below the decile's doc threshold — a broadcast join of 10
-    thresholds against the vocabulary-sized first-seen table."""
+    thresholds against the vocabulary-sized first-seen table.  Doc
+    deciles come from the DISTRIBUTED exact ntile (document
+    cardinality is data-sized; an unpartitioned ntile window would
+    funnel the whole corpus into one partition)."""
+    from storm_data_etl_service_spark.operators.analytics import with_global_ntile
+
     toks = t["documents"].select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
     )
     first_seen = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
-    deciled = t["documents"].select(
-        "doc_id",
-        F.ntile(10).over(Window.orderBy("doc_id")).alias("decile"),
-        F.size(tokens_col(F.col("text"))).cast("long").alias("n_toks"),
+    deciled = with_global_ntile(
+        t["documents"].select(
+            "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("n_toks")
+        ),
+        10,
+        [F.asc("doc_id")],
+        "decile",
     )
     bounds = deciled.groupBy("decile").agg(
         F.max("doc_id").alias("max_doc"),

@@ -454,3 +454,29 @@ def test_runtime_bloom_filter_reduces_fact_scan(spark):
     finally:
         for k, v in confs.items():
             spark.conf.unset(k) if old[k] is None else spark.conf.set(k, old[k])
+
+
+def test_global_rankings_are_distributed(spark, sf_dir):
+    """Entity-cardinality global rankings (customer deciles, the
+    Pareto curve, corpus growth deciles) must rank via the
+    range-partitioned global row number, never an unpartitioned
+    ntile/rank window that funnels the whole table into one
+    partition.  The only SinglePartition exchange allowed is the
+    per-partition OFFSETS window, whose input is n_parts rows
+    (cluster-sized), recognizable by its _pid grouping."""
+    for q in ["balance_deciles", "revenue_pareto_curve", "vocab_growth_curve"]:
+        plan = plan_of(q, spark, sf_dir)
+        assert "rangepartitioning" in plan, f"{q} lost its range sort:\n{plan[:1500]}"
+        assert "ntile" not in plan, f"{q} still uses a window ntile:\n{plan[:1500]}"
+        # every SinglePartition exchange must sit under either the
+        # _pid offsets computation (n_parts rows) or a keyless global
+        # aggregate (1 row per upstream partition), never data-sized
+        # input
+        for seg in plan.split("Exchange SinglePartition")[1:]:
+            head = seg[:600]
+            assert (
+                "_pid" in head
+                or "HashAggregate(keys=[]" in head
+                # the 10-row decile rollup feeding a cumulative window
+                or "HashAggregate(keys=[decile" in head
+            ), f"{q} has a data-sized single-partition exchange:\n{seg[:800]}"
