@@ -120,6 +120,37 @@ ANNOTATED = {
         "counts with the 1-row corpus-size scalar; per-doc top-k is a "
         "window over each doc's own terms — no global sort anywhere."
     ),
+    "dedup_containment": (
+        "Asymmetric prefix filter: each doc's ~10% rarest shingles "
+        "(sub role) join the full shingle table (super role) with a "
+        "directed integer-exact size gate, so the df² blowup of the "
+        "naive all-shingles self-join lives exactly in the shingles "
+        "the prefix excludes; exact array_intersect verification runs "
+        "only on surviving candidate pairs. 100% recall, no knobs."
+    ),
+    "duplicated_span_report": (
+        "Rolling 10-token windows built as a zip of 10 shifted array "
+        "slices (the element_at-over-sequence form re-evaluates the "
+        "inlined token tree per access — O(tokens²), measured 13×), "
+        "then ONE partial-agg'd shuffle keyed on the span; the "
+        "first-occurrence argmin rides the aggregation as a packed "
+        "BIGINT, never a sort."
+    ),
+    "balance_deciles": (
+        "Distributed exact global ranking: range-partitioned sort, "
+        "per-partition row_number, per-partition counts cumulated "
+        "into broadcast start offsets; ntile/percent_rank/cume_dist "
+        "all derive from the one global row number. The unpartitioned "
+        "ranking-window form would move every customer into a single "
+        "partition."
+    ),
+    "revenue_pareto_curve": (
+        "Customer revenue (decimal-exact) → distributed global ntile "
+        "(range sort + broadcast offsets, see balance_deciles) → "
+        "10-group rollup with the grand total broadcast as one row. "
+        "No data-sized single-partition window anywhere "
+        "(plan-asserted)."
+    ),
     "full_outer_reconcile": (
         "Both derived views shuffle once on the shared key into a "
         "full-outer SortMergeJoin; the null-pattern classifier and "
