@@ -1176,7 +1176,12 @@ FROM events e JOIN dim USING (event_type) GROUP BY e.event_type""",
     ),
     "approx_quantile_summary": QuerySpec(
         _t(A.approx_quantile_summary),
-        None,  # sketch internals are engine-specific; accuracy tested vs exact
+        # Sketch values are engine-specific; the checked contract is
+        # the exact counts + Spark-verified rank-accuracy flags that
+        # must be literally TRUE (see analytics.py docstring).
+        "SELECT event_type, count(*) AS n_values,"
+        " TRUE AS p50_within_bound, TRUE AS p95_within_bound"
+        " FROM events GROUP BY event_type",
         ("analytics", "approx"),
     ),
     "text_repetition_stats": QuerySpec(
@@ -3210,7 +3215,14 @@ WHERE rk <= {X.LABEL_TOP_TERMS_K}""",
 
 REGISTRY["daily_user_sketch_rollup"] = QuerySpec(
     _t(A.daily_user_sketch_rollup),
-    None,  # Datasketches binary sketches: approximate, rows-only check
+    # Datasketches HLL estimates are sketch-internal; the checked
+    # contract is exact (day, n_events) + a Spark-verified 3%/±2
+    # error-bound flag per day and for the union row (see
+    # analytics.py docstring).
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
+       TRUE AS est_within_bound FROM events GROUP BY day
+UNION ALL
+SELECT '__all__', count(*), TRUE FROM events""",
     ("analytics", "sketch", "hll", "incremental"),
 )
 

