@@ -59,6 +59,8 @@ BNLJ_JUSTIFIED = {
     "corpus_dataset_card": "1-row corpus rollup",
     "equi_depth_histogram": "1-row count scalar for bucket sizing",
     "boilerplate_prefix_report": "1-row doc-count scalar",
+    "balance_deciles": "1-row total-count scalar for the distributed-ntile arithmetic",
+    "daily_user_sketch_rollup": "1-row exact-distinct scalar verifying the sketch union",
     "outlier_filter_count": "1-row quantile-threshold scalar (value > q residual)",
     "cms_token_frequencies": "1-row sketch-parameter scalar",
     "join_skew_report": "1-row total-rows scalar for skew ratio",
