@@ -116,3 +116,108 @@ def test_float_ops_are_partitioning_independent(spark, sf_dir):
         a = {norm(r) for r in op(base).collect()}
         b = {norm(r) for r in op(skewed).collect()}
         assert a == b, f"{op.__name__} diverged under repartitioning"
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """with_global_ntile must equal F.ntile over an unpartitioned
+    window for every bucket-count and size shape: N < n, N = n,
+    N % n != 0, duplicate sort values broken by a unique key."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from storm_data_etl_service_spark.operators.analytics import (
+        with_global_ntile,
+    )
+
+    rows = [(i, (i * 7919) % 13) for i in range(97)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    for n, limit in ((10, 97), (4, 97), (10, 7), (10, 10), (3, 96)):
+        d = df.limit(limit)
+        order = [F.desc("v"), F.asc("id")]
+        got = {
+            r["id"]: r["b"]
+            for r in with_global_ntile(d, n, order, "b").collect()
+        }
+        want = {
+            r["id"]: r["b"]
+            for r in d.select(
+                "id", F.ntile(n).over(Window.orderBy(*order)).alias("b")
+            ).collect()
+        }
+        assert got == want, (n, limit)
+
+
+def test_containment_prefix_filter_equals_naive(spark):
+    """The asymmetric prefix-filter containment join must produce
+    exactly the naive all-pairs result (100% recall, no extras) on a
+    corpus with planted subsets, supersets, near-misses, and
+    high-frequency boilerplate shingles."""
+    import pyspark.sql.functions as F
+
+    from storm_data_etl_service_spark.operators.dedup import (
+        _doc_shingles,
+        dedup_containment,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    docs = []
+    for i in range(30):
+        body = base + " ".join(f"w{i}x{j}" for j in range(i % 7))
+        docs.append((i, body))
+    docs.append((100, base))                      # subset of all base+suffix docs
+    docs.append((101, base + "mu nu xi"))         # superset of 100
+    docs.append((102, "unrelated words only here completely different text"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    t = {"documents": df}
+
+    got = {
+        (r["doc_sub"], r["doc_super"])
+        for r in dedup_containment(t).collect()
+    }
+
+    # naive reference: all-pairs array_intersect
+    sh = _doc_shingles(t)
+    a = sh.select(F.col("doc_id").alias("da"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("db"), F.col("shingles").alias("sb"))
+    pairs = a.crossJoin(b).filter(F.col("da") != F.col("db"))
+    c = F.size(F.array_intersect("sa", "sb")).cast("double")
+    naive = {
+        (r["da"], r["db"])
+        for r in pairs.filter(c / F.size("sa") >= 0.9).collect()
+    }
+    assert got == naive
+    assert got, "fixture must plant at least one containment pair"
+
+
+def test_shingles_zip_slices_match_reference(spark):
+    """The zip-of-slices shingle builder must equal a plain Python
+    sliding-window reference on edge shapes: short docs, repeated
+    tokens, multi-space runs."""
+    import pyspark.sql.functions as F
+
+    from storm_data_etl_service_spark.operators.dedup import shingles_col
+    from storm_data_etl_service_spark.operators.text import tokens_col
+
+    texts = [
+        "",
+        "one",
+        "one two",
+        "one two three",
+        "a a a a a",
+        "x  y   z  x y z",
+        "p q r s t u v w",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(texts)], "i long, text string")
+    got = {
+        r["i"]: r["sh"]
+        for r in df.select(
+            "i",
+            shingles_col(tokens_col(F.col("text"))).alias("sh"),
+        ).collect()
+    }
+    for i, s in enumerate(texts):
+        toks = s.split()
+        want = list(dict.fromkeys(
+            " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+        )) if len(toks) >= 3 else []
+        assert got[i] == want, (i, s, got[i], want)
