@@ -171,11 +171,43 @@ def run_bench(sf_dir: str) -> dict:
     raise RuntimeError(f"bench.py failed twice at {sf_dir}:\n{last_err}")
 
 
+#: Explanations for queries whose top-step exponent legitimately
+#: exceeds the linear flag line — rendered as footnotes so the flag
+#: stays honest but readers see the cause.
+FLAG_NOTES = {
+    "semdedup": (
+        "fixed-K artifact: with K centroids held constant (the oracle "
+        "bakes K into the unrolled k-means), per-cell pair scans grow "
+        "as n²/K.  The production knob is K ∝ n (constant cell size), "
+        "which restores linearity — documented in the operator "
+        "docstring; the fixed-K entry is the determinism-checked form."
+    ),
+    "dedup_jaccard_prefix_join": (
+        "output-bound: the synthesized corpus's per-replica hash-sort "
+        "groups repeated words into runs, so within-replica near-dup "
+        "density is far above natural — verified pair OUTPUT grows "
+        "faster than input.  Input-side candidate generation stays "
+        "prefix-bounded (same plan as the flat sf0.1 run)."
+    ),
+    "dedup_containment": (
+        "output-bound for the same reason as the prefix join; "
+        "candidate generation is prefix-bounded."
+    ),
+}
+
+
 def main() -> int:
     replicas = 16
     keep = "--keep" in sys.argv
     if "--replicas" in sys.argv:
         replicas = int(sys.argv[sys.argv.index("--replicas") + 1])
+    if "--render" in sys.argv:
+        summary = json.loads(
+            Path(sys.argv[sys.argv.index("--render") + 1]).read_text()
+        )
+        render_md(summary)
+        print("re-rendered SCALING.md from cached JSON")
+        return 0
 
     scaled_sf = round(0.1 * replicas, 2)
     scaled_dir = SCRATCH / f"sf{scaled_sf}"
@@ -222,34 +254,51 @@ def main() -> int:
         "queries": rows,
     }
     (REPO / "SCALING.json").write_text(json.dumps(summary, indent=1))
+    render_md(summary)
+    print(f"\nwrote SCALING.md / SCALING.json; flagged={flagged}")
 
+    if not keep:
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+    return 0
+
+
+def render_md(summary: dict) -> None:
+    sfs = summary["scales"]
+    rows = summary["queries"]
+    flagged = summary["flagged_superlinear"]
+    totals = summary["totals_sec"]
+    top_ratio = summary["top_step_data_ratio"]
+    replicas = summary["replicas"]
+    span = float(sfs[-1]) / float(sfs[0])
     md = [
         "# SCALING — measured time-vs-data curve for the headline queries",
         "",
-        f"Generated by `scripts/scaling_curve.py`: `bench.py` (same warmup +",
-        "noop-sink protocol) at the three provided scale factors plus a",
-        f"synthesized **sf{scaled_sf}** (sf0.1 replicated x{replicas} with",
-        "per-replica key offsets; text word-rotated / embeddings nudged so",
-        "duplicate structure stays natural — see the script docstring).",
-        f"Span: **{scales[-1][1] / scales[0][1]:.0f}x** between smallest and largest.",
+        "Generated by `scripts/scaling_curve.py`: `bench.py` (same warmup +",
+        "best-of-2 noop-sink protocol) at the three provided scale factors",
+        f"plus a synthesized **sf{sfs[-1]}** (sf0.1 replicated x{replicas} with",
+        "per-replica key offsets; text content-hash-shuffled / embeddings",
+        "nudged so duplicate structure stays natural — see the script",
+        f"docstring).  Span: **{span:.0f}x** between smallest and largest.",
         "",
         "`exp` = marginal scaling exponent on the largest step",
         f"(x{top_ratio:.0f} data): `log(t_big/t_sf0.1) / log({top_ratio:.0f})`.",
         "1.0 is perfectly linear; < 1 means fixed overhead still",
-        "amortizing; > 1.2 would be flagged as super-linear.",
+        "amortizing; > 1.2 is flagged as super-linear (footnoted when the",
+        "cause is understood and bounded).",
         "",
-        f"**Result: {len(flagged)}/{len(queries)} queries flagged super-linear"
-        + (f" — {', '.join(flagged)}**" if flagged else ".**"),
+        f"**Result: {len(flagged)}/{len(rows)} queries flagged super-linear"
+        + (f" — {', '.join(flagged)} (see footnotes)**" if flagged else ".**"),
         "",
         "| query | " + " | ".join(f"sf{s}" for s in sfs) + " | exp |",
         "|---|" + "---|" * (len(sfs) + 1),
     ]
     for q, r in sorted(rows.items(), key=lambda kv: -(kv[1]["times_sec"][-1] or 0)):
         cells = " | ".join("-" if t is None else f"{t:.2f}" for t in r["times_sec"])
-        md.append(f"| {q} | {cells} | {r['top_step_exponent']} |")
+        mark = " †" if q in FLAG_NOTES and (q in flagged or (r["top_step_exponent"] or 0) > 0.9) else ""
+        md.append(f"| {q}{mark} | {cells} | {r['top_step_exponent']} |")
     md += [
         "",
-        "| total | " + " | ".join(f"{results[s]['value']:.1f}" for s in sfs) + " | |",
+        "| total | " + " | ".join(f"{totals[s]:.1f}" for s in sfs) + " | |",
         "",
         "The provided-SF span (0.001→0.1) is overhead-dominated (totals",
         "barely move across 100x data); the synthesized step is the first",
@@ -257,12 +306,13 @@ def main() -> int:
         "computed there.",
         "",
     ]
+    notes = [q for q in FLAG_NOTES if q in rows]
+    if notes:
+        md += ["## Footnotes", ""]
+        for q in notes:
+            md.append(f"- **{q}** † — {FLAG_NOTES[q]}")
+        md.append("")
     (REPO / "SCALING.md").write_text("\n".join(md))
-    print(f"\nwrote SCALING.md / SCALING.json; flagged={flagged}")
-
-    if not keep:
-        shutil.rmtree(SCRATCH, ignore_errors=True)
-    return 0
 
 
 if __name__ == "__main__":

@@ -643,6 +643,14 @@ def semdedup(t) -> DataFrame:
     map-side, and the pair join shuffles on cid — cell sizes bound the
     quadratic term (n/K)² per cell; recall vs the exact scan is the
     within-cell fraction of true pairs (asserted in tests).
+
+    K is the scale knob: total pair work is n²/K, so production runs
+    must scale K ∝ n to hold cell size (and recall) constant — with K
+    fixed the cost grows super-linearly, which the SCALING.md x16
+    measurement shows (exp ≈ 1.2 at fixed K=8).  K stays fixed HERE
+    because the DuckDB oracle replays the unrolled Lloyd iterations
+    with this exact K; the knob, not the plan shape, is what changes
+    at scale.
     """
     emb = t["embeddings"].select("vec_id", _vec(F.col("embedding")).alias("v"))
     cent = kmeans_centroids(emb)
