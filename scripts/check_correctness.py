@@ -79,9 +79,10 @@ def main():
         )
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+        p = f"{SF_DIR}/{t}.parquet"
+        # directory-layout tables (Spark writes a dir) need a glob
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()

@@ -340,6 +340,19 @@ def moving_avg_events(t, frame: int = 9) -> DataFrame:
     )
 
 
+def _local_range_numbered(df: DataFrame, order_cols, n_parts: int) -> DataFrame:
+    """Range-partitioned input with (_pid, _lrn) per-partition row
+    numbers — the pre-materialization stage of ``global_row_number``
+    (exposed for plan tests: the checkpoint hides the range exchange
+    from the final executed plan)."""
+    from pyspark.sql.window import Window
+
+    part = df.repartitionByRange(n_parts, *order_cols)
+    staged = part.withColumn("_pid", F.spark_partition_id())
+    lw = Window.partitionBy("_pid").orderBy(*order_cols)
+    return staged.withColumn("_lrn", F.row_number().over(lw))
+
+
 def global_row_number(df: DataFrame, order_cols, rn_name: str = "_grn", n_parts: int = 32) -> DataFrame:
     """Distributed EXACT global row_number — the scale-safe form of an
     unpartitioned ranking window, which Spark otherwise executes by
@@ -352,13 +365,18 @@ def global_row_number(df: DataFrame, order_cols, rn_name: str = "_grn", n_parts:
     (``n_parts`` rows — cluster-sized, not data-sized) cumulated into
     start offsets and broadcast back.  ``order_cols`` must define a
     TOTAL order (include a unique tiebreak column).
-    """
-    from pyspark.sql.window import Window
 
-    part = df.repartitionByRange(n_parts, *order_cols)
-    staged = part.withColumn("_pid", F.spark_partition_id())
-    lw = Window.partitionBy("_pid").orderBy(*order_cols)
-    local = staged.withColumn("_lrn", F.row_number().over(lw))
+    The locally-numbered frame is consumed twice (offsets side and
+    probe side) and its ``_pid`` comes from the PHYSICAL partition
+    layout, so it must be materialized ONCE: without the lazy
+    ``localCheckpoint``, AQE may coalesce the two plan instances of
+    the range exchange differently and the offsets join against the
+    wrong partition ids (observed at the x16 scale step as unstable,
+    uneven buckets; invisible at oracle scale).
+    """
+    local = _local_range_numbered(df, order_cols, n_parts).localCheckpoint(
+        eager=False
+    )
     counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     # unpartitioned window — but over n_parts rows, not the data
     ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

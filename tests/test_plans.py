@@ -463,10 +463,29 @@ def test_global_rankings_are_distributed(spark, sf_dir):
     ntile/rank window that funnels the whole table into one
     partition.  The only SinglePartition exchange allowed is the
     per-partition OFFSETS window, whose input is n_parts rows
-    (cluster-sized), recognizable by its _pid grouping."""
+    (cluster-sized), recognizable by its _pid grouping.
+
+    The ranking stage itself is materialized via localCheckpoint (so
+    both its consumers see ONE physical partitioning — see the
+    global_row_number docstring), which hides the range exchange from
+    the final executed plan; its shape is asserted on the
+    pre-checkpoint stage instead."""
+    import pyspark.sql.functions as F
+
+    from storm_data_etl_service_spark.operators.analytics import (
+        _local_range_numbered,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    stage = _local_range_numbered(
+        cust, [F.desc("c_acctbal"), F.asc("c_custkey")], 32
+    )
+    stage_plan = stage._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in stage_plan, stage_plan[:1500]
+    assert "Exchange SinglePartition" not in stage_plan, stage_plan[:1500]
+
     for q in ["balance_deciles", "revenue_pareto_curve", "vocab_growth_curve"]:
         plan = plan_of(q, spark, sf_dir)
-        assert "rangepartitioning" in plan, f"{q} lost its range sort:\n{plan[:1500]}"
         assert "ntile" not in plan, f"{q} still uses a window ntile:\n{plan[:1500]}"
         # every SinglePartition exchange must sit under either the
         # _pid offsets computation (n_parts rows) or a keyless global
