@@ -297,9 +297,23 @@ def neardup_components_sql(spark, t, depth_bound: int = SQL_CC_MAX_DEPTH) -> Dat
     (``connected_components``) remains the 100 TB path — it dedups
     labels every round and checkpoints lineage; this entry is
     API-surface parity, correct for the near-clique graphs near-dup
-    detection produces."""
+    detection produces.
+
+    Engine boundary measured at the synthesized x16 scale step
+    (components averaging ~50 near-clique nodes): UNION ALL
+    recursion cannot dedup (node, label) pairs between rounds, so
+    the downhill-walk table grows combinatorially with component
+    density — first tripping Spark's default
+    ``spark.sql.cteRecursionRowLimit`` (1M; raised here to 50M for
+    mid-density graphs) and, denser still, becoming infeasible
+    outright.  The iterative loop (``neardup_components``), which
+    min-aggregates labels every round, handles the same sf1.6 graph
+    in ~37 s — it is the only 100 TB path; this entry is API-surface
+    parity at moderate density."""
     from storm_data_etl_service_spark.operators.dedup import dedup_minhash_lsh
 
+    if int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000")) < 50_000_000:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", "50000000")
     dedup_minhash_lsh(t).createOrReplaceTempView("lsh_pairs_for_sql_cc")
     return spark.sql(
         _sql_cc_reach_cte(depth_bound)
@@ -323,6 +337,8 @@ def sql_cc_depth_headroom(spark, t, depth_bound: int = SQL_CC_MAX_DEPTH) -> int:
     exact.  Assert ``headroom < depth_bound`` in tests at each SF."""
     from storm_data_etl_service_spark.operators.dedup import dedup_minhash_lsh
 
+    if int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000")) < 50_000_000:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", "50000000")
     dedup_minhash_lsh(t).createOrReplaceTempView("lsh_pairs_for_sql_cc")
     row = spark.sql(
         _sql_cc_reach_cte(depth_bound)
