@@ -78,6 +78,9 @@ def main():
             extra_conf={"spark.ui.showConsoleProgress": "false"},
         )
     con = duckdb.connect()
+    # keep oracle spill out of the repo (heavy recursive oracles can
+    # write tens of GB of temp before finishing or being killed)
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
         # directory-layout tables (Spark writes a dir) need a glob
