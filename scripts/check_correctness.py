@@ -3,8 +3,18 @@
 
 Runs every ``queries()`` entry from ``__spark_entry__`` at sf0.01 and
 compares against ``oracle_sql()`` in DuckDB: row count, sorted column
-names, and order-insensitive exact value equality (the driver hashes
-values, so we compare exactly — no tolerance).
+names, order-insensitive exact value equality (the driver hashes
+values, so we compare exactly — no tolerance), AND result types.
+
+The type check exists because the driver's value hash is type-sensitive
+while Python-level value comparison is width-blind: DuckDB binds integer
+``sum()`` as HUGEINT (int128) where Spark emits BIGINT, and Python int
+== int hides the difference even though the driver's hash does not
+(r1 ``funnel_conversion``, r2 ``corpus_curation_pipeline``).  Each
+column's DuckDB bind type and Spark dtype are mapped to a canonical
+kind (all signed ints <= 64 bits are one kind — the driver tolerates
+width there — but HUGEINT, DECIMAL, and unsigned are their own kinds
+and int vs float is a mismatch) and any disagreement fails the query.
 
 Usage: python scripts/check_correctness.py [query_name ...]
 """
@@ -39,6 +49,71 @@ def norm(v):
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     return v
+
+
+_SPARK_INT = {"tinyint", "smallint", "int", "bigint"}
+_SPARK_FLOAT = {"float", "double"}
+_DUCK_INT = {"tinyint", "smallint", "integer", "bigint"}
+_DUCK_FLOAT = {"float", "double"}
+
+
+def spark_kind(dtype):
+    """Canonical kind for a Spark dtype string (``df.dtypes`` form)."""
+    if dtype in _SPARK_INT:
+        return "i"
+    if dtype in _SPARK_FLOAT:
+        return "f"
+    if dtype in ("string", "varchar"):
+        return "s"
+    if dtype == "boolean":
+        return "b"
+    if dtype == "date":
+        return "date"
+    if dtype.startswith("timestamp"):
+        return "ts"
+    if dtype.startswith("decimal"):
+        return "decimal"
+    if dtype.startswith("array<") and dtype.endswith(">"):
+        return "list:" + spark_kind(dtype[6:-1])
+    return dtype  # struct/map/binary: compare raw
+
+
+def duck_kind(t):
+    """Canonical kind for a DuckDBPyType."""
+    tid = t.id
+    if tid in _DUCK_INT:
+        return "i"
+    if tid in _DUCK_FLOAT:
+        return "f"
+    if tid in ("hugeint", "uhugeint"):
+        return "hugeint"
+    if tid.startswith("u") and tid[1:] in _DUCK_INT:
+        return "uint"
+    if tid == "decimal":
+        return "decimal"
+    if tid == "varchar":
+        return "s"
+    if tid == "boolean":
+        return "b"
+    if tid == "date":
+        return "date"
+    if tid.startswith("timestamp"):
+        return "ts"
+    if tid == "list":
+        return "list:" + duck_kind(t.children[0][1])
+    return tid
+
+
+def type_mismatches(spark_dtypes, duck_cols, duck_types):
+    """[(col, spark_kind, duck_kind)] for columns whose kinds differ."""
+    smap = {name: spark_kind(dt) for name, dt in spark_dtypes}
+    out = []
+    for name, dt in zip(duck_cols, duck_types):
+        dk = duck_kind(dt)
+        sk = smap.get(name)
+        if sk is not None and sk != dk:
+            out.append((name, sk, dk))
+    return out
 
 
 def normalize_result(col_names, rows):
@@ -99,13 +174,16 @@ def main():
         if name not in oracles:
             print(f"  {name:32s} rows-only: {len(srows)} rows")
             continue
-        ddf = con.execute(oracles[name])
-        dcols_raw = [d[0] for d in ddf.description]
-        drows = ddf.fetchall()
+        rel = con.sql(oracles[name])
+        dcols_raw = list(rel.columns)
+        dtypes_raw = list(rel.types)
+        drows = rel.fetchall()
         dcols, ddata = normalize_result(dcols_raw, drows)
         status = []
         if scols != dcols:
             status.append(f"COLS spark={scols} duck={dcols}")
+        for col, sk, dk in type_mismatches(sdf.dtypes, dcols_raw, dtypes_raw):
+            status.append(f"TYPE {col}: spark={sk} duck={dk}")
         if len(sdata) != len(ddata):
             status.append(f"ROWCOUNT spark={len(sdata)} duck={len(ddata)}")
         elif sdata != ddata:

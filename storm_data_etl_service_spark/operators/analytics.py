@@ -291,15 +291,21 @@ def approx_quantile_summary(t) -> DataFrame:
     group, the exact rank fraction of the returned value must sit
     within ``q ± eps`` (two-sided and tie-safe — strictly-below on the
     high side, at-or-below on the low side).  The oracle asserts the
-    exact count and literal TRUE for both flags; magnitudes are
-    error-bounded against the exact method in tests."""
+    exact count and literal TRUE for both flags (the registry entry
+    projects the estimate columns away — they are engine-specific);
+    the public output KEEPS p50_approx/p95_approx so consumers get the
+    values, not just booleans, and magnitudes are error-bounded
+    against the exact method in tests.  ``n_values`` and the rank
+    denominators count NON-NULL values only — percentile_approx skips
+    NULLs, so a count(*) denominator would misstate the rank fraction
+    on nullable columns."""
     ap = (
         t["events"]
         .groupBy("event_type")
         .agg(
             F.percentile_approx("value", 0.5, 10_000).alias("p50_approx"),
             F.percentile_approx("value", 0.95, 10_000).alias("p95_approx"),
-            F.count("*").alias("n_values"),
+            F.count("value").alias("n_values"),
         )
     )
     eps = 0.002  # guarantee is 1/accuracy = 1e-4; slack absorbs fp edges
@@ -315,6 +321,8 @@ def approx_quantile_summary(t) -> DataFrame:
 
     return joined.groupBy("event_type").agg(
         F.first("n_values").alias("n_values"),
+        F.first("p50_approx").alias("p50_approx"),
+        F.first("p95_approx").alias("p95_approx"),
         rank_ok(0.5, "p50_approx").alias("p50_within_bound"),
         rank_ok(0.95, "p95_approx").alias("p95_within_bound"),
     )
@@ -1523,6 +1531,7 @@ def daily_user_sketch_rollup(t) -> DataFrame:
     per_day = daily.select(
         "day",
         "n_events",
+        F.expr("hll_sketch_estimate(sk)").alias("est_users"),
         within(
             F.expr("hll_sketch_estimate(sk)"), F.col("exact_u").cast("double")
         ).alias("est_within_bound"),
@@ -1537,11 +1546,14 @@ def daily_user_sketch_rollup(t) -> DataFrame:
         .select(
             F.lit("__all__").alias("day"),
             "n_events",
+            F.col("est_all").alias("est_users"),
             within(F.col("est_all"), F.col("exact_all").cast("double")).alias(
                 "est_within_bound"
             ),
         )
     )
+    # est_users stays in the public output (the sketch's whole point);
+    # the registry oracle entry projects it away as engine-specific.
     return per_day.unionByName(unioned)
 
 

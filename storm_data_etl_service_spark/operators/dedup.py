@@ -115,7 +115,7 @@ def dedup_ngram_jaccard(t) -> DataFrame:
 
 def dedup_containment(t, threshold: float = 0.9) -> DataFrame:
     """Near-SUPERSET pairs by word-3-gram containment
-    C(sub→super) = |sub ∩ super| / |sub| ≥ 0.9.
+    C(sub→super) = |sub ∩ super| / |sub| ≥ ``threshold`` (default 0.9).
 
     The dedup-ladder rung Jaccard misses: a short document embedded
     verbatim inside a much longer one (quote farms, boilerplate
@@ -127,22 +127,32 @@ def dedup_containment(t, threshold: float = 0.9) -> DataFrame:
 
     Scale: ASYMMETRIC prefix filtering.  The symmetric PPJoin prefix
     (``dedup_jaccard_prefix_join``) does not carry over as-is, but a
-    directed variant is sound: C(sub→super) = c/n_sub ≥ 0.9 forces the
-    sub to share all but ≤ ⌊0.1·n_sub⌋ of its shingles, so every
-    qualifying pair shares at least one of the sub's first
-    ``n_sub - ceil(0.9·n_sub) + 1`` shingles under the global
+    directed variant is sound for ANY threshold θ: with
+    ``t_min = ceil(θ·n_sub)``, C(sub→super) = c/n_sub ≥ θ forces
+    c ≥ t_min, so every qualifying pair shares at least one of the
+    sub's first ``n_sub - t_min + 1`` shingles under the global
     rarest-first order (if the intersection missed that whole prefix,
-    c ≤ ceil(0.9·n_sub) - 1 < 0.9·n_sub).  Candidates therefore come
-    from joining each doc's ~10% rarest-shingle PREFIX (sub role)
-    against the full exploded shingle table (super role) — the df²
-    blowup of the naive all-shingles self-join lives precisely in the
-    high-frequency shingles the prefix excludes (measured 8× at sf0.1:
-    27 s → 3.4 s, identical output).  A directed size filter
-    (10·n_super ≥ 9·n_sub, integer-exact) prunes supers too small to
-    cover the sub; exact verification runs ``array_intersect`` on the
-    candidate pairs only.  100% recall, no knobs.  Generalizes the
-    reference's duplicate detection (cmd/validate/main.go:357-391) to
-    asymmetric content containment."""
+    c ≤ t_min - 1 < θ·n_sub).  θ is converted to an exact rational
+    p/q up front so t_min and the directed size gate
+    (``q·n_super ≥ p·n_sub``, i.e. n_super ≥ t_min — a super smaller
+    than the required intersection cannot cover it) stay INTEGER-exact;
+    ``ceil(θ·n)`` on binary floats is off-by-one at exact multiples
+    (0.9·10 binds as 9.000000000000002).  Candidates come from joining
+    each doc's rarest-shingle PREFIX (sub role) against the full
+    exploded shingle table (super role) — the df² blowup of the naive
+    all-shingles self-join lives precisely in the high-frequency
+    shingles the prefix excludes (measured 8× at sf0.1 at θ=0.9:
+    27 s → 3.4 s, identical output).  Exact verification runs
+    ``array_intersect`` on the candidate pairs only.  100% recall at
+    every threshold, no knobs.  Generalizes the reference's duplicate
+    detection (cmd/validate/main.go:357-391) to asymmetric content
+    containment."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"containment threshold must be in (0, 1], got {threshold}")
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    p, q = frac.numerator, frac.denominator
     sh = _doc_shingles(t)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     df_freq = ex.groupBy("s").agg(F.count("*").alias("df"))
@@ -152,9 +162,10 @@ def dedup_containment(t, threshold: float = 0.9) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("ordered"))
     )
     ns = F.size("ordered")
-    # sub-side prefix length = ns - ceil(0.9*ns) + 1;
-    # ceil(9n/10) = floor((9n+9)/10), integer-exact.
-    plen = (ns - F.floor((9 * ns + 9) / F.lit(10)) + 1).cast("int")
+    # sub-side prefix length = ns - t_min + 1 with t_min = ceil(p*ns/q)
+    # = floor((p*ns + q - 1)/q), integer-exact for the rational p/q.
+    t_min = F.floor((p * ns + (q - 1)) / F.lit(q))
+    plen = (ns - t_min + 1).cast("int")
     sub_prefix = ranked.select(
         F.col("doc_id").alias("doc_sub"),
         ns.alias("n_sub"),
@@ -172,7 +183,7 @@ def dedup_containment(t, threshold: float = 0.9) -> DataFrame:
             sup_full,
             (sub_prefix["s"] == sup_full["s"])
             & (F.col("doc_sub") != F.col("doc_super"))
-            & (10 * F.col("n_super") >= 9 * F.col("n_sub")),
+            & (q * F.col("n_super") >= p * F.col("n_sub")),
         )
         .select("doc_sub", "doc_super")
         .distinct()

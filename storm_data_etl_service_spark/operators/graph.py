@@ -28,6 +28,8 @@ Scale design:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -280,6 +282,26 @@ reach (node, label, depth) AS (
 )"""
 
 
+@contextmanager
+def _raised_recursion_limit(spark, limit: int = 50_000_000):
+    """Temporarily raise ``spark.sql.cteRecursionRowLimit``, restoring
+    the prior value (or unsetting) on exit so the loosened
+    runaway-recursion guard never outlives the recursive query."""
+    key = "spark.sql.cteRecursionRowLimit"
+    prev = spark.conf.get(key, None)
+    if prev is not None and int(prev) >= limit:
+        yield
+        return
+    spark.conf.set(key, str(limit))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def neardup_components_sql(spark, t, depth_bound: int = SQL_CC_MAX_DEPTH) -> DataFrame:
     """Connected components via Spark 4's RECURSIVE CTE — the SQL
     twin of ``neardup_components`` (same output contract, same DuckDB
@@ -312,16 +334,23 @@ def neardup_components_sql(spark, t, depth_bound: int = SQL_CC_MAX_DEPTH) -> Dat
     parity at moderate density."""
     from storm_data_etl_service_spark.operators.dedup import dedup_minhash_lsh
 
-    if int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000")) < 50_000_000:
-        spark.conf.set("spark.sql.cteRecursionRowLimit", "50000000")
     dedup_minhash_lsh(t).createOrReplaceTempView("lsh_pairs_for_sql_cc")
-    return spark.sql(
+    df = spark.sql(
         _sql_cc_reach_cte(depth_bound)
         + """
 SELECT node AS doc_id, min(label) AS component_id,
        node = min(label) AS is_canonical
 FROM reach GROUP BY node"""
     )
+    # The recursion needs a higher cteRecursionRowLimit than the 1M
+    # default, but the limit is a session-global runaway-recursion
+    # safety valve — raising it must not leak to other queries on the
+    # shared session.  The conf is read at EXECUTION time, so restore
+    # it only after eagerly materializing the (small, #docs-bounded)
+    # component table; localCheckpoint truncates lineage so later
+    # actions never re-run the recursion under the restored limit.
+    with _raised_recursion_limit(spark):
+        return df.localCheckpoint(eager=True)
 
 
 def sql_cc_depth_headroom(spark, t, depth_bound: int = SQL_CC_MAX_DEPTH) -> int:
@@ -337,14 +366,13 @@ def sql_cc_depth_headroom(spark, t, depth_bound: int = SQL_CC_MAX_DEPTH) -> int:
     exact.  Assert ``headroom < depth_bound`` in tests at each SF."""
     from storm_data_etl_service_spark.operators.dedup import dedup_minhash_lsh
 
-    if int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000")) < 50_000_000:
-        spark.conf.set("spark.sql.cteRecursionRowLimit", "50000000")
     dedup_minhash_lsh(t).createOrReplaceTempView("lsh_pairs_for_sql_cc")
-    row = spark.sql(
-        _sql_cc_reach_cte(depth_bound)
-        + """
+    with _raised_recursion_limit(spark):
+        row = spark.sql(
+            _sql_cc_reach_cte(depth_bound)
+            + """
 SELECT max(first_depth) AS max_first_depth FROM (
   SELECT node, label, min(depth) AS first_depth
   FROM reach GROUP BY node, label)"""
-    ).first()
+        ).first()
     return row["max_first_depth"]

@@ -791,8 +791,8 @@ FROM events, p WHERE value > q""",
     ),
     "value_histogram": QuerySpec(
         _t(A.value_histogram),
-        "SELECT bucket, count(*) AS n, bucket * 50.0 AS lo,"
-        " (bucket + 1) * 50.0 AS hi FROM"
+        "SELECT bucket, count(*) AS n, CAST(bucket * 50.0 AS DOUBLE) AS lo,"
+        " CAST((bucket + 1) * 50.0 AS DOUBLE) AS hi FROM"
         " (SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket FROM events)"
         " GROUP BY bucket",
         ("agg", "histogram"),
@@ -1045,10 +1045,10 @@ GROUP BY o_orderpriority""",
     "tpch_q12_priority_by_linestatus": QuerySpec(
         _t(R.tpch_q12_priority_by_linestatus),
         """SELECT l_linestatus,
-  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-    AS high_line_count,
-  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
-    AS low_line_count
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+    AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -1153,7 +1153,7 @@ FROM events""",
     epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                            ORDER BY ts, event_id) AS gap_us
   FROM events)
-SELECT user_id, count(*) AS n_gaps, sum(gap_us) AS total_gap_us,
+SELECT user_id, count(*) AS n_gaps, CAST(sum(gap_us) AS BIGINT) AS total_gap_us,
        cast(sum(gap_us) AS DOUBLE) / count(*) AS avg_gap_us
 FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""",
         ("analytics", "window-func"),
@@ -1175,11 +1175,15 @@ FROM events e JOIN dim USING (event_type) GROUP BY e.event_type""",
         ("scale", "skew"),
     ),
     "approx_quantile_summary": QuerySpec(
-        _t(A.approx_quantile_summary),
         # Sketch values are engine-specific; the checked contract is
         # the exact counts + Spark-verified rank-accuracy flags that
-        # must be literally TRUE (see analytics.py docstring).
-        "SELECT event_type, count(*) AS n_values,"
+        # must be literally TRUE (see analytics.py docstring).  The
+        # public operator ALSO emits p50_approx/p95_approx — projected
+        # away here so the oracle checks the portable columns only.
+        lambda spark, sf_dir: A.approx_quantile_summary(
+            load_tables(spark, sf_dir)
+        ).drop("p50_approx", "p95_approx"),
+        "SELECT event_type, count(value) AS n_values,"
         " TRUE AS p50_within_bound, TRUE AS p95_within_bound"
         " FROM events GROUP BY event_type",
         ("analytics", "approx"),
@@ -1201,7 +1205,7 @@ bi AS (
     len(list_distinct(list_transform(generate_series(1, len(t) - 1),
                                      i -> t[i] || ' ' || t[i+1]))) AS d_bi
   FROM nz)
-SELECT f.doc_id, total AS n_tokens,
+SELECT f.doc_id, CAST(total AS BIGINT) AS n_tokens,
   cast(top AS DOUBLE) / total AS top_token_share,
   cast(dist AS DOUBLE) / total AS type_token_ratio,
   CASE WHEN n_bi > 0 THEN 1 - cast(d_bi AS DOUBLE) / n_bi
@@ -1232,7 +1236,7 @@ laid AS (
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stream_end,
     n_chars
   FROM h)
-SELECT doc_id, bucket, stream_end - n_chars AS stream_offset,
+SELECT doc_id, bucket, CAST(stream_end - n_chars AS BIGINT) AS stream_offset,
        cast(floor((stream_end - n_chars) / 2000.0) AS BIGINT) AS seq_id
 FROM laid""",
         ("pipeline", "packing"),
@@ -1283,8 +1287,9 @@ num AS (SELECT stage, n_docs,
                    WHEN 'exact_duplicate' THEN 3 ELSE 4 END AS stage_no
         FROM counts)
 SELECT stage_no, stage, n_docs,
-       sum(n_docs) OVER (ORDER BY stage_no DESC
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_entering
+       CAST(sum(n_docs) OVER (ORDER BY stage_no DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_entering
 FROM num""",
         ("pipeline", "curation", "funnel"),
     ),
@@ -1318,7 +1323,8 @@ assigned AS (
          WHEN ('0x' || substr(sha256('split|' || cast(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'valid'
          ELSE 'test' END AS split
   FROM canonical)
-SELECT lang, split, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang, split, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM assigned GROUP BY lang, split""",
         ("pipeline", "curation"),
     ),
@@ -2483,7 +2489,7 @@ REGISTRY["segmented_running_total"] = QuerySpec(
       OVER (PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment
   FROM events)
-SELECT user_id, event_id, segment,
+SELECT user_id, event_id, CAST(segment AS BIGINT) AS segment,
   cast(sum(cast(value AS DECIMAL(25,6)))
     OVER (PARTITION BY user_id, segment ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -2606,7 +2612,7 @@ loo AS (
     cast(s_tot - s AS DOUBLE) / cast(n_tot - n AS DOUBLE) AS m_i
   FROM cells JOIN totals USING (event_type)),
 agg AS (
-  SELECT event_type, min(n_tot) AS n,
+  SELECT event_type, CAST(min(n_tot) AS BIGINT) AS n,
     cast(min(s_tot) AS DOUBLE) / min(n_tot) AS mean_value,
     count(*) AS g,
     cast(sum(cast(floor(m_i * 1e9) AS DECIMAL(25,0))) AS DOUBLE) / 1e9
@@ -2759,7 +2765,8 @@ FROM (
     row_number() OVER (PARTITION BY component_id
                        ORDER BY n_chars DESC, doc_id) AS rk,
     count(*) OVER (PARTITION BY component_id) AS n_members,
-    sum(n_chars) OVER (PARTITION BY component_id) AS total_chars
+    CAST(sum(n_chars) OVER (PARTITION BY component_id) AS BIGINT)
+      AS total_chars
   FROM members)
 WHERE rk = 1""",
     ("dedup", "neardup", "graph", "curation"),
@@ -3214,11 +3221,14 @@ WHERE rk <= {X.LABEL_TOP_TERMS_K}""",
 
 
 REGISTRY["daily_user_sketch_rollup"] = QuerySpec(
-    _t(A.daily_user_sketch_rollup),
     # Datasketches HLL estimates are sketch-internal; the checked
     # contract is exact (day, n_events) + a Spark-verified 3%/±2
     # error-bound flag per day and for the union row (see
-    # analytics.py docstring).
+    # analytics.py docstring).  The public operator ALSO emits
+    # est_users — projected away here as engine-specific.
+    lambda spark, sf_dir: A.daily_user_sketch_rollup(
+        load_tables(spark, sf_dir)
+    ).drop("est_users"),
     """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
        TRUE AS est_within_bound FROM events GROUP BY day
 UNION ALL
@@ -3430,7 +3440,7 @@ bounds AS (
 cum AS (
   SELECT decile, max_doc,
     cast(sum(n_docs) OVER (ORDER BY decile) AS BIGINT) AS cum_docs,
-    sum(decile_tokens) OVER (ORDER BY decile) AS cum_tokens
+    CAST(sum(decile_tokens) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens
   FROM bounds)
 SELECT decile, max_doc, cum_docs, cum_tokens, count(*) AS cum_vocab
 FROM cum JOIN first_seen ON first_doc <= max_doc

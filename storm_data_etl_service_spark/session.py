@@ -16,6 +16,19 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem(cap_gb: int = 32) -> str:
+    """``min(cap_gb, ~70% of MemTotal)`` in whole GB, floor 1g."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(1, min(cap_gb, int(total_gb * 0.7)))}g"
+    except OSError:
+        pass
+    return f"{cap_gb}g"
+
+
 def get_spark(
     app_name: str = "storm-data-etl-service-spark",
     master: str | None = None,
@@ -42,8 +55,11 @@ def get_spark(
     # In local mode the driver JVM IS the executor; Spark's 1g default
     # heap can't even build a 64 MB broadcast side under 32 concurrent
     # tasks (observed: broadcast OOM at ~sf1.6).  Size it like the
-    # executor it stands in for — overridable for constrained hosts.
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+    # executor it stands in for, but never ask for more than ~70% of
+    # the machine — an unconditional 32g heap fails to start (or gets
+    # OOM-killed) inside cgroup-limited CI containers and small dev
+    # hosts.  SPARK_GRAFT_DRIVER_MEM still overrides both ways.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem()
 
     builder = (
         SparkSession.builder.master(master)

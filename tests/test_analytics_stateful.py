@@ -197,6 +197,14 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
     assert len(flags) == 5
     for r in flags:
         assert r["p50_within_bound"] and r["p95_within_bound"], r
+    # the PUBLIC operator keeps the estimate values alongside the
+    # flags (the registry entry projects them away as engine-specific)
+    from storm_data_etl_service_spark.operators.analytics import (
+        approx_quantile_summary,
+    )
+
+    pub = approx_quantile_summary(load_tables(spark, sf_dir))
+    assert {"p50_approx", "p95_approx"} <= set(pub.columns)
     # independent magnitude check on the raw sketch values
     approx = {
         r["event_type"]: (r["a50"], r["a95"])
@@ -384,6 +392,12 @@ def test_hll_sketch_union_bounds(spark, sf_dir):
     # flags; every flag must hold
     rows = {r["day"]: r for r in run("daily_user_sketch_rollup", spark, sf_dir).collect()}
     assert all(r["est_within_bound"] for r in rows.values()), rows
+    # the PUBLIC operator keeps est_users alongside the flag
+    from storm_data_etl_service_spark.operators.analytics import (
+        daily_user_sketch_rollup,
+    )
+
+    assert "est_users" in daily_user_sketch_rollup(t).columns
     # independent magnitude check on the raw sketch estimates
     ev = t["events"].select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id")
     exact_all = ev.select("user_id").distinct().count()

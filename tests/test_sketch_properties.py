@@ -151,7 +151,10 @@ def test_containment_prefix_filter_equals_naive(spark):
     """The asymmetric prefix-filter containment join must produce
     exactly the naive all-pairs result (100% recall, no extras) on a
     corpus with planted subsets, supersets, near-misses, and
-    high-frequency boilerplate shingles."""
+    high-frequency boilerplate shingles — at the default threshold AND
+    at looser/tighter ones, since prefix length and the directed size
+    gate are derived from the parameter (a hardcoded-0.9 regression
+    silently drops pairs at threshold 0.8)."""
     import pyspark.sql.functions as F
 
     from storm_data_etl_service_spark.operators.dedup import (
@@ -170,23 +173,35 @@ def test_containment_prefix_filter_equals_naive(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     t = {"documents": df}
 
-    got = {
-        (r["doc_sub"], r["doc_super"])
-        for r in dedup_containment(t).collect()
-    }
-
-    # naive reference: all-pairs array_intersect
-    sh = _doc_shingles(t)
+    # naive reference: all-pairs array_intersect (exact at any threshold)
+    sh = _doc_shingles(t).cache()
     a = sh.select(F.col("doc_id").alias("da"), F.col("shingles").alias("sa"))
     b = sh.select(F.col("doc_id").alias("db"), F.col("shingles").alias("sb"))
     pairs = a.crossJoin(b).filter(F.col("da") != F.col("db"))
     c = F.size(F.array_intersect("sa", "sb")).cast("double")
-    naive = {
-        (r["da"], r["db"])
-        for r in pairs.filter(c / F.size("sa") >= 0.9).collect()
-    }
-    assert got == naive
-    assert got, "fixture must plant at least one containment pair"
+
+    counts = {}
+    for threshold in (0.9, 0.8, 0.6, 1.0):
+        got = {
+            (r["doc_sub"], r["doc_super"])
+            for r in dedup_containment(t, threshold=threshold).collect()
+        }
+        naive = {
+            (r["da"], r["db"])
+            for r in pairs.filter(c / F.size("sa") >= threshold).collect()
+        }
+        assert got == naive, f"threshold={threshold}"
+        counts[threshold] = len(got)
+    assert counts[0.9], "fixture must plant at least one containment pair"
+    assert counts[0.6] > counts[0.9], (
+        "looser threshold must admit MORE pairs — otherwise the 0.8/0.6 "
+        "legs aren't exercising recall beyond the 0.9 prefix"
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup_containment(t, threshold=0.0)
 
 
 def test_shingles_zip_slices_match_reference(spark):

@@ -662,6 +662,12 @@ def test_recursive_cte_components_match_iterative(spark, sf_dir):
         for r in run("neardup_components_sql", spark, sf_dir).collect()
     }
     assert a == b and a
+    # the temporarily-raised runaway-recursion guard must not leak to
+    # the shared session after the query materializes
+    assert (
+        spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000")
+        != "50000000"
+    )
 
 
 def test_recursive_cte_components_provably_converged(spark, sf_dir):
