@@ -2884,7 +2884,10 @@ FROM af LEFT JOIN evidence ev ON af.vec_id = ev.vec_id"""
 
 
 REGISTRY["semdedup"] = QuerySpec(
-    _t(S.semdedup),
+    # k pinned to the oracle K: the DuckDB twin replays the unrolled
+    # Lloyd iterations with exactly KMEANS_K cells.  Production calls
+    # leave k=None and get the K ∝ n auto-derivation.
+    lambda spark, sf_dir: S.semdedup(load_tables(spark, sf_dir), k=S.KMEANS_K),
     _semdedup_oracle(),
     ("dedup", "semantic", "embeddings", "kmeans"),
 )

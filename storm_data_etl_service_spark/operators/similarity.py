@@ -628,7 +628,18 @@ def embedding_quantize_int8(t) -> DataFrame:
     )
 
 
-def semdedup(t) -> DataFrame:
+SEMDEDUP_TARGET_CELL = 4096  # auto-K holds expected cell size near this
+
+
+def semdedup_auto_k(n_vectors: int, target_cell: int = SEMDEDUP_TARGET_CELL) -> int:
+    """K ∝ n: the cell count that holds expected cell size at
+    ``target_cell``, floored at the fixed oracle K.  Total pair work is
+    n²/K, so constant K costs O(n²) while K = n/target keeps per-cell
+    work (and recall characteristics) constant — O(n·target) overall."""
+    return max(KMEANS_K, -(-n_vectors // target_cell))
+
+
+def semdedup(t, k: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup by embedding
     similarity WITHIN k-means cells — the scale trick that turns the
     O(n²) cosine scan into per-cell scans, because semantic duplicates
@@ -647,13 +658,19 @@ def semdedup(t) -> DataFrame:
     K is the scale knob: total pair work is n²/K, so production runs
     must scale K ∝ n to hold cell size (and recall) constant — with K
     fixed the cost grows super-linearly, which the SCALING.md x16
-    measurement shows (exp ≈ 1.2 at fixed K=8).  K stays fixed HERE
-    because the DuckDB oracle replays the unrolled Lloyd iterations
-    with this exact K; the knob, not the plan shape, is what changes
-    at scale.
+    measurement shows (exp ≈ 1.2 at fixed K=8).  ``k=None`` (the
+    production default) derives K from one cheap count via
+    ``semdedup_auto_k`` — K = ⌈n / SEMDEDUP_TARGET_CELL⌉, floored at
+    the oracle K — turning the n²/K term into O(n·target_cell).  The
+    registry entry pins ``k=KMEANS_K`` because the DuckDB oracle
+    replays the unrolled Lloyd iterations with that exact K; the knob,
+    not the plan shape, is what changes at scale (near-linearity with
+    auto-K is measured in tests/test_training_ops.py).
     """
     emb = t["embeddings"].select("vec_id", _vec(F.col("embedding")).alias("v"))
-    cent = kmeans_centroids(emb)
+    if k is None:
+        k = semdedup_auto_k(emb.count())
+    cent = kmeans_centroids(emb, k=k)
     assigned = _assign_cells(emb, cent)
     a = assigned.select("cid", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = assigned.select("cid", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))

@@ -578,6 +578,44 @@ def test_semdedup_evidence_is_true_neardup_subset(spark, sf_dir):
         assert (r["dup_of"], r["vec_id"]) in exact
 
 
+def test_semdedup_auto_k_scales_near_linearly(spark):
+    """The K ∝ n knob must turn SemDeDup's quadratic pair work into
+    near-linear: measured as the DETERMINISTIC candidate-pair count
+    Σ n_c·(n_c−1)/2 over the k-means cells (wall time swings 2–3× on
+    this host, pair work doesn't).  At 4× the vectors, fixed-K work
+    must grow clearly super-linearly while auto-K work stays within
+    ~2× of the linear ratio."""
+    import numpy as np
+
+    from storm_data_etl_service_spark.operators.similarity import (
+        KMEANS_K,
+        _assign_cells,
+        kmeans_centroids,
+        semdedup_auto_k,
+    )
+
+    rng = np.random.default_rng(7)
+
+    def pair_work(n, k):
+        vecs = rng.uniform(-1, 1, size=(n, 4)).round(3)
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id long, v array<double>",
+        )
+        cells = _assign_cells(emb, kmeans_centroids(emb, k=k))
+        sizes = [r["c"] for r in cells.groupBy("cid").agg(F.count("*").alias("c")).collect()]
+        return sum(c * (c - 1) // 2 for c in sizes)
+
+    n1, n2 = 1000, 4000
+    target = 125  # small target so auto-K actually moves at test sizes
+    k1, k2 = semdedup_auto_k(n1, target), semdedup_auto_k(n2, target)
+    assert k2 == 4 * k1, "auto-K must scale with n"
+    w_fixed = pair_work(n2, KMEANS_K) / pair_work(n1, KMEANS_K)
+    w_auto = pair_work(n2, k2) / pair_work(n1, k1)
+    assert w_fixed > 8, f"fixed-K work ratio {w_fixed:.1f} should be ~quadratic (16)"
+    assert w_auto < 8, f"auto-K work ratio {w_auto:.1f} should be near-linear (~4)"
+
+
 def test_langid_confusion_reconciles(spark, sf_dir):
     """Confusion cells must partition the corpus and beat the
     majority-class baseline (the report MEASURES heuristic quality —
