@@ -60,6 +60,13 @@ BENCH_QUERIES = [
     "linear_interpolate",       # fused two-frame window interpolation
     "cohort_retention",         # unbounded MIN window + distinct agg
     "rare_token_share",         # explode + broadcast doc-frequency join
+    # the four shuffle-heaviest registered plans (PLAN_AUDIT.md
+    # network-budget table: 16/13/13/10 shuffles) — benched so the
+    # most network-bound shapes have a tracked number
+    "revenue_pareto_curve",     # deciled pareto: chained window aggs
+    "dedup_ladder_report",      # exact→minhash→containment rungs union
+    "vocab_growth_curve",       # per-decile first-seen vocab accumulation
+    "bm25_doc_ranking",         # tf/df join + per-query score + top-k
 ]
 
 
@@ -69,6 +76,12 @@ def main():
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # optional subset (comma-separated) — used by scaling_curve.py to
+    # re-time just the dedup family on the natural-density corpus
+    bench_queries = BENCH_QUERIES
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if subset:
+        bench_queries = [q.strip() for q in subset.split(",") if q.strip()]
     # single-row-group local files: fan the scan out to all cores
     os.environ.setdefault(
         "SPARK_GRAFT_SCAN_PARTITIONS", os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -104,12 +117,12 @@ def main():
     # Warm up every plan shape at the smallest SF first: whole-stage
     # codegen compiles per unique generated source, so the sf-target
     # timing below measures engine throughput, not javac.
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         REGISTRY[name].build(spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()
 
-    timings = {name: round(run(name), 4) for name in BENCH_QUERIES}
+    timings = {name: round(run(name), 4) for name in bench_queries}
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -55,7 +55,7 @@ sys.path.insert(0, str(REPO))
 SCRATCH = Path("/tmp/spark_graft_scale")
 
 
-def build_scaled(src_dir: str, out_dir: Path, n: int) -> None:
+def build_scaled(src_dir: str, out_dir: Path, n: int, mode: str = "shuffled") -> None:
     from pyspark.sql import functions as F
 
     from storm_data_etl_service_spark.session import get_spark
@@ -119,18 +119,44 @@ def build_scaled(src_dir: str, out_dir: Path, n: int) -> None:
         "events",
     )
 
-    # per-replica content-hash word shuffle (see module docstring);
-    # recompute n_chars for consistency (multi-space runs collapse)
     d = offset(docs.crossJoin(reps), "doc_id", k_d)
     words = F.split(F.col("text"), " ")
-    hashed = F.transform(
-        words, lambda w: F.struct(F.xxhash64(w, F.col("_rep")).alias("h"), w.alias("w"))
-    )
-    shuffled = F.concat_ws(
-        " ", F.transform(F.sort_array(hashed), lambda s: s["w"])
-    )
+    if mode == "shuffled":
+        # per-replica content-hash word shuffle (see module docstring);
+        # recompute n_chars for consistency (multi-space runs collapse)
+        hashed = F.transform(
+            words,
+            lambda w: F.struct(F.xxhash64(w, F.col("_rep")).alias("h"), w.alias("w")),
+        )
+        replica_text = F.concat_ws(
+            " ", F.transform(F.sort_array(hashed), lambda s: s["w"])
+        )
+    elif mode == "natural":
+        # NATURAL-DENSITY replicas: keep every document's word ORDER
+        # and repetition structure, but rewrite each distinct word to a
+        # per-(word, replica) pseudo-token (base-36 of xxhash64).  Each
+        # replica is then an exact structural isomorph of the original
+        # corpus — within-replica near-dup density is the sf0.1
+        # corpus's own natural rate — while cross-replica shingle
+        # overlap is zero (disjoint token spaces).  This is the corpus
+        # where dedup-rung scaling exponents measure COMPUTE, not pair
+        # output: the shuffled mode's hash-sort groups repeated words
+        # into runs, inflating within-replica near-dup density.
+        replica_text = F.concat_ws(
+            " ",
+            F.transform(
+                words,
+                lambda w: F.lower(
+                    F.conv(
+                        F.abs(F.xxhash64(w, F.col("_rep"))).cast("string"), 10, 36
+                    )
+                ),
+            ),
+        )
+    else:
+        raise ValueError(f"unknown corpus mode: {mode}")
     d = d.withColumn(
-        "text", F.when(F.col("_rep") == 0, F.col("text")).otherwise(shuffled)
+        "text", F.when(F.col("_rep") == 0, F.col("text")).otherwise(replica_text)
     ).withColumn("n_chars", F.length("text"))
     write(d, "documents")
 
@@ -152,8 +178,10 @@ def build_scaled(src_dir: str, out_dir: Path, n: int) -> None:
     spark.stop()
 
 
-def run_bench(sf_dir: str) -> dict:
+def run_bench(sf_dir: str, queries: list[str] | None = None) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    if queries:
+        env["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(queries)
     last_err = None
     for attempt in range(2):
         out = subprocess.run(
@@ -183,17 +211,29 @@ FLAG_NOTES = {
         "docstring; the fixed-K entry is the determinism-checked form."
     ),
     "dedup_jaccard_prefix_join": (
-        "output-bound: the synthesized corpus's per-replica hash-sort "
+        "output-bound on the SHUFFLED corpus: the per-replica hash-sort "
         "groups repeated words into runs, so within-replica near-dup "
-        "density is far above natural — verified pair OUTPUT grows "
-        "faster than input.  Input-side candidate generation stays "
-        "prefix-bounded (same plan as the flat sf0.1 run)."
+        "density is far above natural and pair OUTPUT grows faster than "
+        "input.  The natural-density corpus table below isolates "
+        "compute — see its measured exponent."
     ),
     "dedup_containment": (
-        "output-bound for the same reason as the prefix join; "
-        "candidate generation is prefix-bounded."
+        "output-bound on the shuffled corpus for the same reason as the "
+        "prefix join; see the natural-density corpus exponent below."
     ),
 }
+
+#: Dedup rungs re-timed on the natural-density corpus, where
+#: within-replica duplicate density equals the source corpus's own
+#: rate (each replica is a token-rewritten structural isomorph).
+DEDUP_FAMILY = [
+    "dedup_minhash_lsh",
+    "dedup_containment",
+    "dedup_jaccard_prefix_join",
+    "dedup_incremental_minhash",
+    "duplicated_span_report",
+    "dedup_ladder_report",
+]
 
 
 def main() -> int:
@@ -245,6 +285,27 @@ def main() -> int:
         if exponent is not None and t_top > (top_ratio * 1.3) * t_prev:
             flagged.append(q)
 
+    # second corpus: natural-density replicas for the dedup rungs
+    natural_dir = SCRATCH / f"sf{scaled_sf}_natural"
+    if not (natural_dir / "documents.parquet").exists():
+        print(f"synthesizing natural-density x{replicas} -> {natural_dir}", flush=True)
+        build_scaled("/root/testdata/sf0.1", natural_dir, replicas, mode="natural")
+    print(f"bench dedup family @ sf{scaled_sf} natural corpus ...", flush=True)
+    nat = run_bench(str(natural_dir), DEDUP_FAMILY)
+    natural_rows = {}
+    for q in DEDUP_FAMILY:
+        t_small = results["0.1"]["queries"].get(q)
+        t_nat = nat["queries"].get(q)
+        natural_rows[q] = {
+            "sf0.1_sec": t_small,
+            "natural_sf_sec": t_nat,
+            "exponent": (
+                round(math.log(t_nat / t_small) / math.log(top_ratio), 3)
+                if t_small and t_nat
+                else None
+            ),
+        }
+
     summary = {
         "scales": sfs,
         "replicas": replicas,
@@ -252,6 +313,7 @@ def main() -> int:
         "totals_sec": {s: results[s]["value"] for s in sfs},
         "flagged_superlinear": flagged,
         "queries": rows,
+        "natural_corpus": natural_rows,
     }
     (REPO / "SCALING.json").write_text(json.dumps(summary, indent=1))
     render_md(summary)
@@ -306,6 +368,32 @@ def render_md(summary: dict) -> None:
         "computed there.",
         "",
     ]
+    natural = summary.get("natural_corpus")
+    if natural:
+        md += [
+            "## Natural-density corpus — dedup rungs",
+            "",
+            "The shuffled corpus's per-replica hash-sort inflates",
+            "within-replica near-dup density, so output-bound rungs look",
+            "super-linear for data reasons.  This second synthesis keeps each",
+            "replica a token-rewritten structural ISOMORPH of the source",
+            "corpus (word order and repetition preserved, token spaces",
+            "disjoint across replicas): duplicate density stays at the",
+            "corpus's natural rate as it grows, so these exponents measure",
+            "candidate-generation COMPUTE.",
+            "",
+            f"| query | sf0.1 | sf{sfs[-1]} natural | exp natural | exp shuffled |",
+            "|---|---|---|---|---|",
+        ]
+        for q, r in sorted(
+            natural.items(), key=lambda kv: -(kv[1]["natural_sf_sec"] or 0)
+        ):
+            shuf_exp = rows.get(q, {}).get("top_step_exponent")
+            md.append(
+                f"| {q} | {r['sf0.1_sec']:.2f} | {r['natural_sf_sec']:.2f} "
+                f"| {r['exponent']} | {shuf_exp} |"
+            )
+        md.append("")
     notes = [q for q in FLAG_NOTES if q in rows]
     if notes:
         md += ["## Footnotes", ""]
