@@ -678,21 +678,34 @@ def dedup_exact_normalized(t) -> DataFrame:
 def dedup_ladder_report(t) -> DataFrame:
     """The dedup ladder in one readout: how many documents each rung
     flags — (1) normalized-exact, (2) exact 3-gram Jaccard ≥ 0.8,
-    (3) MinHash/LSH candidates, (4) embedding cosine near-dup — the
-    coverage-vs-cost table a curation run consults to decide how far
-    down the ladder to pay.  Rung 3 ⊇ rung 2 up to LSH's miss
-    probability; rung 4 flags semantic (non-lexical) duplicates the
-    others cannot see.
+    (3) MinHash/LSH candidates, (4) SemDeDup within-cell embedding
+    cosine — the coverage-vs-cost table a curation run consults to
+    decide how far down the ladder to pay.  Rung 3 ⊇ rung 2 up to
+    LSH's miss probability; rung 4 flags semantic (non-lexical)
+    duplicates the others cannot see.
 
-    Each rung's doc set is computed by the existing operator (same
-    plans, same scale posture) and collapsed to one count — the
-    synthesis is unions of tiny pair sets, nothing rescans the corpus.
+    Every rung is the SCALE-PATH operator, not the quadratic
+    correctness baseline (the report exists to be run on the full
+    corpus): rung 2 is the PPJoin prefix-filtered join — exactly the
+    same pair set as the all-pairs ``dedup_ngram_jaccard``, so the
+    oracle contract is unchanged — and rung 4 is ``semdedup_pairs``
+    with the K ∝ n auto-knob (within-cell pairs only; the published
+    SemDeDup recall trade, matching rung 3's candidates-not-certainty
+    character.  Sign-LSH is NOT a viable rung-4 plan at this
+    threshold: measured on the fixture corpus, ≥ 0.95 recall at
+    cos ≥ 0.40 (θ ≈ 66°) needs a candidate set ≈ 0.7× of all pairs).
+    An earlier form composed the two O(n²) baselines and measured
+    exponent 2.0 over the 16× scaling span — 1204 s at sf1.6 vs 4.5 s
+    at sf0.1; this form keeps every rung's work near-linear.
+
+    Each rung's doc set is collapsed to one count — the synthesis is
+    unions of tiny pair sets, nothing rescans the corpus.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     from storm_data_etl_service_spark.operators.similarity import (
-        embedding_near_dup,
+        semdedup_pairs,
     )
 
     def pair_docs(pairs: DataFrame, a: str, b: str) -> DataFrame:
@@ -715,9 +728,9 @@ def dedup_ladder_report(t) -> DataFrame:
     )
     rungs = [
         ("1_exact_normalized", norm_docs),
-        ("2_ngram_jaccard", pair_docs(dedup_ngram_jaccard(t), "doc_a", "doc_b")),
+        ("2_ngram_jaccard", pair_docs(dedup_jaccard_prefix_join(t), "doc_a", "doc_b")),
         ("3_minhash_lsh", pair_docs(dedup_minhash_lsh(t), "doc_a", "doc_b")),
-        ("4_embedding_cosine", pair_docs(embedding_near_dup(t), "vec_a", "vec_b")),
+        ("4_semdedup_cosine", pair_docs(semdedup_pairs(t), "id_a", "id_b")),
     ]
     out = None
     for name, docs in rungs:

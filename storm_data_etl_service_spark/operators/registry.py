@@ -2824,10 +2824,11 @@ FROM erred GROUP BY dim""",
 )
 
 
-def _semdedup_oracle() -> str:
-    """SemDeDup unrolled: the same seeded k-means CTE chain as the IVF
-    oracle, then within-cell pairs above NEAR_DUP_COSINE and the
-    min-id-wins keep flag."""
+def _semdedup_pairs_ctes() -> str:
+    """Shared SemDeDup CTE chain (seeded Lloyd unroll → final
+    assignments ``af`` → within-cell pairs ≥ NEAR_DUP_COSINE as
+    ``pairs``), composed by both the semdedup oracle and the
+    dedup-ladder rung-4 oracle."""
     from storm_data_etl_service_spark.operators.similarity import (
         EMBEDDING_DIM,
         KMEANS_ITERS,
@@ -2869,15 +2870,29 @@ def _semdedup_oracle() -> str:
     ctes += [
         f"af AS ({assign(f'c{KMEANS_ITERS}')})",
         f"""pairs AS (
-  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
-    {_COSINE_SQL.format(a='a.v', b='b.v')} AS cos
-  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id)""",
-        f"""evidence AS (
-  SELECT id_b AS vec_id, min(id_a) AS dup_of, max(cos) AS max_cos
-  FROM pairs WHERE cos >= {NEAR_DUP_COSINE} GROUP BY id_b)""",
+  SELECT cid, id_a, id_b, cos FROM (
+    SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+      {_COSINE_SQL.format(a='a.v', b='b.v')} AS cos
+    FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+  WHERE cos >= {NEAR_DUP_COSINE})""",
     ]
-    joined = ",\n".join(ctes)
-    return f"""WITH {joined}
+    return ",\n".join(ctes)
+
+
+def _semdedup_pairs_oracle() -> str:
+    """SemDeDup pair list: the shared CTE chain projected to pairs."""
+    return f"""WITH {_semdedup_pairs_ctes()}
+SELECT cid, id_a, id_b, cos FROM pairs"""
+
+
+def _semdedup_oracle() -> str:
+    """SemDeDup unrolled: the same seeded k-means CTE chain as the IVF
+    oracle, then within-cell pairs above NEAR_DUP_COSINE and the
+    min-id-wins keep flag."""
+    return f"""WITH {_semdedup_pairs_ctes()},
+evidence AS (
+  SELECT id_b AS vec_id, min(id_a) AS dup_of, max(cos) AS max_cos
+  FROM pairs GROUP BY id_b)
 SELECT af.vec_id, af.cid, ev.dup_of, ev.max_cos,
        ev.dup_of IS NULL AS kept
 FROM af LEFT JOIN evidence ev ON af.vec_id = ev.vec_id"""
@@ -2890,6 +2905,14 @@ REGISTRY["semdedup"] = QuerySpec(
     lambda spark, sf_dir: S.semdedup(load_tables(spark, sf_dir), k=S.KMEANS_K),
     _semdedup_oracle(),
     ("dedup", "semantic", "embeddings", "kmeans"),
+)
+
+REGISTRY["semdedup_pairs"] = QuerySpec(
+    # Same pinned-K note as semdedup; auto-K (k=None) is bit-identical
+    # while n ≤ KMEANS_K·SEMDEDUP_TARGET_CELL (all driver gate scales).
+    lambda spark, sf_dir: S.semdedup_pairs(load_tables(spark, sf_dir), k=S.KMEANS_K),
+    _semdedup_pairs_oracle(),
+    ("dedup", "semantic", "embeddings", "pairs"),
 )
 
 
@@ -3152,9 +3175,13 @@ FROM intra i JOIN nearest n USING (label)""",
 
 REGISTRY["dedup_ladder_report"] = QuerySpec(
     _t(D.dedup_ladder_report),
+    # Rung 2's oracle stays the all-pairs Jaccard definition — the
+    # Spark side's PPJoin prefix filter is exact, same pair set.
+    # Rung 4 composes the SemDeDup pair chain (within-cell cosine),
+    # mirroring the Spark side's scale path.
     f"""WITH jp AS ({REGISTRY["dedup_ngram_jaccard"].oracle}),
 mp AS ({_minhash_oracle()}),
-ep AS ({REGISTRY["embedding_near_dup"].oracle}),
+ep AS ({_semdedup_pairs_oracle()}),
 norm AS (
   SELECT count(*) AS n FROM (
     SELECT doc_id FROM (
@@ -3167,11 +3194,11 @@ jd AS (SELECT count(*) AS n FROM
 md AS (SELECT count(*) AS n FROM
   (SELECT doc_a AS d FROM mp UNION SELECT doc_b FROM mp)),
 ed AS (SELECT count(*) AS n FROM
-  (SELECT vec_a AS d FROM ep UNION SELECT vec_b FROM ep))
+  (SELECT id_a AS d FROM ep UNION SELECT id_b FROM ep))
 SELECT '1_exact_normalized' AS rung, n AS n_docs_flagged FROM norm
 UNION ALL SELECT '2_ngram_jaccard', n FROM jd
 UNION ALL SELECT '3_minhash_lsh', n FROM md
-UNION ALL SELECT '4_embedding_cosine', n FROM ed""",
+UNION ALL SELECT '4_semdedup_cosine', n FROM ed""",
     ("dedup", "synthesis", "ladder"),
 )
 

@@ -639,6 +639,113 @@ def semdedup_auto_k(n_vectors: int, target_cell: int = SEMDEDUP_TARGET_CELL) -> 
     return max(KMEANS_K, -(-n_vectors // target_cell))
 
 
+#: Row-block bound for the in-kernel pair matrix: blocks of B rows ×
+#: B cols keep the per-task working set at B²·8 B ≈ 32 MB regardless
+#: of cell size.
+SEMDEDUP_CELL_BLOCK = 2048
+
+
+def _cell_pairs_kernel(threshold: float = None, block: int = None):
+    """Factory for the within-cell pair-cosine kernel: vectorized
+    ACROSS pairs with the exact per-pair SEQUENTIAL fold order of the
+    Column-expression twin (``_dot``/``_norm``: acc ← acc + xᵢyᵢ over
+    i = 1..d, acc₀ = 0.0): the dim loop runs outside, numpy broadcasts
+    each step over the whole block, so every scalar is produced by the
+    same IEEE ops in the same order as ``F.aggregate``/DuckDB
+    ``list_reduce`` — the kernel is bit-identical to the oracle, just
+    ~d-wide vectorized.
+
+    Replaces the pair self-join that materialized every candidate row
+    with BOTH 64-dim vectors in the shuffle (32 M pairs ≈ tens of GB
+    at sf1.6) and evaluated interpreted-HOF cosine per pair; here only
+    the m×d cell members cross the wire and pair rows are born
+    post-threshold.  Returned as a CLOSURE so cloudpickle ships it by
+    value — executors need no import path to this module."""
+    thr = NEAR_DUP_COSINE if threshold is None else threshold
+    B = SEMDEDUP_CELL_BLOCK if block is None else block
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        m, d = V.shape
+        cid = int(pdf["cid"].iloc[0])
+        # sequential-fold squared norms: acc += x*x, dim order
+        nrm = np.zeros(m)
+        for i in range(d):
+            nrm += V[:, i] * V[:, i]
+        nrm = np.sqrt(nrm)
+        out_a, out_b, out_c = [], [], []
+        for r0 in range(0, m, B):
+            r1 = min(r0 + B, m)
+            for c0 in range(r0, m, B):
+                c1 = min(c0 + B, m)
+                dot = np.zeros((r1 - r0, c1 - c0))
+                for i in range(d):
+                    dot += V[r0:r1, i][:, None] * V[c0:c1, i][None, :]
+                cos = dot / (nrm[r0:r1][:, None] * nrm[c0:c1][None, :])
+                ra, ca = np.nonzero(cos >= thr)
+                ga, gb = ra + r0, ca + c0
+                keep = ga < gb  # upper triangle: id_a < id_b after sort
+                out_a.append(ga[keep])
+                out_b.append(gb[keep])
+                out_c.append(cos[ra[keep], ca[keep]])
+        ga = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        gb = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        cs = np.concatenate(out_c) if out_c else np.array([], dtype=np.float64)
+        return pd.DataFrame(
+            {"cid": cid, "id_a": ids[ga], "id_b": ids[gb], "cos": cs}
+        )
+
+    return kernel
+
+
+def _semdedup_assigned_pairs(t, k: int | None = None):
+    """Shared SemDeDup internals: (cell-assigned vectors, within-cell
+    pair list above NEAR_DUP_COSINE).  One centroid fit + one
+    assignment feed both consumers; ``k=None`` derives K ∝ n via
+    ``semdedup_auto_k``.  Pairs come from the blocked Arrow kernel
+    (``_cell_pairs_kernel``) — one cid-keyed shuffle of the m×d
+    members, no pair-row materialization."""
+    emb = t["embeddings"].select("vec_id", _vec(F.col("embedding")).alias("v"))
+    if k is None:
+        k = semdedup_auto_k(emb.count())
+    cent = kmeans_centroids(emb, k=k)
+    assigned = _assign_cells(emb, cent)
+    pairs = (
+        assigned.select("cid", "vec_id", "v")
+        .groupBy("cid")
+        .applyInPandas(
+            _cell_pairs_kernel(),
+            schema="cid int, id_a bigint, id_b bigint, cos double",
+        )
+    )
+    return assigned, pairs
+
+
+def semdedup_pairs(t, k: int | None = None) -> DataFrame:
+    """SemDeDup's within-cell near-duplicate PAIR list
+    (cid, id_a, id_b, cos ≥ NEAR_DUP_COSINE) — the evidence relation
+    behind ``semdedup``'s keep flags, exposed for consumers that need
+    the pairs themselves (the dedup-ladder rung-4 readout, overlap
+    matrices).  Same plan shape and K knob as ``semdedup``: broadcast
+    centroids, map-side assignment, one pair join shuffled on cid;
+    ``k=None`` (production default) scales K ∝ n so total pair work is
+    O(n·SEMDEDUP_TARGET_CELL), not n².
+
+    Oracle-replayability boundary: the DuckDB twin unrolls Lloyd with
+    the fixed oracle K, and ``semdedup_auto_k`` floors at that same K,
+    so auto-K output is bit-identical to the oracle for every corpus
+    with n ≤ KMEANS_K·SEMDEDUP_TARGET_CELL vectors (all driver gate
+    scales); beyond that the knob changes K, not the contract.
+    """
+    return _semdedup_assigned_pairs(t, k)[1]
+
+
 def semdedup(t, k: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup by embedding
     similarity WITHIN k-means cells — the scale trick that turns the
@@ -667,19 +774,7 @@ def semdedup(t, k: int | None = None) -> DataFrame:
     not the plan shape, is what changes at scale (near-linearity with
     auto-K is measured in tests/test_training_ops.py).
     """
-    emb = t["embeddings"].select("vec_id", _vec(F.col("embedding")).alias("v"))
-    if k is None:
-        k = semdedup_auto_k(emb.count())
-    cent = kmeans_centroids(emb, k=k)
-    assigned = _assign_cells(emb, cent)
-    a = assigned.select("cid", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = assigned.select("cid", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    pairs = (
-        a.join(b, "cid")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") >= NEAR_DUP_COSINE)
-    )
+    assigned, pairs = _semdedup_assigned_pairs(t, k)
     evidence = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
         F.min("id_a").alias("dup_of"), F.max("cos").alias("max_cos")
     )

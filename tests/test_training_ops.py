@@ -853,15 +853,21 @@ def test_label_separability_sanity(spark, sf_dir):
 
 def test_dedup_ladder_counts_reconcile(spark, sf_dir):
     """Ladder counts must equal the underlying operators' flagged-doc
-    sets, and LSH (rung 3) must cover ~all of exact Jaccard (rung 2)."""
+    sets, and LSH (rung 3) must cover ~all of exact Jaccard (rung 2).
+    Rung 2 is computed by the PPJoin prefix filter but must equal the
+    all-pairs definition exactly; rung 4 must equal semdedup_pairs'
+    endpoint set."""
     rows = {r["rung"]: r["n_docs_flagged"]
             for r in run("dedup_ladder_report", spark, sf_dir).collect()}
     assert set(rows) == {"1_exact_normalized", "2_ngram_jaccard",
-                         "3_minhash_lsh", "4_embedding_cosine"}
+                         "3_minhash_lsh", "4_semdedup_cosine"}
     jac = run("dedup_ngram_jaccard", spark, sf_dir).collect()
     jac_docs = {r["doc_a"] for r in jac} | {r["doc_b"] for r in jac}
     assert rows["2_ngram_jaccard"] == len(jac_docs)
     assert rows["3_minhash_lsh"] >= rows["2_ngram_jaccard"] - 1
+    sem = run("semdedup_pairs", spark, sf_dir).collect()
+    sem_docs = {r["id_a"] for r in sem} | {r["id_b"] for r in sem}
+    assert rows["4_semdedup_cosine"] == len(sem_docs)
 
 
 def test_polymorphic_udtf_schema_follows_argument(spark, sf_dir):
