@@ -135,10 +135,14 @@ def fuzzy_neardup_distance(t) -> DataFrame:
     over 40-char prefixes of each Jaccard-confirmed pair.  The
     expensive O(len²) distance runs only on the tiny candidate set —
     the composition (cheap filter → exact refine) is the scale
-    pattern."""
-    from storm_data_etl_service_spark.operators.dedup import dedup_ngram_jaccard
+    pattern.  Candidates come from the PPJoin prefix filter —
+    bit-identical to the all-pairs Jaccard set (the oracle keeps the
+    naive definition) without the O(Σdf²) shingle self-join."""
+    from storm_data_etl_service_spark.operators.dedup import (
+        dedup_jaccard_prefix_join,
+    )
 
-    pairs = dedup_ngram_jaccard(t)
+    pairs = dedup_jaccard_prefix_join(t)
     docs = t["documents"].select("doc_id", F.substring("text", 1, 40).alias("prefix"))
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))

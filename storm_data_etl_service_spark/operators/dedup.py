@@ -592,13 +592,19 @@ def crossmodal_dedup_agreement(t) -> DataFrame:
     'both' measures signal overlap, the *_only buckets are each
     signal's unique contribution.  Both pair sets are tiny (pruned),
     so the reconciliation join is trivial; the heavy lifting stays in
-    the underlying operators."""
-    from storm_data_etl_service_spark.operators.similarity import embedding_near_dup
+    the underlying operators — and both sides are the SCALE-PATH
+    forms: the text pairs come from the PPJoin prefix filter (exactly
+    the all-pairs Jaccard set) and the embedding pairs from SemDeDup's
+    within-cell kernel (the production semantic signal), so the
+    readout itself runs at corpus scale."""
+    from storm_data_etl_service_spark.operators.similarity import semdedup_pairs
 
-    txt = dedup_ngram_jaccard(t).select("doc_a", "doc_b", F.lit(True).alias("in_text"))
-    emb = embedding_near_dup(t).select(
-        F.col("vec_a").alias("doc_a"),
-        F.col("vec_b").alias("doc_b"),
+    txt = dedup_jaccard_prefix_join(t).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_text")
+    )
+    emb = semdedup_pairs(t).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
         F.lit(True).alias("in_emb"),
     )
     joined = txt.join(emb, ["doc_a", "doc_b"], "full_outer")

@@ -492,6 +492,81 @@ SELECT query_id, vec_id, cosine, rk FROM (
 WHERE rk <= 5"""
 
 
+def _semdedup_pairs_ctes() -> str:
+    """Shared SemDeDup CTE chain (seeded Lloyd unroll → final
+    assignments ``af`` → within-cell pairs ≥ NEAR_DUP_COSINE as
+    ``pairs``), composed by both the semdedup oracle and the
+    dedup-ladder rung-4 oracle."""
+    from storm_data_etl_service_spark.operators.similarity import (
+        EMBEDDING_DIM,
+        KMEANS_ITERS,
+        KMEANS_K,
+        NEAR_DUP_COSINE,
+    )
+
+    n = EMBEDDING_DIM
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {n}),"
+            f" i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])), (x,y) -> x+y)"
+        )
+
+    def assign(cent: str) -> str:
+        return f"""SELECT vec_id, v, cid FROM (
+  SELECT e.vec_id, e.v, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {l2('e.v', 'c.cv')}, c.cid) AS rk
+  FROM e, {cent} c) WHERE rk = 1"""
+
+    def update(best: str) -> str:
+        return f"""SELECT cid, list(m ORDER BY pos) AS cv FROM (
+  SELECT cid, pos,
+    list_reduce(list(val ORDER BY vec_id), (x,y) -> x+y) / count(*) AS m
+  FROM (SELECT cid, vec_id, r.pos AS pos, v[r.pos] AS val
+        FROM {best}, range(1, {n + 1}) r(pos))
+  GROUP BY cid, pos) GROUP BY cid"""
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT cast(vec_id AS INTEGER) AS cid, v AS cv FROM e"
+        f" WHERE vec_id < {KMEANS_K})",
+    ]
+    for i in range(KMEANS_ITERS):
+        ctes.append(f"a{i} AS ({assign(f'c{i}')})")
+        ctes.append(f"c{i + 1} AS ({update(f'a{i}')})")
+    ctes += [
+        f"af AS ({assign(f'c{KMEANS_ITERS}')})",
+        f"""pairs AS (
+  SELECT cid, id_a, id_b, cos FROM (
+    SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+      {_COSINE_SQL.format(a='a.v', b='b.v')} AS cos
+    FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+  WHERE cos >= {NEAR_DUP_COSINE})""",
+    ]
+    return ",\n".join(ctes)
+
+
+def _semdedup_pairs_oracle() -> str:
+    """SemDeDup pair list: the shared CTE chain projected to pairs."""
+    return f"""WITH {_semdedup_pairs_ctes()}
+SELECT cid, id_a, id_b, cos FROM pairs"""
+
+
+def _semdedup_oracle() -> str:
+    """SemDeDup unrolled: the same seeded k-means CTE chain as the IVF
+    oracle, then within-cell pairs above NEAR_DUP_COSINE and the
+    min-id-wins keep flag."""
+    return f"""WITH {_semdedup_pairs_ctes()},
+evidence AS (
+  SELECT id_b AS vec_id, min(id_a) AS dup_of, max(cos) AS max_cos
+  FROM pairs GROUP BY id_b)
+SELECT af.vec_id, af.cid, ev.dup_of, ev.max_cos,
+       ev.dup_of IS NULL AS kept
+FROM af LEFT JOIN evidence ev ON af.vec_id = ev.vec_id"""
+
+
+
 # --------------------------------------------------------------------------
 # the registry
 # --------------------------------------------------------------------------
@@ -2444,11 +2519,8 @@ tpairs AS (
   JOIN (SELECT doc_id AS doc_a, ns AS na FROM counts) USING (doc_a)
   JOIN (SELECT doc_id AS doc_b, ns AS nb FROM counts) USING (doc_b)
   WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.8),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-epairs AS (
-  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-  FROM e a JOIN e b ON a.vec_id < b.vec_id
-  WHERE {_COSINE_SQL.format(a='a.v', b='b.v')} >= {S.NEAR_DUP_COSINE})
+eraw AS ({_semdedup_pairs_oracle()}),
+epairs AS (SELECT id_a AS doc_a, id_b AS doc_b FROM eraw)
 SELECT CASE WHEN tp.doc_a IS NOT NULL AND ep.doc_a IS NOT NULL THEN 'both'
             WHEN tp.doc_a IS NOT NULL THEN 'text_only'
             ELSE 'embedding_only' END AS signal,
@@ -2822,80 +2894,6 @@ SELECT dim, min(scale) AS scale, count(*) AS n_vals,
 FROM erred GROUP BY dim""",
     ("similarity", "quantization", "storage"),
 )
-
-
-def _semdedup_pairs_ctes() -> str:
-    """Shared SemDeDup CTE chain (seeded Lloyd unroll → final
-    assignments ``af`` → within-cell pairs ≥ NEAR_DUP_COSINE as
-    ``pairs``), composed by both the semdedup oracle and the
-    dedup-ladder rung-4 oracle."""
-    from storm_data_etl_service_spark.operators.similarity import (
-        EMBEDDING_DIM,
-        KMEANS_ITERS,
-        KMEANS_K,
-        NEAR_DUP_COSINE,
-    )
-
-    n = EMBEDDING_DIM
-
-    def l2(a: str, b: str) -> str:
-        return (
-            f"list_reduce(list_transform(generate_series(1, {n}),"
-            f" i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])), (x,y) -> x+y)"
-        )
-
-    def assign(cent: str) -> str:
-        return f"""SELECT vec_id, v, cid FROM (
-  SELECT e.vec_id, e.v, c.cid,
-    row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY {l2('e.v', 'c.cv')}, c.cid) AS rk
-  FROM e, {cent} c) WHERE rk = 1"""
-
-    def update(best: str) -> str:
-        return f"""SELECT cid, list(m ORDER BY pos) AS cv FROM (
-  SELECT cid, pos,
-    list_reduce(list(val ORDER BY vec_id), (x,y) -> x+y) / count(*) AS m
-  FROM (SELECT cid, vec_id, r.pos AS pos, v[r.pos] AS val
-        FROM {best}, range(1, {n + 1}) r(pos))
-  GROUP BY cid, pos) GROUP BY cid"""
-
-    ctes = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"c0 AS (SELECT cast(vec_id AS INTEGER) AS cid, v AS cv FROM e"
-        f" WHERE vec_id < {KMEANS_K})",
-    ]
-    for i in range(KMEANS_ITERS):
-        ctes.append(f"a{i} AS ({assign(f'c{i}')})")
-        ctes.append(f"c{i + 1} AS ({update(f'a{i}')})")
-    ctes += [
-        f"af AS ({assign(f'c{KMEANS_ITERS}')})",
-        f"""pairs AS (
-  SELECT cid, id_a, id_b, cos FROM (
-    SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
-      {_COSINE_SQL.format(a='a.v', b='b.v')} AS cos
-    FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id)
-  WHERE cos >= {NEAR_DUP_COSINE})""",
-    ]
-    return ",\n".join(ctes)
-
-
-def _semdedup_pairs_oracle() -> str:
-    """SemDeDup pair list: the shared CTE chain projected to pairs."""
-    return f"""WITH {_semdedup_pairs_ctes()}
-SELECT cid, id_a, id_b, cos FROM pairs"""
-
-
-def _semdedup_oracle() -> str:
-    """SemDeDup unrolled: the same seeded k-means CTE chain as the IVF
-    oracle, then within-cell pairs above NEAR_DUP_COSINE and the
-    min-id-wins keep flag."""
-    return f"""WITH {_semdedup_pairs_ctes()},
-evidence AS (
-  SELECT id_b AS vec_id, min(id_a) AS dup_of, max(cos) AS max_cos
-  FROM pairs GROUP BY id_b)
-SELECT af.vec_id, af.cid, ev.dup_of, ev.max_cos,
-       ev.dup_of IS NULL AS kept
-FROM af LEFT JOIN evidence ev ON af.vec_id = ev.vec_id"""
 
 
 REGISTRY["semdedup"] = QuerySpec(
