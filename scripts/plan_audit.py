@@ -86,7 +86,8 @@ BNLJ_JUSTIFIED = {
     #     the LSH/IVF/PQ entries above are the scale path.
     "ann_cosine_topk": "bounded query-set broadcast — brute-force oracle baseline; ann_lsh/ivf/pq are the scale path",
     "embedding_near_dup": "all-pairs cosine baseline, documented n^2/2 oracle anchor; dedup_minhash_lsh is the scale path",
-    "crossmodal_dedup_agreement": "pairwise cosine over the bounded agreement sample",
+    "semdedup_pairs": "K-row k-means centroid table (fixed K) + 1-row scalars",
+    "crossmodal_dedup_agreement": "K-row centroid broadcast (semdedup side) + 1-row scalars",
 }
 
 

@@ -205,10 +205,13 @@ def run_bench(sf_dir: str, queries: list[str] | None = None) -> dict:
 FLAG_NOTES = {
     "semdedup": (
         "fixed-K artifact: with K centroids held constant (the oracle "
-        "bakes K into the unrolled k-means), per-cell pair scans grow "
-        "as n²/K.  The production knob is K ∝ n (constant cell size), "
-        "which restores linearity — documented in the operator "
-        "docstring; the fixed-K entry is the determinism-checked form."
+        "bakes K into the unrolled k-means), per-cell pair work grows "
+        "as n²/K — though the blocked Arrow pair kernel cut the "
+        "constant ~14× (96 → 7 s at sf1.6).  The production knob is "
+        "K ∝ n (constant cell size), which restores linearity — "
+        "semdedup_auto_k, measured near-linear in "
+        "tests/test_training_ops.py; the fixed-K entry is the "
+        "determinism-checked form."
     ),
     "dedup_jaccard_prefix_join": (
         "output-bound on the SHUFFLED corpus: the per-replica hash-sort "

@@ -35,9 +35,10 @@ EXCLUDE = {
     "fuzzy_neardup_distance": "pairwise Levenshtein oracle",
     "duplicated_span_report": "per-doc span list_transform oracle at 80k docs",
     "embedding_near_dup": "n^2/2 cosine oracle (0.5B pairs)",
-    "crossmodal_dedup_agreement": "pairwise cosine oracle",
-    "dedup_ladder_report": "unions the quadratic rung oracles",
+    "crossmodal_dedup_agreement": "naive all-shingles Jaccard + unrolled-Lloyd semdedup oracle",
+    "dedup_ladder_report": "unions the df^2 Jaccard and unrolled-Lloyd rung oracles",
     "semdedup": "unrolled Lloyd iterations over 32k vectors in SQL",
+    "semdedup_pairs": "same unrolled-Lloyd oracle as semdedup",
     "dedup_minhash_lsh": "12-permutation signature rebuild over 3.6M shingles in SQL",
     "dedup_incremental_minhash": "same signature rebuild",
     "dedup_simhash": "64-bit signature rebuild oracle",

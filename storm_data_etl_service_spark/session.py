@@ -78,6 +78,14 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
+    # Adversarial/ablation overrides without touching call sites:
+    # SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies LAST, so a config-
+    # independence sweep (NO_CODEGEN, AQE off, broadcast off, odd
+    # partition counts) can flip engine strategy from the environment.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, (s.strip() for s in env_conf.split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -61,6 +61,15 @@ INTENTIONAL_PYTHON_OPS = [
     "heavy_hitter_bigrams",
     "token_spans_udtf",
     "user_resequence_pandas",
+    # SemDeDup's blocked within-cell pair kernel (_cell_pairs_kernel):
+    # vectorized across pairs, per-scalar fold order bit-identical to
+    # the Column/DuckDB twin; avoids materializing pair rows with both
+    # vectors in the cid shuffle.  Present in every consumer of
+    # semdedup_pairs.
+    "semdedup",
+    "semdedup_pairs",
+    "crossmodal_dedup_agreement",
+    "dedup_ladder_report",
 ]
 
 

@@ -578,6 +578,53 @@ def test_semdedup_evidence_is_true_neardup_subset(spark, sf_dir):
         assert (r["dup_of"], r["vec_id"]) in exact
 
 
+def test_cell_pairs_kernel_bitwise_matches_column_cosine(spark):
+    """The blocked Arrow pair kernel must produce BIT-IDENTICAL cosines
+    to the Column-expression fold (`cosine` = F.aggregate zip_with fold
+    with acc0=0.0) — the contract that keeps semdedup oracle-hashable —
+    including when the cell spans multiple blocks, and must emit
+    exactly the upper-triangle pairs above threshold."""
+    import numpy as np
+    import pandas as pd
+
+    from storm_data_etl_service_spark.operators import similarity as S
+
+    rng = np.random.default_rng(11)
+    m, d = 37, 16
+    vecs = rng.uniform(-1, 1, size=(m, d)).round(4)
+    # shuffled ids to exercise the kernel's id sort
+    ids = rng.permutation(np.arange(100, 100 + m)).astype(np.int64)
+    pdf = pd.DataFrame(
+        {"cid": 3, "vec_id": ids, "v": [row.tolist() for row in vecs]}
+    )
+    thr = 0.2
+    # reference: Column-expression cosine over all id_a < id_b pairs
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, v array<double>",
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    ref = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", S.cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= thr)
+        .collect()
+    }
+    for block in (4, 8, 1024):  # force multi-block and single-block paths
+        out = S._cell_pairs_kernel(threshold=thr, block=block)(pdf)
+        got = {
+            (r.id_a, r.id_b): r.cos for r in out.itertuples(index=False)
+        }
+        assert set(got) == set(ref), f"pair set mismatch at block={block}"
+        for k in ref:
+            # bitwise equality, not approx — the oracle hash demands it
+            assert got[k] == ref[k] and np.float64(got[k]).tobytes() == np.float64(ref[k]).tobytes(), (
+                k, got[k], ref[k], block)
+        assert all(ia < ib for ia, ib in got)
+
+
 def test_semdedup_auto_k_scales_near_linearly(spark):
     """The K ∝ n knob must turn SemDeDup's quadratic pair work into
     near-linear: measured as the DETERMINISTIC candidate-pair count
