@@ -224,6 +224,14 @@ FLAG_NOTES = {
         "output-bound on the shuffled corpus for the same reason as the "
         "prefix join; see the natural-density corpus exponent below."
     ),
+    "dedup_ladder_report": (
+        "inherits rung 2's output-bound growth on the shuffled corpus "
+        "(the PPJoin prefix join above).  All four rungs are the "
+        "scale-path operators — the natural-density corpus exponent "
+        "below (0.83) measures the plan itself.  An earlier form that "
+        "composed the quadratic baselines measured exponent 2.0 "
+        "(1204 s at sf1.6)."
+    ),
 }
 
 #: Dedup rungs re-timed on the natural-density corpus, where

@@ -401,10 +401,14 @@ def test_crossmodal_agreement_accounts_for_both_signals(t):
 
     out = {r["signal"]: r["n_pairs"] for r in D.crossmodal_dedup_agreement(t).collect()}
     assert set(out) <= {"both", "text_only", "embedding_only"}
+    # text side = prefix join (bit-identical to the naive all-pairs
+    # set); embedding side = SemDeDup within-cell pairs, a subset of
+    # the exact n^2 scan
     n_text = D.dedup_ngram_jaccard(t).count()
-    n_emb = S.embedding_near_dup(t).count()
+    n_emb = S.semdedup_pairs(t).count()
     assert out.get("both", 0) + out.get("text_only", 0) == n_text
     assert out.get("both", 0) + out.get("embedding_only", 0) == n_emb
+    assert n_emb <= S.embedding_near_dup(t).count()
 
 
 def test_segmented_running_total_resets_at_signup(t):
