@@ -3566,17 +3566,20 @@ _PRIORITY_WINDOW = [
     # TPC-H shapes (broadcast dims, semi/anti self-joins)
     "tpch_q1_pricing_summary", "tpch_q3_top_revenue_orders",
     "tpch_q21_waiting_suppliers",
-    # multi-dim aggregation + sketches
-    "rollup_agg", "cube_agg", "pivot_agg",
-    "distinct_counts", "approx_distinct_counts", "percentile_summary",
+    # multi-dim aggregation + sketches (rollup/cube/pivot and the
+    # distinct/percentile basics rotated out after two driver-green
+    # rounds; still swept by CORRECTNESS_FULL at 4 configs + 3 SFs)
+    "approx_distinct_counts",
     # analytics / skew / funnel
     "funnel_conversion", "salted_group_sum",
     # curation + text
     "dataset_split_assign", "text_scrub_pii", "ngram_counts",
     "corpus_curation_pipeline",
-    # dedup ladder
-    "dedup_exact", "dedup_minhash_lsh", "dedup_incremental_minhash",
-    "semdedup",
+    # dedup ladder — round 3's scale-path rework, rung by rung
+    "dedup_exact", "dedup_jaccard_prefix_join", "dedup_minhash_lsh",
+    "dedup_incremental_minhash", "semdedup", "semdedup_pairs",
+    "dedup_ladder_report", "crossmodal_dedup_agreement",
+    "fuzzy_neardup_distance",
     # ANN family
     "ann_lsh_search", "ann_ivf_search", "ann_pq_search",
     # multimodal
