@@ -349,25 +349,51 @@ def test_rfm_segments_cover_all_customers(t):
     assert bad == 0
 
 
-def test_triangle_census_on_hand_graph(spark, t):
-    """K4 minus one edge = 2 triangles; verify per-node membership via
-    the same join shape used by neardup_triangle_count."""
+def _brute_triangles(edges):
+    """Reference per-node triangle counts by direct wedge closure."""
+    import itertools
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for u in adj:
+        c = sum(1 for x, y in itertools.combinations(adj[u], 2) if y in adj[x])
+        if c:
+            out[u] = c
+    return out
+
+
+def test_triangle_census_on_hand_graphs(spark, t):
+    """The twin-contraction census must equal brute-force wedge
+    closure on graphs exercising every formula term: within-class
+    pairs (cliques), class-to-neighbor pairs, pairs inside one
+    neighbor class, and genuine three-class quotient triangles."""
     from storm_data_etl_service_spark.operators import graph as G
 
-    e = spark.createDataFrame(
-        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "doc_a long, doc_b long"
+    cases = {
+        "k4_minus_edge": [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)],
+        "k5_single_class": [(a, b) for a in range(1, 6) for b in range(a + 1, 6)],
+        "k4_plus_pendant": [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)],
+        "two_cliques_bridge": [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "triangle_free_path": [(1, 2), (2, 3), (3, 4), (4, 5)],
+    }
+    import random
+
+    rng = random.Random(7)
+    cases["random_50"] = sorted(
+        {
+            (min(a, b), max(a, b))
+            for _ in range(300)
+            for a, b in [(rng.randint(1, 50), rng.randint(1, 50))]
+            if a != b
+        }
     )
-    # inline the op's join shape against a custom edge list
-    ab = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    bc = e.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
-    ac = e.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
-    tri = (
-        ab.join(bc, F.col("b") == F.col("b2"))
-        .join(ac, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")), "left_semi")
-        .select("a", "b", "c")
-    )
-    triangles = {tuple(r) for r in tri.collect()}
-    assert triangles == {(1, 2, 3), (1, 2, 4)}
+    for name, edges in cases.items():
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r["doc_id"]: r["n_triangles"] for r in G.triangle_census(df).collect()}
+        assert got == _brute_triangles(edges), name
     # and the registry op runs end-to-end on real tables
     out = G.neardup_triangle_count(t)
     assert out.filter("n_triangles <= 0").count() == 0
