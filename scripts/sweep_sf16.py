@@ -26,6 +26,7 @@ EXCLUDE = {
     "neardup_components_sql": "same, plus Spark UNION ALL walk explosion (documented)",
     "pagerank_neardup": "unrolled-CTE oracle over the dense pair graph",
     "neardup_triangle_count": "pair-graph triangle census oracle",
+    "neardup_triangle_estimate": "sampled pair-graph triangle oracle (wedge join on kept edges)",
     "neardup_cluster_representative": "depends on components oracle",
     "neardup_source_overlap": "pair-graph oracle",
     "minhash_accuracy_report": "exact pairwise Jaccard oracle (df^2)",

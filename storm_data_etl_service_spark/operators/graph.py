@@ -309,6 +309,51 @@ def triangle_census(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") ->
     )
 
 
+def neardup_triangle_estimate(t, sample_mod: int = 4) -> DataFrame:
+    """DOULION-style sampled triangle estimate of the near-dup
+    candidate graph (Tsourakakis et al., KDD'09): keep each candidate
+    edge with probability p = 1/sample_mod, census the sampled graph
+    EXACTLY (twin contraction, see ``triangle_census``), scale the
+    closed-triple total by 1/p³.  Each triangle survives with p³, so
+    the estimate is unbiased; one row out:
+    (sample_mod, n_edges_kept, n_tri_sampled, est_triangles).
+
+    This is the documented scale path for DEGENERATE pair densities
+    where even the contracted exact census is wedge-bound (the
+    shuffled sf1.6 corpus: 2.7e9 quotient wedges) — sampling cuts
+    wedge work by p², so mod=4 is a 16× cheaper census with a
+    variance bound from the paper.  The "sampling" is a deterministic
+    residue over the pair ids, not an RNG, so the same edges are kept
+    on every engine and the estimate is oracle-checkable end-to-end;
+    a production variant would swap in xxhash64(doc_a, doc_b) —
+    residue classes of sequential ids are already equidistributed for
+    this diagnostic."""
+    from storm_data_etl_service_spark.operators.dedup import dedup_minhash_lsh
+
+    e = dedup_minhash_lsh(t).select("doc_a", "doc_b")
+    kept = e.filter(
+        F.pmod(F.col("doc_a") * 40503 + F.col("doc_b") * 69061, F.lit(sample_mod)) == 0
+    )
+    census = triangle_census(kept, "doc_a", "doc_b")
+    totals = census.agg(
+        F.coalesce((F.sum("n_triangles") / 3).cast("long"), F.lit(0).cast("long")).alias(
+            "n_tri_sampled"
+        )
+    )
+    return (
+        kept.agg(F.count("*").alias("n_edges_kept"))
+        .crossJoin(totals)  # 1-row x 1-row
+        .select(
+            F.lit(sample_mod).cast("long").alias("sample_mod"),
+            "n_edges_kept",
+            "n_tri_sampled",
+            (F.col("n_tri_sampled") * F.lit(sample_mod**3).cast("long")).alias(
+                "est_triangles"
+            ),
+        )
+    )
+
+
 def neardup_triangle_count(t) -> DataFrame:
     """Triangle census of the near-dup candidate graph: the number of
     closed triples through each document — triangles mean mutually-

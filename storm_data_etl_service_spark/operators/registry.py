@@ -2445,6 +2445,33 @@ REGISTRY["neardup_triangle_count"] = QuerySpec(
 )
 
 
+def _triangle_estimate_oracle(mod: int = 4) -> str:
+    """DOULION sampled estimate: same deterministic residue sample,
+    wedge-join enumeration on the kept edges, 1/p^3 scale-up."""
+    return f"""WITH pairs AS (
+{_minhash_oracle()}),
+kept AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE (doc_a * 40503 + doc_b * 69061) % {mod} = 0),
+tri AS (
+  SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+  FROM kept ab
+  JOIN kept bc ON ab.doc_b = bc.doc_a
+  WHERE EXISTS (SELECT 1 FROM kept ac
+                WHERE ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b))
+SELECT CAST({mod} AS BIGINT) AS sample_mod,
+  (SELECT count(*) FROM kept) AS n_edges_kept,
+  (SELECT count(*) FROM tri) AS n_tri_sampled,
+  (SELECT count(*) FROM tri) * CAST({mod ** 3} AS BIGINT) AS est_triangles"""
+
+
+REGISTRY["neardup_triangle_estimate"] = QuerySpec(
+    _t(G.neardup_triangle_estimate),
+    _triangle_estimate_oracle(),
+    ("graph", "triangles", "sampled"),
+)
+
+
 def _power_iteration_oracle() -> str:
     """The power-iteration rounds unrolled into SQL, fixed-point
     arithmetic identical to the Spark loop (exact BIGINT dot folds,

@@ -399,6 +399,32 @@ def test_triangle_census_on_hand_graphs(spark, t):
     assert out.filter("n_triangles <= 0").count() == 0
 
 
+def test_triangle_estimate_doulion_contract(t):
+    """sample_mod=1 keeps every edge, so the 'estimate' must equal the
+    exact census total; the default sampled form must reproduce the
+    deterministic residue sample's exact sampled count times 1/p^3."""
+    from storm_data_etl_service_spark.operators import graph as G
+    from storm_data_etl_service_spark.operators.dedup import dedup_minhash_lsh
+
+    exact_total = (
+        G.neardup_triangle_count(t).agg(F.sum("n_triangles")).first()[0] or 0
+    ) // 3
+    full = G.neardup_triangle_estimate(t, sample_mod=1).first()
+    assert full["est_triangles"] == exact_total
+    assert full["n_edges_kept"] == dedup_minhash_lsh(t).count()
+
+    sampled = G.neardup_triangle_estimate(t).first()
+    edges = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh(t).collect()
+        if (r["doc_a"] * 40503 + r["doc_b"] * 69061) % 4 == 0
+    ]
+    brute_total = sum(_brute_triangles(edges).values()) // 3
+    assert sampled["n_edges_kept"] == len(edges)
+    assert sampled["n_tri_sampled"] == brute_total
+    assert sampled["est_triangles"] == brute_total * 64
+
+
 def test_power_iteration_aligns_with_numpy(t):
     import numpy as np
 
