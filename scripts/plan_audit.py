@@ -40,6 +40,7 @@ BNLJ_JUSTIFIED = {
     #     point): a single-row build side is a map-side operation at
     #     any scale, not a nested loop over data.
     "funnel_conversion": "1-row step-count aggregate joined to itself",
+    "neardup_triangle_estimate": "1-row kept-edge count x 1-row sampled-census total",
     "tfidf_top_terms": "1-row corpus-size scalar",
     "bigram_surprisal_scores": "1-row vocab-size scalar",
     "tpch_q22_idle_customers": "1-row average-balance scalar",
