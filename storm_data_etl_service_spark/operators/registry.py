@@ -3607,12 +3607,16 @@ _PRIORITY_WINDOW = [
     "dedup_incremental_minhash", "semdedup", "semdedup_pairs",
     "dedup_ladder_report", "crossmodal_dedup_agreement",
     "fuzzy_neardup_distance",
+    # graph census — round 3's twin-contraction rewrite + DOULION
+    # sampled estimate
+    "neardup_triangle_count", "neardup_triangle_estimate",
     # ANN family
     "ann_lsh_search", "ann_ivf_search", "ann_pq_search",
     # multimodal
     "multimodal_decode_stats", "image_resize_stats",
-    # streaming-window semantics (batch twins)
-    "tumbling_window_agg", "session_window_agg",
+    # streaming-window semantics (batch twins; rotated out after two
+    # driver-green rounds — still swept by CORRECTNESS_FULL at 4
+    # configs + 3 SFs): tumbling_window_agg, session_window_agg
 ]
 assert len(_PRIORITY_WINDOW) == 50, len(_PRIORITY_WINDOW)
 _missing = [n for n in _PRIORITY_WINDOW if n not in REGISTRY]
