@@ -399,6 +399,60 @@ def test_triangle_census_on_hand_graphs(spark, t):
     assert out.filter("n_triangles <= 0").count() == 0
 
 
+def test_triangle_census_property_batch(spark):
+    """Property check over 12 structurally varied seeded graphs —
+    sparse/medium/dense random, wheels, shared-vertex cliques,
+    triangle-free bipartite — censused in ONE Spark pass (disjoint
+    node-id ranges keep the per-graph counts independent) and each
+    compared to brute-force wedge closure."""
+    import random
+
+    from storm_data_etl_service_spark.operators import graph as G
+
+    graphs = {}
+    for gi, (n, p) in enumerate(
+        [(12, 0.1), (20, 0.2), (30, 0.3), (15, 0.6), (25, 0.9), (40, 0.15)]
+    ):
+        rng = random.Random(100 + gi)
+        graphs[gi] = [
+            (a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < p
+        ]
+    # wheel: hub 0 + rim cycle (every rim edge closes with the hub)
+    graphs[6] = [(0, r) for r in range(1, 9)] + [
+        (min(r, r % 8 + 1), max(r, r % 8 + 1)) for r in range(1, 9)
+    ]
+    # two K5s sharing vertex 0
+    graphs[7] = [(a, b) for a in range(5) for b in range(a + 1, 5)] + [
+        (0, b) for b in range(5, 9)
+    ] + [(a, b) for a in range(5, 9) for b in range(a + 1, 9)]
+    # complete bipartite K4,4 — many wedges, zero triangles
+    graphs[8] = [(a, b) for a in range(4) for b in range(4, 8)]
+    # path + pendant cliques at both ends
+    graphs[9] = [(0, 1), (1, 2), (2, 3)] + [(3, 4), (3, 5), (4, 5)] + [
+        (0, 6), (0, 7), (6, 7)
+    ]
+    # perfect twins: 3 groups of 4 identical-role nodes, groups fully joined
+    graphs[10] = [
+        (a, b)
+        for a in range(12)
+        for b in range(a + 1, 12)
+        if a // 4 != b // 4 or a // 4 == 0
+    ]
+    # empty-ish: single edge, no triangles
+    graphs[11] = [(0, 1)]
+
+    off = 1000
+    rows = [
+        (gi * off + a, gi * off + b) for gi, es in graphs.items() for a, b in es
+    ]
+    df = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    got = {}
+    for r in G.triangle_census(df).collect():
+        got.setdefault(r["doc_id"] // off, {})[r["doc_id"] % off] = r["n_triangles"]
+    for gi, es in graphs.items():
+        assert got.get(gi, {}) == _brute_triangles(es), f"graph {gi}"
+
+
 def test_triangle_estimate_doulion_contract(t):
     """sample_mod=1 keeps every edge, so the 'estimate' must equal the
     exact census total; the default sampled form must reproduce the
