@@ -212,10 +212,18 @@ def triangle_census(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") ->
 
     Distributed shape: one groupBy to build closed neighborhoods, one
     groupBy on the (exact, not hashed) neighborhood array to form
-    classes, two broadcast joins to map edges onto classes, then the
-    x<y<z two-join enumeration on the quotient; class weights are a
-    broadcast dimension.  No step carries more than O(E) rows except
-    quotient wedges, which is the quantity contraction minimizes."""
+    classes, equi-joins to map edges onto classes, then the x<y<z
+    two-join enumeration on the quotient.  The neighborhood-array
+    shuffle is NOT a blowup: the arrays total 2E+V elements — the same
+    order as the pair list that produced them.  The node→class and
+    class-weight relations are node-cardinality, so they carry no
+    broadcast hints — AQE broadcasts them when they fit (it does at
+    every tested scale) and falls back to shuffle joins when a
+    billion-node pair graph wouldn't; no step carries more than O(E)
+    rows except quotient wedges, which is the quantity contraction
+    minimizes.  Input must be a simple graph (each undirected pair
+    once, no self-loops) — exactly the ``dedup_minhash_lsh`` contract;
+    duplicate edges would inflate the counts."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     closed = (
@@ -232,14 +240,8 @@ def triangle_census(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") ->
     weights = cls_map.select("cls", "w")
 
     qe = (
-        e.join(
-            F.broadcast(node_cls.select(F.col("node").alias("a"), F.col("cls").alias("ca"))),
-            "a",
-        )
-        .join(
-            F.broadcast(node_cls.select(F.col("node").alias("b"), F.col("cls").alias("cb"))),
-            "b",
-        )
+        e.join(node_cls.select(F.col("node").alias("a"), F.col("cls").alias("ca")), "a")
+        .join(node_cls.select(F.col("node").alias("b"), F.col("cls").alias("cb")), "b")
         .filter(F.col("ca") != F.col("cb"))
         .select(F.least("ca", "cb").alias("qa"), F.greatest("ca", "cb").alias("qb"))
         .distinct()
@@ -248,7 +250,7 @@ def triangle_census(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") ->
     # weighted neighbor sums over the quotient: s = Σ w_B, s2 = Σ C(w_B, 2)
     qsym = qe.union(qe.select(F.col("qb").alias("qa"), F.col("qa").alias("qb")))
     nbr_sums = (
-        qsym.join(F.broadcast(weights.select(F.col("cls").alias("qb"), "w")), "qb")
+        qsym.join(weights.select(F.col("cls").alias("qb"), "w"), "qb")
         .groupBy(F.col("qa").alias("cls"))
         .agg(
             F.sum("w").alias("s"),
@@ -269,9 +271,9 @@ def triangle_census(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") ->
         .select("x", "y", "z")
     )
     wj = (
-        tri.join(F.broadcast(weights.select(F.col("cls").alias("x"), F.col("w").alias("wx"))), "x")
-        .join(F.broadcast(weights.select(F.col("cls").alias("y"), F.col("w").alias("wy"))), "y")
-        .join(F.broadcast(weights.select(F.col("cls").alias("z"), F.col("w").alias("wz"))), "z")
+        tri.join(weights.select(F.col("cls").alias("x"), F.col("w").alias("wx")), "x")
+        .join(weights.select(F.col("cls").alias("y"), F.col("w").alias("wy")), "y")
+        .join(weights.select(F.col("cls").alias("z"), F.col("w").alias("wz")), "z")
     )
     tri3 = (
         wj.select(
@@ -304,7 +306,7 @@ def triangle_census(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") ->
         )
         .filter(F.col("n_triangles") > 0)
     )
-    return node_cls.join(F.broadcast(per_cls), "cls").select(
+    return node_cls.join(per_cls, "cls").select(
         F.col("node").alias("doc_id"), "n_triangles"
     )
 
