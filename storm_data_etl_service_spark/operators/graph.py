@@ -34,6 +34,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Both orientations of an undirected edge list as (u, v), deduped
+    — the shared adjacency form every graph op here starts from.
+    Lineage is cut because every consumer iterates or multi-references
+    it."""
+    return (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -48,12 +61,7 @@ def connected_components(
     pathological diameter and the caller should switch to the
     large-star/small-star variant rather than silently mislabel.
     """
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        .localCheckpoint()
-    )
+    sym = _symmetrize(edges, src, dst)
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     ).localCheckpoint()
@@ -134,14 +142,14 @@ def pagerank(
     """
     import math
 
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        .localCheckpoint()
-    )
-    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
+    sym = _symmetrize(edges, src, dst)
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("deg")
+    ).localCheckpoint()  # cut lineage: every round's action re-reads deg
     n_nodes = deg.count()
+    if n_nodes == 0:
+        # empty candidate graph: no ranks to compute (1/n is undefined)
+        return deg.select("node", "deg", F.lit(0.0).alias("rank"))
     base = (1.0 - damping) / n_nodes
     init = math.floor((1.0 / n_nodes) * 1e9) / 1e9
     ranks = deg.select("node", "deg", F.lit(init).alias("rank"))
@@ -221,9 +229,12 @@ def triangle_census(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") ->
     every tested scale) and falls back to shuffle joins when a
     billion-node pair graph wouldn't; no step carries more than O(E)
     rows except quotient wedges, which is the quantity contraction
-    minimizes.  Input must be a simple graph (each undirected pair
-    once, no self-loops) — exactly the ``dedup_minhash_lsh`` contract;
-    duplicate edges would inflate the counts."""
+    minimizes.  Robust to duplicate or doubly-oriented input edges
+    (``collect_set`` builds the neighborhoods and the quotient edge
+    list is ``distinct``) and to self-loops (a node is in its own
+    CLOSED neighborhood by definition, and same-class pairs are
+    filtered) — no pre-dedup pass is needed on multigraph-ish pair
+    sources."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     closed = (
@@ -324,18 +335,34 @@ def neardup_triangle_estimate(t, sample_mod: int = 4) -> DataFrame:
     where even the contracted exact census is wedge-bound (the
     shuffled sf1.6 corpus: 2.7e9 quotient wedges) — sampling cuts
     wedge work by p², so mod=4 is a 16× cheaper census with a
-    variance bound from the paper.  The "sampling" is a deterministic
-    residue over the pair ids, not an RNG, so the same edges are kept
-    on every engine and the estimate is oracle-checkable end-to-end;
-    a production variant would swap in xxhash64(doc_a, doc_b) —
-    residue classes of sequential ids are already equidistributed for
-    this diagnostic."""
+    variance bound from the paper.  The "sampling" is deterministic —
+    keep an edge iff the first hex nibble of ``md5("a|b")`` falls in
+    the lowest ``16/sample_mod`` values — so the same edges are kept
+    on every engine (Spark and DuckDB emit identical md5 hex) and the
+    estimate is oracle-checkable end-to-end, while md5's PRF quality
+    makes the per-edge keep events independent, which p³ triangle
+    survival REQUIRES.  A linear residue over the pair ids does NOT
+    work: for any α·a+β·b ≡ 0 (mod m) rule, two of a triangle's keep
+    events force β·(y−z) ≡ 0 for the third, so survival degenerates
+    to ~p² and the 1/p³ scale-up overestimates by ~m× — a bias the
+    oracle would mirror and never catch (caught in review, verified
+    by the mod-4 arithmetic: 40503+69061 ≡ 0 (mod 4))."""
     from storm_data_etl_service_spark.operators.dedup import dedup_minhash_lsh
 
+    if sample_mod not in (1, 2, 4, 8, 16):
+        raise ValueError("sample_mod must divide 16 (one md5 hex nibble)")
+    allowed = "0123456789abcdef"[: 16 // sample_mod]
     e = dedup_minhash_lsh(t).select("doc_a", "doc_b")
-    kept = e.filter(
-        F.pmod(F.col("doc_a") * 40503 + F.col("doc_b") * 69061, F.lit(sample_mod)) == 0
+    nibble = F.substring(
+        F.md5(
+            F.concat_ws(
+                "|", F.col("doc_a").cast("string"), F.col("doc_b").cast("string")
+            )
+        ),
+        1,
+        1,
     )
+    kept = e.filter(nibble.isin(*allowed))
     census = triangle_census(kept, "doc_a", "doc_b")
     totals = census.agg(
         F.coalesce((F.sum("n_triangles") / 3).cast("long"), F.lit(0).cast("long")).alias(
@@ -520,7 +547,9 @@ def sql_cc_depth_headroom(spark, t, depth_bound: int = SQL_CC_MAX_DEPTH) -> int:
     seen at depth d < bound had its successors expanded (at d+1 ≤
     bound), so if NO pair is first discovered at the cap itself, the
     (node, label) closure is complete and the component labels are
-    exact.  Assert ``headroom < depth_bound`` in tests at each SF."""
+    exact.  Assert ``headroom < depth_bound`` in tests at each SF.
+    An empty pair graph converges trivially — returns 0 (max over
+    zero rows binds SQL NULL, which would break the assertion)."""
     from storm_data_etl_service_spark.operators.dedup import dedup_minhash_lsh
 
     dedup_minhash_lsh(t).createOrReplaceTempView("lsh_pairs_for_sql_cc")
@@ -528,7 +557,7 @@ def sql_cc_depth_headroom(spark, t, depth_bound: int = SQL_CC_MAX_DEPTH) -> int:
         row = spark.sql(
             _sql_cc_reach_cte(depth_bound)
             + """
-SELECT max(first_depth) AS max_first_depth FROM (
+SELECT coalesce(max(first_depth), 0) AS max_first_depth FROM (
   SELECT node, label, min(depth) AS first_depth
   FROM reach GROUP BY node, label)"""
         ).first()

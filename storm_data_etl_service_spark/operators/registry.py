@@ -2446,13 +2446,17 @@ REGISTRY["neardup_triangle_count"] = QuerySpec(
 
 
 def _triangle_estimate_oracle(mod: int = 4) -> str:
-    """DOULION sampled estimate: same deterministic residue sample,
-    wedge-join enumeration on the kept edges, 1/p^3 scale-up."""
+    """DOULION sampled estimate: same deterministic md5-nibble edge
+    sample (PRF keep events — a linear residue rule degenerates to
+    ~p² triangle survival, see the operator docstring), wedge-join
+    enumeration on the kept edges, 1/p^3 scale-up."""
+    allowed = ", ".join(f"'{c}'" for c in "0123456789abcdef"[: 16 // mod])
     return f"""WITH pairs AS (
 {_minhash_oracle()}),
 kept AS (
   SELECT doc_a, doc_b FROM pairs
-  WHERE (doc_a * 40503 + doc_b * 69061) % {mod} = 0),
+  WHERE substr(md5(CAST(doc_a AS VARCHAR) || '|' || CAST(doc_b AS VARCHAR)), 1, 1)
+        IN ({allowed})),
 tri AS (
   SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
   FROM kept ab

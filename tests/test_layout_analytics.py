@@ -453,6 +453,53 @@ def test_triangle_census_property_batch(spark):
         assert got.get(gi, {}) == _brute_triangles(es), f"graph {gi}"
 
 
+def test_graph_ops_on_empty_and_multigraph_input(spark):
+    """pagerank must return an empty frame (not ZeroDivisionError) on
+    an empty edge list, and the census must be immune to duplicate /
+    doubly-oriented edges and self-loops."""
+    from storm_data_etl_service_spark.operators import graph as G
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = G.pagerank(empty, src="doc_a", dst="doc_b")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "deg", "rank"]
+    assert G.triangle_census(empty).count() == 0
+
+    clean = [(1, 2), (1, 3), (2, 3), (3, 4)]
+    messy = clean + [(2, 1), (1, 2), (3, 3), (4, 3)]
+    expected = _brute_triangles(clean)
+    df = spark.createDataFrame(messy, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["n_triangles"] for r in G.triangle_census(df).collect()}
+    assert got == expected
+
+
+def test_triangle_estimate_unbiased_on_planted_clique(spark):
+    """A K60 has C(60,3)=34220 triangles; the deterministic md5-nibble
+    sample must land the 1/p³-scaled estimate within 2x of truth.
+    This is the test that catches residue-rule degeneracy: any linear
+    keep rule makes triangle survival ~p² and the estimate ~4x high."""
+    import hashlib
+
+    from storm_data_etl_service_spark.operators import graph as G
+
+    n = 60
+    edges = [(a, b) for a in range(1, n + 1) for b in range(a + 1, n + 1)]
+    kept = [
+        (a, b)
+        for a, b in edges
+        if hashlib.md5(f"{a}|{b}".encode()).hexdigest()[0] in "0123"
+    ]
+    truth = n * (n - 1) * (n - 2) // 6
+    df = spark.createDataFrame(kept, "doc_a long, doc_b long")
+    sampled_tri = sum(_brute_triangles(kept).values()) // 3
+    census_tri = (
+        G.triangle_census(df).agg(F.sum("n_triangles")).first()[0] or 0
+    ) // 3
+    assert census_tri == sampled_tri
+    est = sampled_tri * 64
+    assert truth / 2 < est < truth * 2, (est, truth)
+
+
 def test_triangle_estimate_doulion_contract(t):
     """sample_mod=1 keeps every edge, so the 'estimate' must equal the
     exact census total; the default sampled form must reproduce the
@@ -467,11 +514,14 @@ def test_triangle_estimate_doulion_contract(t):
     assert full["est_triangles"] == exact_total
     assert full["n_edges_kept"] == dedup_minhash_lsh(t).count()
 
+    import hashlib
+
     sampled = G.neardup_triangle_estimate(t).first()
     edges = [
         (r["doc_a"], r["doc_b"])
         for r in dedup_minhash_lsh(t).collect()
-        if (r["doc_a"] * 40503 + r["doc_b"] * 69061) % 4 == 0
+        if hashlib.md5(f'{r["doc_a"]}|{r["doc_b"]}'.encode()).hexdigest()[0]
+        in "0123"
     ]
     brute_total = sum(_brute_triangles(edges).values()) // 3
     assert sampled["n_edges_kept"] == len(edges)
