@@ -745,3 +745,92 @@ def dedup_ladder_report(t) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+#: Bloom membership filter: m bits, k sha256-derived hash functions.
+#: Sized for the test SFs (n ≈ 1e5 set keys → kn/m ≈ 0.4, fp ≈ 1%);
+#: the production rule is m ≈ 14.4·n bits for ~0.35% fp at k = 4, or
+#: k = (m/n)·ln 2 when k is free.
+BLOOM_BITS = 1 << 20
+BLOOM_HASHES = 4
+
+
+def bloom_bit_positions(h: Column) -> Column:
+    """The k Bloom bit positions of a content key, as an array —
+    sha256-prefix hashes (the cms_token_frequencies idiom), so the
+    DuckDB oracle reproduces every position bit-for-bit."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.sha2(F.concat(F.lit(f"bloom{i}|"), h), 256), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % BLOOM_BITS
+            for i in range(BLOOM_HASHES)
+        ]
+    )
+
+
+def bloom_dedup_report(t) -> DataFrame:
+    """Bloom-filter membership pre-screen for incremental ingest: the
+    new batch (id-split as in ``dedup_incremental_minhash``) is probed
+    against a Bloom index built from the existing corpus's content
+    hashes, then audited against exact membership.  Per batch
+    document: ``bloom_hit`` (all k bits set), ``exact_hit`` (content
+    hash truly present), the reconciled ``verdict``
+    (dup / false_positive / new), and the Bloom invariant
+    ``no_false_negative`` (exact_hit ⇒ bloom_hit — structurally true,
+    emitted so the oracle re-derives rather than trusts it).
+
+    Why a third incremental rung beside the LSH index: the Bloom set
+    is O(m bits) regardless of corpus size — at 100 TB the whole
+    index is m/8 ≈ 128 KB·(m/2^20) as a bitmap aggregate, vs the
+    LSH index's O(corpus × bands) rows.  It answers only EXACT
+    membership, but answers it with a map-side broadcast test and
+    zero shuffle on the corpus — the cheap first gate before the
+    near-dup machinery pays its band-key shuffle.
+
+    Here the index is held as a (bit) relation and the probe is a
+    join on the bit position, keeping the sketch mergeable by plain
+    DISTINCT union (the same table-not-blob trade as
+    ``cms_token_frequencies``); a production deployment folds the
+    bit set into a bitmap via ``bit_or`` partials and broadcasts
+    m/8 bytes.  Batch-internal duplicates are out of scope by
+    construction (the index covers the corpus as of the batch
+    boundary); they are the first rung of ``dedup_ladder_report``.
+    """
+    docs = t["documents"].select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+    split = docs.agg(F.floor((F.max("doc_id") + 1) * INCREMENTAL_SPLIT).alias("t0"))
+    staged = docs.crossJoin(F.broadcast(split))
+    existing = staged.filter(F.col("doc_id") < F.col("t0"))
+    batch = staged.filter(F.col("doc_id") >= F.col("t0"))
+    index = (
+        existing.select(F.explode(bloom_bit_positions(F.col("h"))).alias("bit"))
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+    probes = batch.select(
+        "doc_id", "h", F.explode(bloom_bit_positions(F.col("h"))).alias("bit")
+    )
+    hits = (
+        probes.join(index, "bit", "left")
+        .groupBy("doc_id", "h")
+        .agg(F.count("_set").alias("n_set"))
+    )
+    seen = existing.select("h").distinct().withColumn("_seen", F.lit(True))
+    bloom_hit = F.col("n_set") == BLOOM_HASHES
+    exact_hit = F.coalesce(F.col("_seen"), F.lit(False))
+    return (
+        hits.join(seen, "h", "left")
+        .select(
+            "doc_id",
+            bloom_hit.alias("bloom_hit"),
+            exact_hit.alias("exact_hit"),
+            F.when(bloom_hit & exact_hit, F.lit("dup"))
+            .when(bloom_hit, F.lit("false_positive"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            (bloom_hit | ~exact_hit).alias("no_false_negative"),
+        )
+    )

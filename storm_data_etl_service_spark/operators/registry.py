@@ -3009,6 +3009,83 @@ FROM pairs, s WHERE doc_b >= t0""",
 )
 
 
+_QUALITY_WEIGHT_SQL = (
+    "((('0x' || substr(sha256('qw|' || "
+    "(('0x' || substr(sha256('qf|' || x), 1, 8))::BIGINT % 4096)"
+    "), 1, 8))::BIGINT % 17) - 8)"
+)
+
+REGISTRY["quality_linear_score"] = QuerySpec(
+    # Hashed-feature linear classifier: integer bucket weights are a
+    # pure sha256 function, so the oracle re-derives every logit.
+    _t(X.quality_linear_score),
+    rf"""WITH tl AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ts
+  FROM documents),
+fl AS (
+  SELECT doc_id,
+    list_concat(
+      ts,
+      list_transform(generate_series(1, len(ts) - 1),
+                     i -> ts[i] || ' ' || ts[i + 1])) AS feats
+  FROM tl),
+scored AS (
+  SELECT doc_id,
+    cast(len(feats) AS BIGINT) AS n_feats,
+    cast(coalesce(list_sum(
+      list_transform(feats, x -> {_QUALITY_WEIGHT_SQL})), 0) AS BIGINT)
+      AS logit
+  FROM fl)
+SELECT doc_id, n_feats, logit,
+  CASE WHEN n_feats > 0
+       THEN cast(logit AS DOUBLE) / n_feats ELSE 0.0 END AS quality_score,
+  CASE WHEN n_feats > 0 AND cast(logit AS DOUBLE) / n_feats >= 0.5 THEN 'keep'
+       WHEN n_feats > 0 AND cast(logit AS DOUBLE) / n_feats <= -0.5 THEN 'drop'
+       ELSE 'review' END AS verdict
+FROM scored""",
+    ("text", "quality", "classifier"),
+)
+
+
+REGISTRY["bloom_dedup_report"] = QuerySpec(
+    # The Bloom index is held as a (bit) relation of sha256-prefix
+    # positions, so the oracle rebuilds the whole filter bit-for-bit
+    # and re-derives every verdict, including the false positives.
+    _t(D.bloom_dedup_report),
+    f"""WITH docs AS (SELECT doc_id, sha256(text) AS h FROM documents),
+s AS (SELECT cast(floor((max(doc_id) + 1) * {D.INCREMENTAL_SPLIT}) AS BIGINT)
+        AS t0 FROM docs),
+existing AS (SELECT doc_id, h FROM docs, s WHERE doc_id < t0),
+batch AS (SELECT doc_id, h FROM docs, s WHERE doc_id >= t0),
+ks AS (SELECT unnest([{", ".join(str(i) for i in range(D.BLOOM_HASHES))}]) AS i),
+idx AS (
+  SELECT DISTINCT
+    ('0x' || substr(sha256('bloom' || i || '|' || h), 1, 8))::BIGINT
+      % {D.BLOOM_BITS} AS bit
+  FROM existing CROSS JOIN ks),
+probes AS (
+  SELECT doc_id, h,
+    ('0x' || substr(sha256('bloom' || i || '|' || h), 1, 8))::BIGINT
+      % {D.BLOOM_BITS} AS bit
+  FROM batch CROSS JOIN ks),
+hits AS (
+  SELECT p.doc_id, p.h, count(idx.bit) AS n_set
+  FROM probes p LEFT JOIN idx ON p.bit = idx.bit
+  GROUP BY 1, 2),
+seen AS (SELECT DISTINCT h FROM existing)
+SELECT hits.doc_id,
+  n_set = {D.BLOOM_HASHES} AS bloom_hit,
+  seen.h IS NOT NULL AS exact_hit,
+  CASE WHEN n_set = {D.BLOOM_HASHES} AND seen.h IS NOT NULL THEN 'dup'
+       WHEN n_set = {D.BLOOM_HASHES} THEN 'false_positive'
+       ELSE 'new' END AS verdict,
+  (n_set = {D.BLOOM_HASHES}) OR seen.h IS NULL AS no_false_negative
+FROM hits LEFT JOIN seen ON hits.h = seen.h""",
+    ("dedup", "incremental", "sketch", "bloom"),
+)
+
+
 REGISTRY["bigram_surprisal_scores"] = QuerySpec(
     _t(X.bigram_surprisal_scores),
     r"""WITH tl AS (

@@ -973,3 +973,76 @@ def tokenizer_fertility_by_lang(t) -> DataFrame:
             F.col("total_bpe_tokens").cast("double") / F.col("total_words"),
         )
     )
+
+
+#: Hashed-feature quality model: D feature buckets, integer weights
+#: in [-8, 8] derived from the bucket id (a frozen stand-in for a
+#: trained fastText-style linear classifier; a learned model swaps
+#: the weight expression for a broadcast (bucket, weight) table).
+QUALITY_BUCKETS = 4096
+QUALITY_WEIGHT_SPAN = 17  # weights in [-8, 8]
+
+
+def quality_linear_score(t) -> DataFrame:
+    """fastText-style linear quality gate: every unigram and adjacent
+    bigram hashes into one of ``QUALITY_BUCKETS`` feature buckets,
+    each bucket carries a deterministic integer weight, and the
+    document's logit is the exact BIGINT sum of its feature weights —
+    the hashing-trick classifier (Weinberger et al. 2009; Joulin et
+    al. 2016 fastText) that real curation stacks run as the learned
+    quality filter.  Emits the logit, the per-feature mean score, and
+    the keep/review/drop verdict.
+
+    Scale: ZERO shuffle — the whole scorer is one map-only projection
+    (``F.aggregate`` folds the feature array per row), so at 100 TB
+    it pipelines with the scan at full column pruning.  The weights
+    here are a pure sha256 function of the bucket id, which keeps the
+    op self-contained and lets the DuckDB oracle re-derive every
+    logit bit-for-bit; with trained weights the fold becomes a
+    broadcast-join + groupBy(doc) sum, still corpus-shuffle-free.
+    Integer weights (the int8-quantized form a production model ships
+    anyway) make the fold order-independent — no float-sum drift
+    between engines or partitionings.
+    """
+    def weight(x: Column) -> Column:
+        bucket = (
+            F.conv(
+                F.substring(F.sha2(F.concat(F.lit("qf|"), x), 256), 1, 8), 16, 10
+            ).cast("long")
+            % QUALITY_BUCKETS
+        )
+        return (
+            F.conv(
+                F.substring(
+                    F.sha2(F.concat(F.lit("qw|"), bucket.cast("string")), 256), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % QUALITY_WEIGHT_SPAN
+        ) - (QUALITY_WEIGHT_SPAN // 2)
+
+    toks = F.col("_toks")
+    feats = F.concat(toks, bigrams_col(toks))
+    staged = (
+        t["documents"]
+        .withColumn("_toks", tokens_col(F.col("text")))
+        .withColumn("_feats", feats)
+    )
+    n_feats = F.size("_feats").cast("long")
+    logit = F.aggregate(
+        F.col("_feats"), F.lit(0).cast("long"), lambda acc, x: acc + weight(x)
+    )
+    score = F.when(
+        n_feats > 0, logit.cast("double") / n_feats.cast("double")
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        "doc_id",
+        n_feats.alias("n_feats"),
+        logit.alias("logit"),
+        score.alias("quality_score"),
+        F.when(score >= 0.5, F.lit("keep"))
+        .when(score <= -0.5, F.lit("drop"))
+        .otherwise(F.lit("review"))
+        .alias("verdict"),
+    )

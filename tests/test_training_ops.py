@@ -1160,3 +1160,70 @@ def test_cms_sketch_cells_merge_by_sum(spark):
         for k, v in part.items():
             merged[k] = merged.get(k, 0) + v
     assert merged == whole
+
+
+def test_bloom_dedup_planted_verdicts(spark):
+    """Planted batch: doc 8 repeats existing content (-> dup), doc 9
+    is fresh (-> new, unless a k-bit collision fires, which the
+    verdict taxonomy would surface as false_positive); the Bloom
+    invariant exact_hit => bloom_hit must hold for every row."""
+    from storm_data_etl_service_spark.operators.dedup import bloom_dedup_report
+
+    rows = [(i, f"unique body {i}") for i in range(8)]  # ids 0..7 = corpus
+    rows += [(8, "unique body 3"), (9, "never seen before")]  # the batch
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bloom_dedup_report({"documents": docs}).collect()}
+    assert set(out) == {8, 9}  # split at floor(10 * 0.8)
+    assert out[8]["verdict"] == "dup" and out[8]["bloom_hit"] and out[8]["exact_hit"]
+    assert not out[9]["exact_hit"] and out[9]["verdict"] in ("new", "false_positive")
+    assert all(r["no_false_negative"] for r in out.values())
+
+
+def test_bloom_index_is_mergeable(spark):
+    """The (bit) relation form must merge by plain distinct-union:
+    index(A) ∪ index(B) == index(A ∪ B)."""
+    from storm_data_etl_service_spark.operators.dedup import (
+        bloom_bit_positions,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(6)], "doc_id long, text string"
+    )
+    hashed = docs.select(F.sha2(F.col("text"), 256).alias("h"))
+    bits = lambda df: {
+        r["bit"]
+        for r in df.select(
+            F.explode(bloom_bit_positions(F.col("h"))).alias("bit")
+        ).collect()
+    }
+    lo = bits(hashed.filter(F.col("h") < "8"))
+    hi = bits(hashed.filter(F.col("h") >= "8"))
+    assert lo | hi == bits(hashed)
+
+
+def test_quality_linear_score_python_model(spark):
+    """The Spark logit must equal an independent Python re-derivation
+    of the hashed-feature model (unigrams + bigrams, sha256 bucket ->
+    sha256 weight), and the empty document must score 0/review."""
+    import hashlib
+
+    from storm_data_etl_service_spark.operators.text import (
+        QUALITY_BUCKETS,
+        QUALITY_WEIGHT_SPAN,
+        quality_linear_score,
+    )
+
+    def w(feat: str) -> int:
+        b = int(hashlib.sha256(f"qf|{feat}".encode()).hexdigest()[:8], 16) % QUALITY_BUCKETS
+        h = int(hashlib.sha256(f"qw|{b}".encode()).hexdigest()[:8], 16)
+        return h % QUALITY_WEIGHT_SPAN - QUALITY_WEIGHT_SPAN // 2
+
+    texts = {1: "the quick brown fox", 2: "one", 3: ""}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_linear_score({"documents": docs}).collect()}
+    for doc_id, text in texts.items():
+        toks = text.split()
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        assert out[doc_id]["n_feats"] == len(feats)
+        assert out[doc_id]["logit"] == sum(w(f) for f in feats), doc_id
+    assert out[3]["quality_score"] == 0.0 and out[3]["verdict"] == "review"
