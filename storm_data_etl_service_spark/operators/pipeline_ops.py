@@ -656,3 +656,50 @@ def pii_incidence_report(t) -> DataFrame:
             F.sum("np").cast("long").alias("phone_hits"),
         )
     )
+
+
+def mixture_sample_assign(t) -> DataFrame:
+    """Materialize ``source_mixture_weights`` into per-document epoch
+    counts: each document receives ``floor(boost)`` guaranteed copies
+    plus one more iff its deterministic [0,1) hash draw falls under
+    ``frac(boost)`` — stochastic-rounding a real sampler runs so the
+    expected resampled corpus is exactly N docs at the temperature
+    mix (up-sampled sources repeat, down-sampled sources drop rows).
+    Output per doc: source, boost, n_copies, kept.
+
+    Scale: the rate table is source-cardinality and broadcast; the
+    assignment itself is a map-only projection over the scan (the
+    only shuffle is the per-source count inside the weights agg).
+    The draw is a sha256 prefix of doc_id — reproducible across
+    engines, runs, and partitionings, so a resample is re-creatable
+    from the assignment spec alone, no stored RNG state.
+    """
+    rates = source_mixture_weights(t).select("source", "boost")
+    u = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(F.lit("mix|"), F.col("doc_id").cast("string")), 256
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000000
+    ).cast("double") / F.lit(1000000000.0)
+    extra = F.when(u < F.col("boost") - F.floor(F.col("boost")), 1).otherwise(0)
+    n_copies = (F.floor(F.col("boost")) + extra).cast("long")
+    return (
+        t["documents"]
+        .select("doc_id", "source")
+        .join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            "boost",
+            n_copies.alias("n_copies"),
+            (n_copies > 0).alias("kept"),
+        )
+    )

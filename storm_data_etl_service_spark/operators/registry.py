@@ -2927,6 +2927,29 @@ FROM erred GROUP BY dim""",
 )
 
 
+REGISTRY["embedding_exact_dedup"] = QuerySpec(
+    # Quantized-code fingerprints are pure integer/sha256 functions of
+    # the vector, so the oracle rebuilds every group key bit-for-bit.
+    _t(S.embedding_exact_dedup),
+    f"""WITH e AS (
+  SELECT vec_id, cast(pos - 1 AS INTEGER) AS dim,
+         embedding[pos]::DOUBLE AS val
+  FROM embeddings, range(1, {S.EMBEDDING_DIM} + 1) r(pos)),
+sc AS (SELECT dim, max(abs(val)) AS scale FROM e GROUP BY dim),
+codes AS (
+  SELECT vec_id,
+    string_agg(
+      CASE WHEN scale = 0 THEN '0'
+           ELSE cast(cast(round(val / scale * 127) AS INTEGER) AS VARCHAR) END,
+      ',' ORDER BY dim) AS code
+  FROM e JOIN sc USING (dim) GROUP BY vec_id)
+SELECT sha256(code) AS code_key, count(*) AS group_size,
+       min(vec_id) AS keep_vec_id
+FROM codes GROUP BY 1""",
+    ("dedup", "embeddings", "quantization"),
+)
+
+
 REGISTRY["semdedup"] = QuerySpec(
     # k pinned to the oracle K: the DuckDB twin replays the unrolled
     # Lloyd iterations with exactly KMEANS_K cells.  Production calls
@@ -3006,6 +3029,37 @@ s AS (SELECT cast(floor((max(doc_id) + 1) * {D.INCREMENTAL_SPLIT}) AS BIGINT)
 SELECT doc_b AS doc_id, doc_a AS matched_doc_id
 FROM pairs, s WHERE doc_b >= t0""",
     ("dedup", "neardup", "incremental", "lsh"),
+)
+
+
+REGISTRY["mixture_sample_assign"] = QuerySpec(
+    # Stochastic rounding of the temperature boost via a sha256
+    # doc_id draw — bit-identical in both engines, so the oracle
+    # re-derives every copy count.
+    _t(P.mixture_sample_assign),
+    """WITH counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+staged AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(n_docs) * 1000000000.0) AS BIGINT) AS w
+  FROM counts),
+rates AS (
+  SELECT source,
+    (CAST(w AS DOUBLE) / CAST(sum(w) OVER () AS DOUBLE))
+      / (CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)) AS boost
+  FROM staged),
+drawn AS (
+  SELECT doc_id, d.source, boost,
+    CAST(('0x' || substr(sha256('mix|' || doc_id), 1, 8))::BIGINT % 1000000000
+         AS DOUBLE) / 1000000000.0 AS u
+  FROM documents d JOIN rates USING (source))
+SELECT doc_id, source, boost,
+  CAST(floor(boost) + (CASE WHEN u < boost - floor(boost) THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_copies,
+  floor(boost) + (CASE WHEN u < boost - floor(boost) THEN 1 ELSE 0 END) > 0
+    AS kept
+FROM drawn""",
+    ("pipeline", "mixture", "sampling"),
 )
 
 

@@ -851,3 +851,49 @@ def label_separability_report(t) -> DataFrame:
         "inter_min_d2",
         (F.col("inter_min_d2") / F.col("intra_mean_d2")).alias("separability"),
     )
+
+
+def embedding_exact_dedup(t) -> DataFrame:
+    """Rung 0 of embedding dedup: collapse vectors that are IDENTICAL
+    after per-dimension symmetric int8 quantization (the
+    ``embedding_quantize_int8`` codes) — the cheap exact gate that
+    catches re-embedded / re-ingested duplicates before SemDeDup pays
+    for clustering.  One group row per distinct code fingerprint:
+    sha256 code key, group size, min-id keeper.
+
+    Scale: per-dim scales come from ONE map-side-combined aggregate
+    (64 ``max(abs(element_at(...)))`` expressions — no posexplode of
+    n×64 rows), broadcast back as a single array row; coding is a
+    map-only ``zip_with`` and the only corpus shuffle is the
+    final groupBy on the 32-byte code key.  Quantized-code equality
+    (not raw float equality) is the right key: it is storage-stable
+    under the int8 compression the store ships anyway, and immune to
+    float32 serialization jitter below half a code unit.
+    """
+    e = t["embeddings"].select("vec_id", "embedding")
+    scales = e.agg(
+        F.array(
+            *[
+                F.max(F.abs(F.element_at(F.col("embedding"), i + 1).cast("double")))
+                for i in range(EMBEDDING_DIM)
+            ]
+        ).alias("scales")
+    )
+    code = F.zip_with(
+        _vec(F.col("embedding")),
+        F.col("scales"),
+        lambda x, s: F.when(s == 0, F.lit(0))
+        .otherwise(F.round(x / s * 127).cast("int"))
+        .cast("string"),
+    )
+    return (
+        e.crossJoin(F.broadcast(scales))
+        .select(
+            "vec_id", F.sha2(F.concat_ws(",", code), 256).alias("code_key")
+        )
+        .groupBy("code_key")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("vec_id").alias("keep_vec_id"),
+        )
+    )

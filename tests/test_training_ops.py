@@ -1227,3 +1227,37 @@ def test_quality_linear_score_python_model(spark):
         assert out[doc_id]["n_feats"] == len(feats)
         assert out[doc_id]["logit"] == sum(w(f) for f in feats), doc_id
     assert out[3]["quality_score"] == 0.0 and out[3]["verdict"] == "review"
+
+
+def test_mixture_sample_preserves_expected_corpus_size(spark, sf_dir):
+    """Sum of boosts over all docs is exactly N (each source
+    contributes n_s * boost_s = share_s * N), so the realized copy
+    total must sit within a few stochastic-rounding standard
+    deviations of N; up-sampled sources must never drop a doc."""
+    out = run("mixture_sample_assign", spark, sf_dir).collect()
+    n = len(out)
+    total = sum(r["n_copies"] for r in out)
+    assert abs(total - n) < 4 * (n**0.5) + 1
+    for r in out:
+        if r["boost"] >= 1.0:
+            assert r["n_copies"] >= 1, r
+
+
+def test_embedding_exact_dedup_planted_duplicate(spark):
+    """Two byte-identical vectors collapse to one group (min-id
+    keeper); a vector differing well beyond half a code unit stays
+    its own group."""
+    from storm_data_etl_service_spark.operators.similarity import (
+        EMBEDDING_DIM,
+        embedding_exact_dedup,
+    )
+
+    base = [float(i % 7) - 3.0 for i in range(EMBEDDING_DIM)]
+    other = [v + 1.5 for v in base]
+    emb = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)],
+        "vec_id long, embedding array<float>",
+    )
+    out = embedding_exact_dedup({"embeddings": emb}).collect()
+    by_size = sorted((r["group_size"], r["keep_vec_id"]) for r in out)
+    assert by_size == [(1, 3), (2, 1)]
