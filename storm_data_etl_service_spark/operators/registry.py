@@ -492,6 +492,34 @@ SELECT query_id, vec_id, cosine, rk FROM (
 WHERE rk <= 5"""
 
 
+def _knn_graph_oracle() -> str:
+    from storm_data_etl_service_spark.operators.similarity import (
+        KNN_K,
+        SEARCH_PREFIX_BITS,
+    )
+
+    bits = SEARCH_PREFIX_BITS
+    flips = []
+    for i in range(1, bits + 1):
+        flipped = f"(CASE WHEN substr(pfx, {i}, 1) = '1' THEN '0' ELSE '1' END)"
+        flips.append(
+            f"substr(pfx, 1, {i - 1}) || {flipped} || substr(pfx, {i + 1}, {bits - i})"
+        )
+    probes = "[pfx, " + ", ".join(flips) + "]"
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (SELECT vec_id, v, {_bucket_sql(bits)} AS pfx FROM e),
+q AS (SELECT vec_id AS src_id, v AS qv, unnest({probes}) AS probe_pfx
+      FROM bucketed),
+cands AS (
+  SELECT src_id, b.vec_id AS dst_id,
+    {_COSINE_SQL.format(a='qv', b='b.v')} AS cosine
+  FROM q JOIN bucketed b ON b.pfx = q.probe_pfx AND b.vec_id != q.src_id)
+SELECT src_id, dst_id, cosine, rk FROM (
+  SELECT *, cast(row_number() OVER (PARTITION BY src_id
+             ORDER BY cosine DESC, dst_id) AS INTEGER) AS rk FROM cands)
+WHERE rk <= {KNN_K}"""
+
+
 def _semdedup_pairs_ctes() -> str:
     """Shared SemDeDup CTE chain (seeded Lloyd unroll → final
     assignments ``af`` → within-cell pairs ≥ NEAR_DUP_COSINE as
@@ -2924,6 +2952,18 @@ SELECT dim, min(scale) AS scale, count(*) AS n_vals,
     / (1000000.0 * count(*)) AS mean_abs_err
 FROM erred GROUP BY dim""",
     ("similarity", "quantization", "storage"),
+)
+
+
+REGISTRY["knn_graph_lsh"] = QuerySpec(
+    # bits pinned to the oracle prefix width: the DuckDB twin
+    # enumerates those exact buckets.  Production calls leave
+    # bits=None and get the bucket-size-constant auto-derivation.
+    lambda spark, sf_dir: S.knn_graph_lsh(
+        load_tables(spark, sf_dir), bits=S.SEARCH_PREFIX_BITS
+    ),
+    _knn_graph_oracle(),
+    ("similarity", "knn-graph", "lsh", "pandas-udf"),
 )
 
 

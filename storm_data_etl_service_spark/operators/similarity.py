@@ -897,3 +897,156 @@ def embedding_exact_dedup(t) -> DataFrame:
             F.min("vec_id").alias("keep_vec_id"),
         )
     )
+
+
+#: kNN graph: neighbors kept per vector, and the bucket-size target
+#: that the auto bit-width holds (bits = log2(n / target), clamped to
+#: [SEARCH_PREFIX_BITS, LSH_PLANES]).
+KNN_K = 5
+KNN_TARGET_BUCKET = 64
+
+
+def knn_auto_bits(n: int) -> int:
+    """Prefix bit-width holding expected bucket size near
+    KNN_TARGET_BUCKET — the knob that keeps per-bucket pair work
+    O(n·target) instead of n²/2^bits growing super-linearly (the
+    semdedup_auto_k rule transposed to hyperplane LSH)."""
+    import math
+
+    if n <= KNN_TARGET_BUCKET:
+        return SEARCH_PREFIX_BITS
+    return min(
+        LSH_PLANES,
+        max(SEARCH_PREFIX_BITS, math.ceil(math.log2(n / KNN_TARGET_BUCKET))),
+    )
+
+
+def _bucket_topk_kernel(k: int | None = None, block: int | None = None):
+    """Factory for the per-bucket kNN partial kernel: for every
+    prober routed to this bucket, cosine against all bucket members
+    and keep the local top-k by (cos desc, id asc).  Same
+    bit-exactness contract as ``_cell_pairs_kernel``: the dim loop
+    runs outside the numpy broadcast, so every scalar follows the
+    sequential fold order of the Column-expression ``cosine()`` and
+    DuckDB ``list_reduce`` — partials merge into the oracle's global
+    top-k exactly.  Closure-shipped via cloudpickle."""
+    kk = KNN_K if k is None else k
+    B = SEMDEDUP_CELL_BLOCK if block is None else block
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "src_id": pd.Series([], dtype="int64"),
+                "dst_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        mem = pdf[pdf["is_member"]]
+        prb = pdf[pdf["is_prober"]]
+        if mem.empty or prb.empty:
+            return empty
+        mids = mem["vec_id"].to_numpy()
+        order = np.argsort(mids)
+        mids = mids[order]
+        M = np.stack(mem["v"].to_numpy()[order]).astype(np.float64)
+        pids = prb["vec_id"].to_numpy()
+        P = np.stack(prb["v"].to_numpy()).astype(np.float64)
+        d = M.shape[1]
+
+        def seq_norm(V):
+            acc = np.zeros(V.shape[0])
+            for i in range(d):
+                acc += V[:, i] * V[:, i]
+            return np.sqrt(acc)
+
+        mn, pn = seq_norm(M), seq_norm(P)
+        out_s, out_d, out_c = [], [], []
+        for r0 in range(0, P.shape[0], B):
+            r1 = min(r0 + B, P.shape[0])
+            dot = np.zeros((r1 - r0, M.shape[0]))
+            for i in range(d):
+                dot += P[r0:r1, i][:, None] * M[:, i][None, :]
+            cos = dot / (pn[r0:r1][:, None] * mn[None, :])
+            for j in range(r1 - r0):
+                src = pids[r0 + j]
+                keep = mids != src
+                row, ids = cos[j][keep], mids[keep]
+                top = np.lexsort((ids, -row))[:kk]
+                out_s.append(np.full(len(top), src))
+                out_d.append(ids[top])
+                out_c.append(row[top])
+        if not out_s:
+            return empty
+        return pd.DataFrame(
+            {
+                "src_id": np.concatenate(out_s).astype(np.int64),
+                "dst_id": np.concatenate(out_d).astype(np.int64),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return kernel
+
+
+def knn_graph_lsh(t, bits: int | None = None) -> DataFrame:
+    """k-nearest-neighbor graph over the embedding corpus — the
+    backbone relation for graph clustering, semantic dedup, and
+    diversity sampling: per vector, its KNN_K best cosine neighbors
+    among the multi-probed LSH buckets (own prefix + every hamming-1
+    flip), with exact cosine ranks.
+
+    Scale shape: each vector ships to 1 + bits bucket groups (a
+    bkey-keyed shuffle of m×d member/prober rows — never a pair-row
+    materialization), the per-bucket prober×member cosines run in the
+    blocked Arrow kernel, and only ≤ k partial edges per
+    (vector, bucket) reach the final top-k window.  ``bits=None``
+    (production default) derives the prefix width from one cheap
+    count so bucket size — and with it per-bucket quadratic work —
+    stays constant as n grows.  The registry entry pins
+    ``bits=SEARCH_PREFIX_BITS`` because the DuckDB oracle enumerates
+    those exact buckets; auto-bits equals that pin for every n ≤
+    2^SEARCH_PREFIX_BITS · KNN_TARGET_BUCKET (all driver-gate scales).
+
+    Approximate by construction: a true neighbor in a bucket ≥ 2 bit
+    flips away is unseen (recall bounded in tests against the exact
+    scan); raise LSH_PLANES/probe radius for recall, bits for cost.
+    """
+    emb = t["embeddings"].select("vec_id", _vec(F.col("embedding")).alias("v"))
+    if bits is None:
+        bits = knn_auto_bits(emb.count())
+    bucketed = emb.select(
+        "vec_id",
+        "v",
+        F.substring(lsh_bucket_col(F.col("v")), 1, bits).alias("pfx"),
+    )
+    members = bucketed.select(
+        F.col("pfx").alias("bkey"),
+        "vec_id",
+        "v",
+        F.lit(True).alias("is_member"),
+        F.lit(False).alias("is_prober"),
+    )
+    probers = bucketed.select(
+        F.explode(_probe_prefixes(F.col("pfx"), bits)).alias("bkey"),
+        "vec_id",
+        "v",
+        F.lit(False).alias("is_member"),
+        F.lit(True).alias("is_prober"),
+    )
+    partials = (
+        members.unionByName(probers)
+        .groupBy("bkey")
+        .applyInPandas(
+            _bucket_topk_kernel(),
+            schema="src_id bigint, dst_id bigint, cosine double",
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("dst_id"))
+    return (
+        partials.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= KNN_K)
+        .select("src_id", "dst_id", "cosine", "rk")
+    )

@@ -1261,3 +1261,52 @@ def test_embedding_exact_dedup_planted_duplicate(spark):
     out = embedding_exact_dedup({"embeddings": emb}).collect()
     by_size = sorted((r["group_size"], r["keep_vec_id"]) for r in out)
     assert by_size == [(1, 3), (2, 1)]
+
+
+def test_knn_graph_kernel_matches_expression_cosine(spark, sf_dir):
+    """Every kNN edge's kernel-computed cosine must equal the
+    Column-expression cosine of the same pair BIT-EXACTLY (the
+    sequential-fold contract), and each source keeps <= KNN_K
+    neighbors ranked densely from 1."""
+    from storm_data_etl_service_spark.operators.similarity import (
+        KNN_K,
+        _vec,
+        cosine,
+    )
+
+    edges = run("knn_graph_lsh", spark, sf_dir)
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _vec(F.col("embedding")).alias("v")
+    )
+    joined = (
+        edges.join(emb.withColumnRenamed("vec_id", "src_id"), "src_id")
+        .withColumnRenamed("v", "sv")
+        .join(
+            emb.withColumnRenamed("vec_id", "dst_id").withColumnRenamed("v", "dv"),
+            "dst_id",
+        )
+        .withColumn("expr_cos", cosine(F.col("sv"), F.col("dv")))
+    )
+    assert joined.filter(F.col("cosine") != F.col("expr_cos")).count() == 0
+    per_src = edges.groupBy("src_id").agg(
+        F.count("*").alias("n"), F.max("rk").alias("max_rk")
+    )
+    assert per_src.filter((F.col("n") > KNN_K) | (F.col("max_rk") != F.col("n"))).count() == 0
+
+
+def test_knn_auto_bits_holds_bucket_size():
+    from storm_data_etl_service_spark.operators.similarity import (
+        KNN_TARGET_BUCKET,
+        LSH_PLANES,
+        SEARCH_PREFIX_BITS,
+        knn_auto_bits,
+    )
+
+    assert knn_auto_bits(10) == SEARCH_PREFIX_BITS
+    assert knn_auto_bits(500) == SEARCH_PREFIX_BITS  # driver-gate scales
+    assert knn_auto_bits(KNN_TARGET_BUCKET * 2**SEARCH_PREFIX_BITS) == SEARCH_PREFIX_BITS
+    assert knn_auto_bits(80_000) > SEARCH_PREFIX_BITS
+    assert knn_auto_bits(10**10) == LSH_PLANES  # clamped to available planes
+    assert all(
+        knn_auto_bits(n) <= knn_auto_bits(2 * n) for n in (100, 1000, 10_000, 100_000)
+    )
