@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "dedup_ladder_report",      # exact→minhash→containment rungs union
     "vocab_growth_curve",       # per-decile first-seen vocab accumulation
     "bm25_doc_ranking",         # tf/df join + per-query score + top-k
+    # round-3 session-4 additions
+    "bloom_dedup_report",       # mergeable Bloom bit-set probe + exact audit
+    "quality_linear_score",     # zero-shuffle hashed-feature linear gate
+    "knn_graph_lsh",            # bucketed Arrow top-k kNN graph build
 ]
 
 

@@ -3759,11 +3759,13 @@ _PRIORITY_WINDOW = [
     # SURVEY §2: the reference's own query/transform surface
     "storm_enrich", "enrich_events",
     "q1_group_count", "q2_group_count_composite", "q3_filter_eq_count",
-    "q4_filter_conj_count", "q5_filter_in_count", "q6_filter_threshold_count",
+    # (q4/q5/q6/q10/q16_crossfield rotated out after two driver-green
+    # rounds — single-row filter-count/first-row shapes still swept by
+    # CORRECTNESS_FULL at 4 configs + 3 SFs)
     "q7_bounding_box_count", "q8_filtered_max", "q9_topn", "q9_grouped_topk",
-    "q10_first_row", "q11_conditional_count", "q12_dup_detect",
+    "q11_conditional_count", "q12_dup_detect",
     "q12_dedup_first_wins", "q13_anti_join", "q14_join_compare",
-    "q15_except_all", "q16_domain_violations", "q16_crossfield_check",
+    "q15_except_all", "q16_domain_violations",
     "q17_count_parity", "p13_hourly_rollup", "p5_deterministic_id",
     # TPC-H shapes (broadcast dims, semi/anti self-joins)
     "tpch_q1_pricing_summary", "tpch_q3_top_revenue_orders",
@@ -3777,6 +3779,11 @@ _PRIORITY_WINDOW = [
     # curation + text
     "dataset_split_assign", "text_scrub_pii", "ngram_counts",
     "corpus_curation_pipeline",
+    # round-3 session-4 additions: Bloom membership pre-screen,
+    # hashed-feature quality gate, mixture materialization, quantized
+    # embedding dedup, kNN graph
+    "bloom_dedup_report", "quality_linear_score", "mixture_sample_assign",
+    "embedding_exact_dedup", "knn_graph_lsh",
     # dedup ladder — round 3's scale-path rework, rung by rung
     "dedup_exact", "dedup_jaccard_prefix_join", "dedup_minhash_lsh",
     "dedup_incremental_minhash", "semdedup", "semdedup_pairs",

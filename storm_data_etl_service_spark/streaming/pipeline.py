@@ -375,3 +375,93 @@ def incremental_dedup_batch_fn(index_dir: str, matches_dir: str):
             bands.unpersist()
 
     return process
+
+
+def bloom_gate_batch_fn(bits_dir: str, verdicts_dir: str):
+    """foreachBatch kernel for the STREAMING Bloom membership gate —
+    the production loop around ``operators.dedup.bloom_dedup_report``:
+
+    per micro-batch of documents (doc_id, text):
+      1. hash each document's content and derive its k Bloom bit
+         positions (map-only);
+      2. probe the durable bit set accumulated by every previous
+         batch → ``bloom_hit`` (all k bits present: possibly seen —
+         the exact confirm happens downstream against the content
+         store, which a Bloom gate exists to avoid hitting for the
+         definitely-new majority);
+      3. catch exact duplicates WITHIN the batch via a self-join on
+         the content hash (``dup_of_in_batch`` = earliest partner),
+         since the index only covers batches before this one;
+      4. append verdicts, and the batch's distinct new bits to the
+         index — later batches (and later runs: the bits are durable)
+         gate against everything before them.
+
+    The index read is gated on a filesystem existence check, not a
+    blanket except (same rationale as ``incremental_dedup_batch_fn``:
+    a transiently-unreadable index must fail-and-retry the batch, not
+    silently pass everything as new).  State is O(m bits) forever —
+    the whole point versus the LSH index's per-document rows; at
+    100 TB the (bit) relation compacts to an m/8-byte bitmap merged
+    by OR and broadcast to executors.  Reprocessed batches re-derive
+    identical bits and verdicts (sha256 everywhere), so checkpoint
+    retries are idempotent.
+    """
+    from pyspark.sql import functions as F
+
+    from storm_data_etl_service_spark.operators.dedup import (
+        BLOOM_HASHES,
+        bloom_bit_positions,
+    )
+
+    def _bits_exist(spark) -> bool:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(bits_dir)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
+
+    def process(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hashed = batch_df.select(
+            "doc_id", F.sha2(F.col("text"), 256).alias("h")
+        ).persist()
+        try:
+            probes = hashed.select(
+                "doc_id", F.explode(bloom_bit_positions(F.col("h"))).alias("bit")
+            )
+            if _bits_exist(spark):
+                idx = (
+                    spark.read.parquet(bits_dir)
+                    .select("bit")
+                    .distinct()
+                    .withColumn("_set", F.lit(1))
+                )
+                n_set = (
+                    probes.join(idx, "bit", "left")
+                    .groupBy("doc_id")
+                    .agg(F.count("_set").alias("n_set"))
+                )
+            else:
+                n_set = hashed.select("doc_id", F.lit(0).alias("n_set"))
+            within = (
+                hashed.join(
+                    hashed.select(F.col("doc_id").alias("earlier_id"), "h"), "h"
+                )
+                .filter(F.col("earlier_id") < F.col("doc_id"))
+                .groupBy("doc_id")
+                .agg(F.min("earlier_id").alias("dup_of_in_batch"))
+            )
+            (
+                hashed.join(n_set, "doc_id")
+                .join(within, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    (F.col("n_set") == BLOOM_HASHES).alias("bloom_hit"),
+                    "dup_of_in_batch",
+                )
+                .write.mode("append")
+                .parquet(verdicts_dir)
+            )
+            probes.select("bit").distinct().write.mode("append").parquet(bits_dir)
+        finally:
+            hashed.unpersist()
+
+    return process

@@ -70,6 +70,11 @@ INTENTIONAL_PYTHON_OPS = [
     "semdedup_pairs",
     "crossmodal_dedup_agreement",
     "dedup_ladder_report",
+    # kNN graph's per-bucket top-k kernel (_bucket_topk_kernel): the
+    # same blocked, fold-order-exact vectorization contract as
+    # _cell_pairs_kernel, keyed on the LSH bucket instead of the
+    # k-means cell.
+    "knn_graph_lsh",
 ]
 
 

@@ -857,3 +857,57 @@ def test_late_rows_dropped_by_watermark_are_counted(spark, workdir):
     first_window = [r for r in emitted if r["window"].start.minute == 0
                     and r["window"].start.hour == 0]
     assert all(r["n"] == 1 for r in first_window)
+
+
+def test_streaming_bloom_gate_flags_across_batches(spark, workdir):
+    """foreachBatch Bloom gate: batch N must bloom_hit content seen in
+    batches < N, catch exact dups inside one micro-batch via
+    dup_of_in_batch, and never flag genuinely fresh content (k-bit
+    collision odds are negligible at these fill levels)."""
+    import os
+    import time
+
+    from storm_data_etl_service_spark.streaming.pipeline import bloom_gate_batch_fn
+
+    src = workdir / "bloom_src"
+    src.mkdir(parents=True)
+    b0 = [{"doc_id": 1, "text": "the original corpus document body"},
+          {"doc_id": 2, "text": "a second distinct corpus document"}]
+    b1 = [{"doc_id": 11, "text": "the original corpus document body"},  # replay
+          {"doc_id": 12, "text": "entirely new content in batch one"},
+          {"doc_id": 13, "text": "entirely new content in batch one"}]  # in-batch dup
+    for name, batch in (("b0.json", b0), ("b1.json", b1)):
+        with open(src / name, "w") as f:
+            for r in batch:
+                f.write(json.dumps(r) + "\n")
+    now = time.time()
+    os.utime(src / "b0.json", (now - 60, now - 60))
+    os.utime(src / "b1.json", (now, now))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            bloom_gate_batch_fn(str(workdir / "bloom_bits"), str(workdir / "verdicts"))
+        )
+        .option("checkpointLocation", str(workdir / "bloom_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    v = {r["doc_id"]: r for r in spark.read.parquet(str(workdir / "verdicts")).collect()}
+    assert set(v) == {1, 2, 11, 12, 13}
+    assert not v[1]["bloom_hit"] and not v[2]["bloom_hit"]  # empty index at batch 0
+    assert v[11]["bloom_hit"]                # replayed content caught
+    assert not v[12]["bloom_hit"]           # fresh content passes
+    assert v[13]["dup_of_in_batch"] == 12   # caught WITHIN one micro-batch
+    assert v[11]["dup_of_in_batch"] is None
+    # the durable bit set holds exactly the distinct content bits so far
+    from storm_data_etl_service_spark.operators.dedup import BLOOM_HASHES
+
+    n_bits = spark.read.parquet(str(workdir / "bloom_bits")).select("bit").distinct().count()
+    assert 0 < n_bits <= BLOOM_HASHES * 4  # 4 distinct texts
