@@ -45,9 +45,24 @@ SPARK_SIDE_BASELINE = {
     "neardup_components_sql": "recursive-CTE UNION ALL walk boundary (documented) -> neardup_components",
 }
 
+#: Entries whose REGISTRY build pins an oracle-determinism knob that
+#: is NOT the production form: probe the production call instead.
+PROBE_BUILD_OVERRIDE = {
+    # registry pins bits=SEARCH_PREFIX_BITS for the oracle; at scale
+    # the auto-bits derivation holds bucket size constant.
+    "knn_graph_lsh": (
+        "from storm_data_etl_service_spark.operators.similarity import knn_graph_lsh\n"
+        "from storm_data_etl_service_spark.schemas import load_tables\n"
+        "df = knn_graph_lsh(load_tables(spark, sf_dir))"
+    ),
+}
+
 
 def probe_one(name: str, sf_dir: str, timeout: int) -> subprocess.CompletedProcess:
     """Run one entry in a subprocess; parse its one-line JSON result."""
+    build = PROBE_BUILD_OVERRIDE.get(
+        name, f"df = REGISTRY[{name!r}].build(spark, sf_dir)"
+    )
     code = f"""
 import json, sys, time
 sys.path.insert(0, {str(REPO)!r})
@@ -55,7 +70,8 @@ from storm_data_etl_service_spark.operators.registry import REGISTRY
 from storm_data_etl_service_spark.session import get_spark
 spark = get_spark(app_name="scale_probe",
                   extra_conf={{"spark.ui.showConsoleProgress": "false"}})
-df = REGISTRY[{name!r}].build(spark, {sf_dir!r})
+sf_dir = {sf_dir!r}
+{build}
 t0 = time.perf_counter()
 n = df.count()
 dt = time.perf_counter() - t0

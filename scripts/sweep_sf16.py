@@ -43,6 +43,12 @@ EXCLUDE = {
     "dedup_minhash_lsh": "12-permutation signature rebuild over 3.6M shingles in SQL",
     "dedup_incremental_minhash": "same signature rebuild",
     "dedup_simhash": "64-bit signature rebuild oracle",
+    "knn_graph_lsh": (
+        "4-bit-pinned oracle form: bucket size grows ∝ n, so the DuckDB"
+        " bucketed self-join materializes ~2e9 cosine rows (the"
+        " semdedup fixed-knob trade); the auto-bits production path is"
+        " what runs at scale and is probed Spark-side"
+    ),
 }
 
 

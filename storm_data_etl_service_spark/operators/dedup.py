@@ -755,7 +755,20 @@ BLOOM_BITS = 1 << 20
 BLOOM_HASHES = 4
 
 
-def bloom_bit_positions(h: Column) -> Column:
+def bloom_auto_bits(n: int) -> int:
+    """Filter width holding the false-positive rate near 0.35% at
+    k = 4: m = next power of two ≥ 14.4·n, floored at BLOOM_BITS (the
+    oracle width — auto equals the pin for every n ≤ BLOOM_BITS/14.4,
+    i.e. all driver-gate scales).  The same one-cheap-count knob
+    pattern as ``semdedup_auto_k``/``knn_auto_bits``: the knob, not
+    the plan shape, is what changes at scale."""
+    m = BLOOM_BITS
+    while m < 14.4 * n:
+        m *= 2
+    return m
+
+
+def bloom_bit_positions(h: Column, m: int = BLOOM_BITS) -> Column:
     """The k Bloom bit positions of a content key, as an array —
     sha256-prefix hashes (the cms_token_frequencies idiom), so the
     DuckDB oracle reproduces every position bit-for-bit."""
@@ -766,13 +779,13 @@ def bloom_bit_positions(h: Column) -> Column:
                 16,
                 10,
             ).cast("long")
-            % BLOOM_BITS
+            % m
             for i in range(BLOOM_HASHES)
         ]
     )
 
 
-def bloom_dedup_report(t) -> DataFrame:
+def bloom_dedup_report(t, m: int | None = None) -> DataFrame:
     """Bloom-filter membership pre-screen for incremental ingest: the
     new batch (id-split as in ``dedup_incremental_minhash``) is probed
     against a Bloom index built from the existing corpus's content
@@ -799,19 +812,27 @@ def bloom_dedup_report(t) -> DataFrame:
     m/8 bytes.  Batch-internal duplicates are out of scope by
     construction (the index covers the corpus as of the batch
     boundary); they are the first rung of ``dedup_ladder_report``.
+
+    ``m=None`` (production default) derives the filter width from one
+    cheap count via ``bloom_auto_bits`` so the fill ratio — and with
+    it the false-positive rate — stays constant as the corpus grows;
+    the registry entry pins ``m=BLOOM_BITS`` because the oracle
+    enumerates those exact positions.
     """
     docs = t["documents"].select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+    if m is None:
+        m = bloom_auto_bits(docs.count())
     split = docs.agg(F.floor((F.max("doc_id") + 1) * INCREMENTAL_SPLIT).alias("t0"))
     staged = docs.crossJoin(F.broadcast(split))
     existing = staged.filter(F.col("doc_id") < F.col("t0"))
     batch = staged.filter(F.col("doc_id") >= F.col("t0"))
     index = (
-        existing.select(F.explode(bloom_bit_positions(F.col("h"))).alias("bit"))
+        existing.select(F.explode(bloom_bit_positions(F.col("h"), m)).alias("bit"))
         .distinct()
         .withColumn("_set", F.lit(1))
     )
     probes = batch.select(
-        "doc_id", "h", F.explode(bloom_bit_positions(F.col("h"))).alias("bit")
+        "doc_id", "h", F.explode(bloom_bit_positions(F.col("h"), m)).alias("bit")
     )
     hits = (
         probes.join(index, "bit", "left")

@@ -3146,7 +3146,11 @@ REGISTRY["bloom_dedup_report"] = QuerySpec(
     # The Bloom index is held as a (bit) relation of sha256-prefix
     # positions, so the oracle rebuilds the whole filter bit-for-bit
     # and re-derives every verdict, including the false positives.
-    _t(D.bloom_dedup_report),
+    # m pinned to the oracle width; production calls leave m=None and
+    # get the fill-ratio-constant auto-derivation (bloom_auto_bits).
+    lambda spark, sf_dir: D.bloom_dedup_report(
+        load_tables(spark, sf_dir), m=D.BLOOM_BITS
+    ),
     f"""WITH docs AS (SELECT doc_id, sha256(text) AS h FROM documents),
 s AS (SELECT cast(floor((max(doc_id) + 1) * {D.INCREMENTAL_SPLIT}) AS BIGINT)
         AS t0 FROM docs),

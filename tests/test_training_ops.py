@@ -1310,3 +1310,19 @@ def test_knn_auto_bits_holds_bucket_size():
     assert all(
         knn_auto_bits(n) <= knn_auto_bits(2 * n) for n in (100, 1000, 10_000, 100_000)
     )
+
+
+def test_bloom_auto_bits_holds_fill_ratio():
+    from storm_data_etl_service_spark.operators.dedup import (
+        BLOOM_BITS,
+        bloom_auto_bits,
+    )
+
+    assert bloom_auto_bits(500) == BLOOM_BITS      # driver-gate scales
+    assert bloom_auto_bits(50_000) == BLOOM_BITS   # still under m/14.4
+    big = bloom_auto_bits(10_000_000)
+    assert big >= 14.4 * 10_000_000 and big % BLOOM_BITS == 0
+    assert all(
+        bloom_auto_bits(n) <= bloom_auto_bits(2 * n)
+        for n in (10**4, 10**6, 10**8)
+    )
