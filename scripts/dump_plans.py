@@ -231,6 +231,38 @@ ANNOTATED = {
         "map-side — K centroids never materialize driver-side, so the "
         "same plan serves 10 labels or 10^5 clusters."
     ),
+    "bloom_dedup_report": (
+        "Bloom membership pre-screen: the 1-row split boundary "
+        "broadcasts (justified BNLJ), the existing corpus folds to a "
+        "distinct (bit) relation, and the batch probes it with a "
+        "bit-keyed join AQE sizes at runtime — at production m the "
+        "index is a bitmap broadcast and the probe is map-side."
+    ),
+    "quality_linear_score": (
+        "ZERO-shuffle linear classifier: tokenize, feature-concat, and "
+        "the integer-weight aggregate fold are one projection over the "
+        "scan — the whole hashed-feature gate pipelines with the read, "
+        "full column pruning intact."
+    ),
+    "mixture_sample_assign": (
+        "Source-cardinality rate table (one partial-agg'd count "
+        "shuffle + the documented agg-cardinality window) broadcasts "
+        "back; the epoch assignment itself is a map-only projection "
+        "with a sha256 draw — no corpus shuffle."
+    ),
+    "embedding_exact_dedup": (
+        "Per-dim scales from ONE 64-expression map-side aggregate "
+        "(never a posexplode of n x d rows), broadcast as a single "
+        "array row; coding is a zip_with projection and the only "
+        "corpus shuffle is the groupBy on the 32-byte code key."
+    ),
+    "knn_graph_lsh": (
+        "Members + probers shuffle once on the bucket key into the "
+        "blocked Arrow top-k kernel (FlatMapGroupsInPandas); only "
+        "<= k partial edges per (vector, bucket) reach the final "
+        "ranking window. Auto prefix width holds bucket size — and "
+        "per-bucket quadratic work — constant as n grows."
+    ),
 }
 
 
