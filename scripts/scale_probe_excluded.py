@@ -50,6 +50,11 @@ SPARK_SIDE_BASELINE = {
 PROBE_BUILD_OVERRIDE = {
     # registry pins bits=SEARCH_PREFIX_BITS for the oracle; at scale
     # the auto-bits derivation holds bucket size constant.
+    "eval_semantic_contamination": (
+        "from storm_data_etl_service_spark.operators.similarity import eval_semantic_contamination\n"
+        "from storm_data_etl_service_spark.schemas import load_tables\n"
+        "df = eval_semantic_contamination(load_tables(spark, sf_dir))"
+    ),
     "knn_graph_lsh": (
         "from storm_data_etl_service_spark.operators.similarity import knn_graph_lsh\n"
         "from storm_data_etl_service_spark.schemas import load_tables\n"

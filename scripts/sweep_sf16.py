@@ -43,6 +43,11 @@ EXCLUDE = {
     "dedup_minhash_lsh": "12-permutation signature rebuild over 3.6M shingles in SQL",
     "dedup_incremental_minhash": "same signature rebuild",
     "dedup_simhash": "64-bit signature rebuild oracle",
+    "eval_semantic_contamination": (
+        "same 4-bit-pinned bucket join as knn_graph_lsh: ~5e7 DuckDB"
+        " cosine rows at sf1.6; auto-bits production path probed"
+        " Spark-side"
+    ),
     "knn_graph_lsh": (
         "4-bit-pinned oracle form: bucket size grows ∝ n, so the DuckDB"
         " bucketed self-join materializes ~2e9 cosine rows (the"

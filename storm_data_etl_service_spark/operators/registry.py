@@ -520,6 +520,42 @@ SELECT src_id, dst_id, cosine, rk FROM (
 WHERE rk <= {KNN_K}"""
 
 
+def _semantic_contam_oracle() -> str:
+    from storm_data_etl_service_spark.operators.dedup import INCREMENTAL_SPLIT
+    from storm_data_etl_service_spark.operators.similarity import (
+        NEAR_DUP_COSINE,
+        SEARCH_PREFIX_BITS,
+    )
+
+    bits = SEARCH_PREFIX_BITS
+    flips = []
+    for i in range(1, bits + 1):
+        flipped = f"(CASE WHEN substr(pfx, {i}, 1) = '1' THEN '0' ELSE '1' END)"
+        flips.append(
+            f"substr(pfx, 1, {i - 1}) || {flipped} || substr(pfx, {i + 1}, {bits - i})"
+        )
+    probes = "[pfx, " + ", ".join(flips) + "]"
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT cast(floor((max(vec_id) + 1) * {INCREMENTAL_SPLIT}) AS BIGINT)
+        AS t0 FROM e),
+bucketed AS (SELECT vec_id, v, {_bucket_sql(bits)} AS pfx FROM e),
+train AS (SELECT b.* FROM bucketed b, s WHERE vec_id < t0),
+ev AS (SELECT b.* FROM bucketed b, s WHERE vec_id >= t0),
+q AS (SELECT vec_id AS src_id, v AS qv, unnest({probes}) AS probe_pfx FROM ev),
+cands AS (
+  SELECT src_id, t.vec_id AS dst_id,
+    {_COSINE_SQL.format(a='qv', b='t.v')} AS cosine
+  FROM q JOIN train t ON t.pfx = q.probe_pfx),
+best AS (
+  SELECT src_id, dst_id, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY src_id
+               ORDER BY cosine DESC, dst_id) AS rk FROM cands)
+  WHERE rk = 1)
+SELECT ev.vec_id, best.dst_id AS nearest_train_id, best.cosine AS max_cosine,
+  coalesce(best.cosine >= {NEAR_DUP_COSINE}, FALSE) AS contaminated
+FROM ev LEFT JOIN best ON best.src_id = ev.vec_id"""
+
+
 def _semdedup_pairs_ctes() -> str:
     """Shared SemDeDup CTE chain (seeded Lloyd unroll → final
     assignments ``af`` → within-cell pairs ≥ NEAR_DUP_COSINE as
@@ -2967,6 +3003,17 @@ REGISTRY["knn_graph_lsh"] = QuerySpec(
 )
 
 
+REGISTRY["eval_semantic_contamination"] = QuerySpec(
+    # bits pinned to the oracle prefix width (see knn_graph_lsh);
+    # production calls leave bits=None.
+    lambda spark, sf_dir: S.eval_semantic_contamination(
+        load_tables(spark, sf_dir), bits=S.SEARCH_PREFIX_BITS
+    ),
+    _semantic_contam_oracle(),
+    ("similarity", "decontamination", "lsh", "pandas-udf"),
+)
+
+
 REGISTRY["embedding_exact_dedup"] = QuerySpec(
     # Quantized-code fingerprints are pure integer/sha256 functions of
     # the vector, so the oracle rebuilds every group key bit-for-bit.
@@ -3767,7 +3814,8 @@ _PRIORITY_WINDOW = [
     # rounds — single-row filter-count/first-row shapes still swept by
     # CORRECTNESS_FULL at 4 configs + 3 SFs)
     "q7_bounding_box_count", "q8_filtered_max", "q9_topn", "q9_grouped_topk",
-    "q11_conditional_count", "q12_dup_detect",
+    "q11_conditional_count",
+    # (q12_dup_detect rotated out — its first-wins twin stays)
     "q12_dedup_first_wins", "q13_anti_join", "q14_join_compare",
     "q15_except_all", "q16_domain_violations",
     "q17_count_parity", "p13_hourly_rollup", "p5_deterministic_id",
@@ -3787,7 +3835,7 @@ _PRIORITY_WINDOW = [
     # hashed-feature quality gate, mixture materialization, quantized
     # embedding dedup, kNN graph
     "bloom_dedup_report", "quality_linear_score", "mixture_sample_assign",
-    "embedding_exact_dedup", "knn_graph_lsh",
+    "embedding_exact_dedup", "knn_graph_lsh", "eval_semantic_contamination",
     # dedup ladder — round 3's scale-path rework, rung by rung
     "dedup_exact", "dedup_jaccard_prefix_join", "dedup_minhash_lsh",
     "dedup_incremental_minhash", "semdedup", "semdedup_pairs",

@@ -1050,3 +1050,77 @@ def knn_graph_lsh(t, bits: int | None = None) -> DataFrame:
         .filter(F.col("rk") <= KNN_K)
         .select("src_id", "dst_id", "cosine", "rk")
     )
+
+
+def eval_semantic_contamination(t, bits: int | None = None) -> DataFrame:
+    """Semantic decontamination: for every EVAL vector (the id-split
+    tail, as in ``dedup_incremental_minhash``), its nearest TRAIN
+    vector by cosine among the multi-probed LSH buckets — flagging
+    eval items whose meaning already sits in the training corpus
+    (cos ≥ NEAR_DUP_COSINE), the embedding-level companion to the
+    n-gram ``eval_decontamination`` (paraphrased leakage that shares
+    no shingles).  Per eval vector: nearest_train_id, max_cosine
+    (NULL when no probed bucket holds a train vector), contaminated.
+
+    Same scale shape as ``knn_graph_lsh``: train members and eval
+    probers shuffle once on the bucket key, the per-bucket kernel
+    (k = 1) emits one best-train partial per (eval, bucket), and a
+    top-1 window merges probes.  Cost scales with the EVAL split ×
+    bucket size — never train × train — and ``bits=None`` derives
+    the prefix width from one cheap count to hold bucket size
+    constant.  The registry pins the oracle width; recall is bounded
+    by the hamming-1 probe radius like every sign-LSH entry here.
+    """
+    from storm_data_etl_service_spark.operators.dedup import INCREMENTAL_SPLIT
+
+    emb = t["embeddings"].select("vec_id", _vec(F.col("embedding")).alias("v"))
+    if bits is None:
+        bits = knn_auto_bits(emb.count())
+    split = emb.agg(F.floor((F.max("vec_id") + 1) * INCREMENTAL_SPLIT).alias("t0"))
+    bucketed = emb.crossJoin(F.broadcast(split)).select(
+        "vec_id",
+        "v",
+        "t0",
+        F.substring(lsh_bucket_col(F.col("v")), 1, bits).alias("pfx"),
+    )
+    members = bucketed.filter(F.col("vec_id") < F.col("t0")).select(
+        F.col("pfx").alias("bkey"),
+        "vec_id",
+        "v",
+        F.lit(True).alias("is_member"),
+        F.lit(False).alias("is_prober"),
+    )
+    evals = bucketed.filter(F.col("vec_id") >= F.col("t0"))
+    probers = evals.select(
+        F.explode(_probe_prefixes(F.col("pfx"), bits)).alias("bkey"),
+        "vec_id",
+        "v",
+        F.lit(False).alias("is_member"),
+        F.lit(True).alias("is_prober"),
+    )
+    partials = (
+        members.unionByName(probers)
+        .groupBy("bkey")
+        .applyInPandas(
+            _bucket_topk_kernel(k=1),
+            schema="src_id bigint, dst_id bigint, cosine double",
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("dst_id"))
+    best = (
+        partials.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("src_id").alias("vec_id"),
+            F.col("dst_id").alias("nearest_train_id"),
+            F.col("cosine").alias("max_cosine"),
+        )
+    )
+    return evals.select("vec_id").join(best, "vec_id", "left").select(
+        "vec_id",
+        "nearest_train_id",
+        "max_cosine",
+        F.coalesce(
+            F.col("max_cosine") >= NEAR_DUP_COSINE, F.lit(False)
+        ).alias("contaminated"),
+    )

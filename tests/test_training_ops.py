@@ -1326,3 +1326,31 @@ def test_bloom_auto_bits_holds_fill_ratio():
         bloom_auto_bits(n) <= bloom_auto_bits(2 * n)
         for n in (10**4, 10**6, 10**8)
     )
+
+
+def test_semantic_contamination_planted_leak(spark):
+    """An eval vector byte-identical to a train vector must be
+    flagged with max_cosine == 1.0 and that train id as nearest; an
+    orthogonal eval vector must not be contaminated."""
+    from storm_data_etl_service_spark.operators.similarity import (
+        EMBEDDING_DIM,
+        eval_semantic_contamination,
+    )
+
+    leak = [1.0 if i % 3 == 0 else -0.5 for i in range(EMBEDDING_DIM)]
+    # orthogonal-ish to leak and to the filler vectors
+    clean = [(1.0 if i % 2 else -1.0) * (i % 5) for i in range(EMBEDDING_DIM)]
+    rows = [(i, [0.1 * ((i + j) % 7 - 3) for j in range(EMBEDDING_DIM)]) for i in range(6)]
+    rows.append((6, leak))           # train (split at floor(10*0.8) = 8)
+    rows.append((7, [0.05] * EMBEDDING_DIM))
+    rows.append((8, leak))           # eval: exact copy of train 6
+    rows.append((9, clean))          # eval: fresh
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in eval_semantic_contamination({"embeddings": emb}).collect()}
+    assert set(out) == {8, 9}
+    assert out[8]["contaminated"] and out[8]["nearest_train_id"] == 6
+    assert out[8]["max_cosine"] == 1.0
+    for r in out.values():
+        assert r["contaminated"] == (
+            r["max_cosine"] is not None and r["max_cosine"] >= 0.40
+        )
