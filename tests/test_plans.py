@@ -75,6 +75,9 @@ INTENTIONAL_PYTHON_OPS = [
     # _cell_pairs_kernel, keyed on the LSH bucket instead of the
     # k-means cell.
     "knn_graph_lsh",
+    # Same kernel (k=1) keyed on LSH bucket for eval-vs-train nearest
+    # search; the Arrow boundary is shared with knn_graph_lsh.
+    "eval_semantic_contamination",
 ]
 
 
