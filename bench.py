@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "bloom_dedup_report",       # mergeable Bloom bit-set probe + exact audit
     "quality_linear_score",     # zero-shuffle hashed-feature linear gate
     "knn_graph_lsh",            # bucketed Arrow top-k kNN graph build
+    # round-3 session-5 additions
+    "global_shuffle_order",     # two-level deterministic global ordering
+    "length_bucket_batches",    # bucketed batch layout + padding audit
 ]
 
 

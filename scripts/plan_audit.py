@@ -82,6 +82,7 @@ BNLJ_JUSTIFIED = {
     "ann_pq_search": "K-row codebook / distance-LUT broadcasts per subspace",
     "nearest_centroid_accuracy": "K-row centroid table broadcast",
     "dedup_incremental_minhash": "1-row batch-boundary scalar (doc_id >= t0 residual)",
+    "eval_semantic_contamination": "1-row id-split scalar (vec_id < / >= t0 residual), re-expanded per consumer",
     "bloom_dedup_report": "1-row batch-boundary scalar (doc_id < / >= t0 residual)",
     "embedding_exact_dedup": "1-row per-dim-scales array broadcast",
     # --- documented brute-force baselines: the bounded query set (or

@@ -703,3 +703,134 @@ def mixture_sample_assign(t) -> DataFrame:
             (n_copies > 0).alias("kept"),
         )
     )
+
+
+def global_shuffle_order(t, n_shards: int = 16, seed: str = "r3") -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets
+    a pseudo-random sha256 key, a RANGE shard (the key's top bits, so
+    shard index is monotone in key order), its rank within the shard,
+    and a CONTIGUOUS global position — computed two-level, never with a
+    single-partition global window.  ``pos_in_shard`` comes from one
+    window partitioned by shard; the per-shard row counts (n_shards
+    rows) turn into cumulative offsets on the driver-sized side and
+    broadcast back, so ``global_pos = offset + pos_in_shard - 1``
+    reproduces ``row_number() OVER (ORDER BY key)`` exactly while every
+    shard sorts in parallel.  At 100 TB you raise n_shards to O(tasks)
+    and the layout — and therefore the training order — is bit-stable
+    across cluster sizes.  Extends the reference's deterministic-ID
+    discipline (internal/enrich/enrich.go:141-154) from identity to
+    global ordering.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit(f"shuffle|{seed}|"), F.col("doc_id").cast("string")
+                ),
+                256,
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # integer shard math: (h * n_shards) div 2^32 — monotone in h, no
+    # float rounding at bucket boundaries
+    keyed = t["documents"].select("doc_id", h.alias("_h")).withColumn(
+        "shard", F.expr(f"CAST((_h * {n_shards}) DIV 4294967296 AS INT)")
+    )
+    counts = keyed.groupBy("shard").agg(F.count("*").alias("_n"))
+    woff = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "shard", (F.sum("_n").over(woff) - F.col("_n")).alias("_off")
+    )
+    wpos = Window.partitionBy("shard").orderBy(F.col("_h"), F.col("doc_id"))
+    return (
+        keyed.withColumn("pos_in_shard", F.row_number().over(wpos))
+        .join(F.broadcast(offsets), "shard")
+        .select(
+            "doc_id",
+            "shard",
+            "pos_in_shard",
+            (F.col("_off") + F.col("pos_in_shard") - 1).cast("long").alias(
+                "global_pos"
+            ),
+        )
+    )
+
+
+def length_bucket_batches(
+    t, batch_size: int = 16, n_streams: int = 4
+) -> DataFrame:
+    """Length-bucketed batching audit: documents are bucketed by
+    bit-length of ``n_chars`` (power-of-two boundaries — map-only, no
+    global sort; computed as ``length(bin(n)) - 1`` so both engines
+    use exact integer math, never float ``log2``), fanned into ``n_streams`` deterministic hash streams per
+    bucket so no bucket serializes on one task, laid out by
+    (length, doc_id) within each stream, and grouped into batches of
+    ``batch_size``.  A batch pads every member to its longest doc, so
+    the report prices the padding waste of bucketed batching: per
+    length bucket — docs, batches, payload chars, padded chars, and
+    the padding fraction.  The two windows partition on
+    (bucket, stream): parallelism n_buckets x n_streams, raised at
+    scale by the knob; batch shape is reproducible across cluster
+    sizes.
+    """
+    from pyspark.sql.window import Window
+
+    s = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(F.lit("lbb|"), F.col("doc_id").cast("string")), 256
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    laid = t["documents"].select(
+        "doc_id",
+        "n_chars",
+        (F.length(F.conv(F.col("n_chars").cast("string"), 10, 2)) - 1)
+        .cast("int")
+        .alias("len_bucket"),
+        (s % n_streams).alias("stream"),
+    )
+    wrow = Window.partitionBy("len_bucket", "stream").orderBy(
+        F.col("n_chars"), F.col("doc_id")
+    )
+    batched = laid.withColumn(
+        "batch", F.floor((F.row_number().over(wrow) - 1) / batch_size)
+    )
+    per_batch = batched.groupBy("len_bucket", "stream", "batch").agg(
+        F.count("*").alias("n_in_batch"),
+        F.max("n_chars").alias("max_len"),
+        F.sum("n_chars").alias("sum_len"),
+    )
+    padded = F.col("n_in_batch") * F.col("max_len")
+    return (
+        per_batch.groupBy("len_bucket")
+        .agg(
+            F.sum("n_in_batch").alias("n_docs"),
+            F.count("*").alias("n_batches"),
+            F.sum("sum_len").alias("payload_chars"),
+            F.sum(padded).alias("padded_chars"),
+        )
+        .select(
+            "len_bucket",
+            "n_docs",
+            "n_batches",
+            "payload_chars",
+            "padded_chars",
+            (
+                (F.col("padded_chars") - F.col("payload_chars")).cast("double")
+                / F.col("padded_chars")
+            ).alias("pad_frac"),
+        )
+    )

@@ -3795,6 +3795,53 @@ FROM per_doc GROUP BY lang""",
 )
 
 
+REGISTRY["global_shuffle_order"] = QuerySpec(
+    _t(P.global_shuffle_order),
+    """WITH h AS (
+  SELECT doc_id,
+    ('0x' || substr(sha256('shuffle|r3|' || cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      AS _h
+  FROM documents),
+sharded AS (
+  SELECT doc_id, _h, CAST((_h * 16) // 4294967296 AS INTEGER) AS shard FROM h)
+SELECT doc_id, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY _h, doc_id) AS INTEGER)
+    AS pos_in_shard,
+  CAST(row_number() OVER (ORDER BY _h, doc_id) - 1 AS BIGINT) AS global_pos
+FROM sharded""",
+    ("pipeline", "shuffle", "ordering"),
+)
+
+
+REGISTRY["length_bucket_batches"] = QuerySpec(
+    _t(P.length_bucket_batches),
+    """WITH laid AS (
+  SELECT doc_id, n_chars,
+    CAST(length(bin(n_chars)) - 1 AS INTEGER) AS len_bucket,
+    ('0x' || substr(sha256('lbb|' || cast(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4
+      AS stream
+  FROM documents),
+batched AS (
+  SELECT len_bucket, stream, n_chars,
+    (row_number() OVER (PARTITION BY len_bucket, stream
+                        ORDER BY n_chars, doc_id) - 1) // 16 AS batch
+  FROM laid),
+per_batch AS (
+  SELECT len_bucket, stream, batch, count(*) AS n_in_batch,
+    max(n_chars) AS max_len, sum(n_chars) AS sum_len
+  FROM batched GROUP BY len_bucket, stream, batch)
+SELECT len_bucket,
+  cast(sum(n_in_batch) AS BIGINT) AS n_docs,
+  count(*) AS n_batches,
+  cast(sum(sum_len) AS BIGINT) AS payload_chars,
+  cast(sum(n_in_batch * max_len) AS BIGINT) AS padded_chars,
+  cast(sum(n_in_batch * max_len) - sum(sum_len) AS DOUBLE)
+    / sum(n_in_batch * max_len) AS pad_frac
+FROM per_batch GROUP BY len_bucket""",
+    ("pipeline", "batching", "padding"),
+)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST
 # 50 ``queries()`` entries each round, so the window is curated to cover
@@ -3810,10 +3857,10 @@ _PRIORITY_WINDOW = [
     # SURVEY §2: the reference's own query/transform surface
     "storm_enrich", "enrich_events",
     "q1_group_count", "q2_group_count_composite", "q3_filter_eq_count",
-    # (q4/q5/q6/q10/q16_crossfield rotated out after two driver-green
-    # rounds — single-row filter-count/first-row shapes still swept by
-    # CORRECTNESS_FULL at 4 configs + 3 SFs)
-    "q7_bounding_box_count", "q8_filtered_max", "q9_topn", "q9_grouped_topk",
+    # (q4/q5/q6/q7/q8/q10/q16_crossfield rotated out after two
+    # driver-green rounds — single-row filter-count/max/first-row
+    # shapes still swept by CORRECTNESS_FULL at 4 configs + 3 SFs)
+    "q9_topn", "q9_grouped_topk",
     "q11_conditional_count",
     # (q12_dup_detect rotated out — its first-wins twin stays)
     "q12_dedup_first_wins", "q13_anti_join", "q14_join_compare",
@@ -3831,6 +3878,9 @@ _PRIORITY_WINDOW = [
     # curation + text
     "dataset_split_assign", "text_scrub_pii", "ngram_counts",
     "corpus_curation_pipeline",
+    # round-3 session-5 additions: deterministic global training-order
+    # shuffle, length-bucketed batching audit
+    "global_shuffle_order", "length_bucket_batches",
     # round-3 session-4 additions: Bloom membership pre-screen,
     # hashed-feature quality gate, mixture materialization, quantized
     # embedding dedup, kNN graph

@@ -1354,3 +1354,80 @@ def test_semantic_contamination_planted_leak(spark):
         assert r["contaminated"] == (
             r["max_cosine"] is not None and r["max_cosine"] >= 0.40
         )
+
+
+def test_global_shuffle_order_is_contiguous_permutation(spark, sf_dir):
+    """The two-level shard/offset construction must reproduce the
+    single global ``row_number() OVER (ORDER BY key)`` exactly:
+    global_pos is a contiguous 0..n-1 permutation, shard index is
+    monotone along it (shard = top bits of the key), and the
+    per-shard positions are each contiguous from 1."""
+    rows = run("global_shuffle_order", spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    assert sorted(r["global_pos"] for r in rows) == list(range(n))
+    ordered = sorted(rows, key=lambda r: r["global_pos"])
+    shards = [r["shard"] for r in ordered]
+    assert shards == sorted(shards), "shard must be monotone in key order"
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # sha256 keying spreads sf0.001's 500 docs over all 16 shards
+    # (P(any empty) ~ 16 * (15/16)^500 ~ 1.6e-13)
+    assert set(by_shard) == set(range(16))
+
+
+def test_global_shuffle_order_is_deterministic(spark, sf_dir):
+    """The order is a pure function of (seed, doc_id): a second
+    evaluation — and any cluster size — yields identical positions."""
+    a = {r["doc_id"]: r["global_pos"] for r in run("global_shuffle_order", spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(7)
+    from storm_data_etl_service_spark.operators.pipeline_ops import global_shuffle_order
+
+    b = {r["doc_id"]: r["global_pos"] for r in global_shuffle_order({"documents": docs}).collect()}
+    assert a == b
+
+
+def test_length_bucket_batches_reconciles(spark, sf_dir):
+    """Per-bucket doc and payload totals must reconcile with the raw
+    table; padding can only add chars; pad_frac prices exactly the
+    padded-minus-payload share."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    truth = {
+        r["len_bucket"]: (r["n"], r["chars"])
+        for r in docs.groupBy(
+            (F.length(F.conv(F.col("n_chars").cast("string"), 10, 2)) - 1)
+            .cast("int")
+            .alias("len_bucket")
+        )
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        .collect()
+    }
+    out = run("length_bucket_batches", spark, sf_dir).collect()
+    assert {r["len_bucket"] for r in out} == set(truth)
+    for r in out:
+        n, chars = truth[r["len_bucket"]]
+        assert r["n_docs"] == n
+        assert r["payload_chars"] == chars
+        assert r["padded_chars"] >= r["payload_chars"]
+        assert 0.0 <= r["pad_frac"] < 1.0
+        assert r["pad_frac"] * r["padded_chars"] == pytest.approx(
+            r["padded_chars"] - r["payload_chars"]
+        )
+        # a batch holds at most batch_size docs, across n_streams
+        # streams: ceil-bound on the batch count per bucket
+        assert r["n_batches"] >= -(-n // 16)
+        assert r["n_batches"] <= 4 * -(-n // 16) + 4
+
+
+def test_length_bucket_batches_uniform_lengths_pad_free(spark):
+    """Docs of one uniform length pad nothing: every batch's max_len
+    equals every member's length, so pad_frac is exactly 0."""
+    from storm_data_etl_service_spark.operators.pipeline_ops import length_bucket_batches
+
+    docs = spark.createDataFrame([(i, 100) for i in range(40)], "doc_id long, n_chars int")
+    out = length_bucket_batches({"documents": docs}).collect()
+    assert len(out) == 1 and out[0]["len_bucket"] == 6
+    assert out[0]["pad_frac"] == 0.0 and out[0]["padded_chars"] == 40 * 100
