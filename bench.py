@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     # round-3 session-5 additions
     "global_shuffle_order",     # two-level deterministic global ordering
     "length_bucket_batches",    # bucketed batch layout + padding audit
+    "stratified_sample",        # salted two-level per-stratum top-k
 ]
 
 

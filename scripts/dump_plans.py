@@ -263,6 +263,27 @@ ANNOTATED = {
         "ranking window. Auto prefix width holds bucket size — and "
         "per-bucket quadratic work — constant as n grows."
     ),
+    "global_shuffle_order": (
+        "Two-level deterministic global ordering: the per-shard "
+        "row_number window sorts every hash shard in parallel, and the "
+        "only SinglePartition exchange is the n_shards-row cumulative "
+        "offsets (cluster-sized, broadcast back). Reproduces a global "
+        "ORDER BY row_number bit-exactly with no data-sized funnel; "
+        "layout is stable across cluster sizes."
+    ),
+    "length_bucket_batches": (
+        "Map-only bucket/stream assignment (bit-length bucketing, hash "
+        "streams), then both windows partition on (bucket, stream) — "
+        "parallelism n_buckets x n_streams, raised by the stream knob "
+        "at scale — before a two-level aggregation to the per-bucket "
+        "padding report."
+    ),
+    "stratified_sample": (
+        "Salted two-level per-stratum top-k: level one keeps the k "
+        "hash-smallest per (source, salt) window so a giant stratum "
+        "never serializes into one task; level two ranks only the "
+        "sample-sized survivors (<= n_salts * k rows per source)."
+    ),
 }
 
 

@@ -834,3 +834,48 @@ def length_bucket_batches(
             ).alias("pad_frac"),
         )
     )
+
+
+def stratified_sample(t, k: int = 10, n_salts: int = 4) -> DataFrame:
+    """Deterministic stratified sample: the k smallest sha256-keyed
+    documents per source — the distributed equivalent of a seeded
+    per-stratum reservoir sample.  Membership is a pure function of
+    (doc_id, k): reproducible across runs, engines, and cluster
+    sizes, and stable under corpus append except at the k-th-hash
+    boundary.  Two-level top-k so a giant stratum never serializes
+    into one task: each source is split into n_salts deterministic
+    hash sub-strata, the k smallest survive per (source, salt)
+    window — parallelism n_sources x n_salts — and a second window
+    over the <= n_salts*k survivors per source keeps the k smallest
+    overall, identical to a single per-source window by transitivity
+    of min-k.  At 100 TB, n_salts rises with stratum skew and level
+    two's input stays sample-sized (n_sources x n_salts x k rows).
+    """
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(F.lit("strat|"), F.col("doc_id").cast("string")), 256
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = t["documents"].select(
+        "doc_id", "source", h.alias("_h"), (h % n_salts).alias("_salt")
+    )
+    w1 = Window.partitionBy("source", "_salt").orderBy(
+        F.col("_h"), F.col("doc_id")
+    )
+    survivors = keyed.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= k
+    )
+    w2 = Window.partitionBy("source").orderBy(F.col("_h"), F.col("doc_id"))
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= k)
+        .select("source", "sample_rank", "doc_id")
+    )

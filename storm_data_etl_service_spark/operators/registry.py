@@ -3842,6 +3842,23 @@ FROM per_batch GROUP BY len_bucket""",
 )
 
 
+REGISTRY["stratified_sample"] = QuerySpec(
+    _t(P.stratified_sample),
+    """WITH h AS (
+  SELECT doc_id, source,
+    ('0x' || substr(sha256('strat|' || cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      AS _h
+  FROM documents),
+ranked AS (
+  SELECT source, doc_id,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY _h, doc_id)
+         AS INTEGER) AS sample_rank
+  FROM h)
+SELECT source, sample_rank, doc_id FROM ranked WHERE sample_rank <= 10""",
+    ("pipeline", "sampling", "stratified"),
+)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST
 # 50 ``queries()`` entries each round, so the window is curated to cover
@@ -3856,8 +3873,8 @@ FROM per_batch GROUP BY len_bucket""",
 _PRIORITY_WINDOW = [
     # SURVEY §2: the reference's own query/transform surface
     "storm_enrich", "enrich_events",
-    "q1_group_count", "q2_group_count_composite", "q3_filter_eq_count",
-    # (q4/q5/q6/q7/q8/q10/q16_crossfield rotated out after two
+    "q1_group_count", "q2_group_count_composite",
+    # (q3/q4/q5/q6/q7/q8/q10/q16_crossfield rotated out after two
     # driver-green rounds — single-row filter-count/max/first-row
     # shapes still swept by CORRECTNESS_FULL at 4 configs + 3 SFs)
     "q9_topn", "q9_grouped_topk",
@@ -3879,8 +3896,8 @@ _PRIORITY_WINDOW = [
     "dataset_split_assign", "text_scrub_pii", "ngram_counts",
     "corpus_curation_pipeline",
     # round-3 session-5 additions: deterministic global training-order
-    # shuffle, length-bucketed batching audit
-    "global_shuffle_order", "length_bucket_batches",
+    # shuffle, length-bucketed batching audit, stratified sampler
+    "global_shuffle_order", "length_bucket_batches", "stratified_sample",
     # round-3 session-4 additions: Bloom membership pre-screen,
     # hashed-feature quality gate, mixture materialization, quantized
     # embedding dedup, kNN graph

@@ -1431,3 +1431,32 @@ def test_length_bucket_batches_uniform_lengths_pad_free(spark):
     out = length_bucket_batches({"documents": docs}).collect()
     assert len(out) == 1 and out[0]["len_bucket"] == 6
     assert out[0]["pad_frac"] == 0.0 and out[0]["padded_chars"] == 40 * 100
+
+
+def test_stratified_sample_matches_single_window_form(spark, sf_dir):
+    """The salted two-level top-k must select exactly the k
+    hash-smallest docs per source (transitivity of min-k), with
+    contiguous ranks from 1; no stratum may exceed k."""
+    out = run("stratified_sample", spark, sf_dir).collect()
+    assert out
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit("strat|"), F.col("doc_id").cast("string")), 256),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    truth = {}
+    for r in docs.select("source", "doc_id", h.alias("h")).collect():
+        truth.setdefault(r["source"], []).append((r["h"], r["doc_id"]))
+    got = {}
+    for r in out:
+        got.setdefault(r["source"], []).append((r["sample_rank"], r["doc_id"]))
+    assert set(got) == set(truth)
+    for src, pairs in got.items():
+        expect = [d for _, d in sorted(truth[src])[:10]]
+        assert [d for _, d in sorted(pairs)] == expect, src
+        assert sorted(r for r, _ in pairs) == list(range(1, len(pairs) + 1))
