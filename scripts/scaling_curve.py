@@ -213,6 +213,18 @@ FLAG_NOTES = {
         "tests/test_training_ops.py; the fixed-K entry is the "
         "determinism-checked form."
     ),
+    "knn_graph_lsh": (
+        "fixed-width artifact, same class as semdedup's fixed K: the "
+        "registry pins the LSH prefix width to the oracle's "
+        "SEARCH_PREFIX_BITS so the DuckDB twin can enumerate the exact "
+        "buckets, which lets bucket size — and the per-bucket Arrow "
+        "top-k's quadratic term — grow with n (exp 1.105 at ×16).  "
+        "Production calls leave bits=None and get the "
+        "bucket-size-constant knn_auto_bits derivation "
+        "(monotonicity + bucket-size bound pinned in "
+        "tests/test_training_ops.py); the auto-bits form's sf1.6 run "
+        "is recorded in SCALE_PROBE.md."
+    ),
     "dedup_jaccard_prefix_join": (
         "output-bound on the SHUFFLED corpus: the per-replica hash-sort "
         "groups repeated words into runs, so within-replica near-dup "
