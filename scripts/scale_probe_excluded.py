@@ -102,11 +102,22 @@ def _load_exclude() -> dict:
 
 def main() -> int:
     timeout = int(sys.argv[1]) if len(sys.argv) > 1 else 560
+    only = set(sys.argv[2:])  # optional entry names: re-probe just these
 
     EXCLUDE = _load_exclude()
 
+    # carry forward previous results (JSON sidecar) so a filtered
+    # re-probe — e.g. a longer timeout for one slow census — merges
+    # into the committed table instead of truncating it
+    sidecar = REPO / "SCALE_PROBE.json"
     results: dict[str, dict] = {}
-    probe_names = [n for n in EXCLUDE if n not in SPARK_SIDE_BASELINE]
+    if only and sidecar.exists():
+        results = json.loads(sidecar.read_text())
+    probe_names = [
+        n
+        for n in EXCLUDE
+        if n not in SPARK_SIDE_BASELINE and (not only or n in only)
+    ]
     for name in probe_names:
         dirs = [("shuffled", SF_DIR)]
         if name.startswith(("dedup", "neardup", "crossmodal", "fuzzy", "pagerank")) and Path(
@@ -168,6 +179,7 @@ def main() -> int:
     for name, why in SPARK_SIDE_BASELINE.items():
         lines.append(f"- **{name}** — {why}")
     lines.append("")
+    sidecar.write_text(json.dumps(results, indent=1))
     (REPO / "SCALE_PROBE.md").write_text("\n".join(lines))
     print(f"\nwrote SCALE_PROBE.md: ok={ok} fail={fail} "
           f"baseline-documented={len(SPARK_SIDE_BASELINE)}")
