@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "global_shuffle_order",     # two-level deterministic global ordering
     "length_bucket_batches",    # bucketed batch layout + padding audit
     "stratified_sample",        # salted two-level per-stratum top-k
+    "curriculum_order",         # equi-depth difficulty bands, in-band shuffle
+    "epoch_stream_order",       # mixture copies expanded into one epoch layout
 ]
 
 

@@ -284,6 +284,21 @@ ANNOTATED = {
         "never serializes into one task; level two ranks only the "
         "sample-sized survivors (<= n_salts * k rows per source)."
     ),
+    "curriculum_order": (
+        "Equi-depth difficulty bands from the distributed global "
+        "ranking (range repartition + per-partition numbering + "
+        "cluster-sized offsets), a 1-row count broadcast for the "
+        "integer band arithmetic, then per-band shuffle windows in "
+        "parallel — band is the leading sort key, so the two-level "
+        "position equals the single global window it replaces."
+    ),
+    "epoch_stream_order": (
+        "Mixture copies materialize as expression fan-out (explode "
+        "over sequence(0, n_copies-1)) — no Python, no driver loop; "
+        "each copy gets an independent hash key so up-sampled repeats "
+        "spread across the epoch, then the same two-level hash-shard "
+        "layout as global_shuffle_order."
+    ),
 }
 
 

@@ -61,6 +61,7 @@ BNLJ_JUSTIFIED = {
     "equi_depth_histogram": "1-row count scalar for bucket sizing",
     "boilerplate_prefix_report": "1-row doc-count scalar",
     "balance_deciles": "1-row total-count scalar for the distributed-ntile arithmetic",
+    "curriculum_order": "1-row total-count scalar for the equi-depth band arithmetic",
     "daily_user_sketch_rollup": "1-row exact-distinct scalar verifying the sketch union",
     "outlier_filter_count": "1-row quantile-threshold scalar (value > q residual)",
     "cms_token_frequencies": "1-row sketch-parameter scalar",

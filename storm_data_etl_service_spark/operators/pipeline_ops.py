@@ -7,7 +7,7 @@ Everyday operators of a 100 TB corpus pipeline, all expression-only
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from storm_data_etl_service_spark.operators.text import tokens_col
@@ -705,62 +705,79 @@ def mixture_sample_assign(t) -> DataFrame:
     )
 
 
+def _sha_key(prefix: str, *cols) -> Column:
+    """Pseudo-random BIGINT in [0, 2^32): the first 8 hex chars of
+    sha256 over a prefixed '|'-joined key — the same bytes DuckDB's
+    ``('0x' || substr(sha256(...), 1, 8))::BIGINT`` produces, so every
+    layout built on it is oracle-checkable bit-for-bit."""
+    parts: list[Column] = [F.lit(prefix)]
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit("|"))
+        parts.append(c.cast("string"))
+    return F.conv(
+        F.substring(F.sha2(F.concat(*parts), 256), 1, 8), 16, 10
+    ).cast("long")
+
+
+def _grouped_contiguous_pos(keyed: DataFrame, group_col: str, order_cols) -> DataFrame:
+    """Two-level contiguous global position: a per-group row_number
+    window (every group sorts in parallel) plus cumulative group-count
+    offsets — a group-count-sized relation, cumulated in one tiny
+    window and broadcast back.  When ``group_col`` is monotone in the
+    global order (hash-shard top bits, curriculum band), ``_off +
+    pos_in_group - 1`` reproduces ``row_number() OVER (ORDER BY
+    group, order_cols)`` exactly with no data-sized single-partition
+    exchange.  Adds ``pos_in_group`` (1-based) and ``_gpos``
+    (0-based)."""
+    from pyspark.sql.window import Window
+
+    counts = keyed.groupBy(group_col).agg(F.count("*").alias("_n"))
+    woff = Window.orderBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        group_col, (F.sum("_n").over(woff) - F.col("_n")).alias("_off")
+    )
+    wpos = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        keyed.withColumn("pos_in_group", F.row_number().over(wpos))
+        .join(F.broadcast(offsets), group_col)
+        .withColumn(
+            "_gpos",
+            (F.col("_off") + F.col("pos_in_group") - 1).cast("long"),
+        )
+        .drop("_off")
+    )
+
+
 def global_shuffle_order(t, n_shards: int = 16, seed: str = "r3") -> DataFrame:
     """Deterministic global training-order shuffle: every document gets
     a pseudo-random sha256 key, a RANGE shard (the key's top bits, so
     shard index is monotone in key order), its rank within the shard,
-    and a CONTIGUOUS global position — computed two-level, never with a
-    single-partition global window.  ``pos_in_shard`` comes from one
-    window partitioned by shard; the per-shard row counts (n_shards
-    rows) turn into cumulative offsets on the driver-sized side and
-    broadcast back, so ``global_pos = offset + pos_in_shard - 1``
-    reproduces ``row_number() OVER (ORDER BY key)`` exactly while every
-    shard sorts in parallel.  At 100 TB you raise n_shards to O(tasks)
-    and the layout — and therefore the training order — is bit-stable
-    across cluster sizes.  Extends the reference's deterministic-ID
-    discipline (internal/enrich/enrich.go:141-154) from identity to
-    global ordering.
+    and a CONTIGUOUS global position — computed two-level
+    (``_grouped_contiguous_pos``), never with a single-partition
+    global window, so ``global_pos`` reproduces ``row_number() OVER
+    (ORDER BY key)`` exactly while every shard sorts in parallel.  At
+    100 TB you raise n_shards to O(tasks) and the layout — and
+    therefore the training order — is bit-stable across cluster
+    sizes.  Extends the reference's deterministic-ID discipline
+    (internal/enrich/enrich.go:141-154) from identity to global
+    ordering.
     """
-    from pyspark.sql.window import Window
-
-    h = F.conv(
-        F.substring(
-            F.sha2(
-                F.concat(
-                    F.lit(f"shuffle|{seed}|"), F.col("doc_id").cast("string")
-                ),
-                256,
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = _sha_key(f"shuffle|{seed}|", F.col("doc_id"))
     # integer shard math: (h * n_shards) div 2^32 — monotone in h, no
     # float rounding at bucket boundaries
     keyed = t["documents"].select("doc_id", h.alias("_h")).withColumn(
         "shard", F.expr(f"CAST((_h * {n_shards}) DIV 4294967296 AS INT)")
     )
-    counts = keyed.groupBy("shard").agg(F.count("*").alias("_n"))
-    woff = Window.orderBy("shard").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    offsets = counts.select(
-        "shard", (F.sum("_n").over(woff) - F.col("_n")).alias("_off")
-    )
-    wpos = Window.partitionBy("shard").orderBy(F.col("_h"), F.col("doc_id"))
-    return (
-        keyed.withColumn("pos_in_shard", F.row_number().over(wpos))
-        .join(F.broadcast(offsets), "shard")
-        .select(
-            "doc_id",
-            "shard",
-            "pos_in_shard",
-            (F.col("_off") + F.col("pos_in_shard") - 1).cast("long").alias(
-                "global_pos"
-            ),
-        )
+    return _grouped_contiguous_pos(
+        keyed, "shard", [F.col("_h"), F.col("doc_id")]
+    ).select(
+        "doc_id",
+        "shard",
+        F.col("pos_in_group").alias("pos_in_shard"),
+        F.col("_gpos").alias("global_pos"),
     )
 
 
@@ -878,4 +895,79 @@ def stratified_sample(t, k: int = 10, n_salts: int = 4) -> DataFrame:
         survivors.withColumn("sample_rank", F.row_number().over(w2))
         .filter(F.col("sample_rank") <= k)
         .select("source", "sample_rank", "doc_id")
+    )
+
+
+def curriculum_order(t, n_bands: int = 8) -> DataFrame:
+    """Length-curriculum schedule: documents ordered easy→hard by
+    equi-depth difficulty band (global rank on (n_chars, doc_id) —
+    computed with the distributed ``global_row_number``, never an
+    unpartitioned ntile window), pseudo-randomly shuffled WITHIN each
+    band so a band is not served in length order, and laid into one
+    contiguous ``curriculum_pos`` via the same two-level band-offset
+    construction as ``global_shuffle_order`` (band is the leading
+    sort key, so two-level ≡ the single global window).  The total
+    doc count is a 1-row broadcast; band arithmetic is integer
+    (``rank * n_bands DIV n``), so band edges are exact in both
+    engines.  At 100 TB every band shuffles in parallel and the
+    schedule is bit-stable across cluster sizes.
+    """
+    from storm_data_etl_service_spark.operators.analytics import (
+        global_row_number,
+    )
+
+    docs = t["documents"].select("doc_id", "n_chars")
+    ranked = global_row_number(
+        docs, [F.asc("n_chars"), F.asc("doc_id")], "_rn"
+    )
+    n = docs.agg(F.count("*").alias("_total"))
+    banded = ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        F.expr(f"CAST(((_rn - 1) * {n_bands}) DIV _total AS INT)").alias(
+            "band"
+        ),
+        _sha_key("curr|", F.col("doc_id")).alias("_h"),
+    )
+    return _grouped_contiguous_pos(
+        banded, "band", [F.col("_h"), F.col("doc_id")]
+    ).select(
+        "doc_id",
+        "band",
+        F.col("pos_in_group").alias("band_pos"),
+        F.col("_gpos").alias("curriculum_pos"),
+    )
+
+
+def epoch_stream_order(t, n_shards: int = 16) -> DataFrame:
+    """Materialize the mixture into one epoch stream: every document's
+    ``n_copies`` (``mixture_sample_assign`` — temperature-weighted
+    stochastic rounding) expands into that many physical copies, each
+    copy gets an INDEPENDENT sha256 position key (the copy index is
+    in the key, so repeats of an up-sampled doc land far apart
+    instead of adjacent), and the epoch is laid out with the same
+    two-level hash-shard construction as ``global_shuffle_order``.
+    The expansion is expression fan-out (explode over a sequence) —
+    no Python, no driver loop; epoch size = sum(n_copies) ≈ N by the
+    mixture's expected-size property.
+    """
+    m = mixture_sample_assign(t).filter(F.col("n_copies") > 0)
+    copies = m.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), (F.col("n_copies") - 1).cast("int")
+            )
+        ).alias("copy"),
+    )
+    h = _sha_key("epoch|", F.col("copy"), F.col("doc_id"))
+    keyed = copies.withColumn("_h", h).withColumn(
+        "shard", F.expr(f"CAST((_h * {n_shards}) DIV 4294967296 AS INT)")
+    )
+    return _grouped_contiguous_pos(
+        keyed, "shard", [F.col("_h"), F.col("doc_id"), F.col("copy")]
+    ).select(
+        "doc_id",
+        "copy",
+        "shard",
+        F.col("_gpos").alias("epoch_pos"),
     )

@@ -3842,6 +3842,67 @@ FROM per_batch GROUP BY len_bucket""",
 )
 
 
+REGISTRY["curriculum_order"] = QuerySpec(
+    _t(P.curriculum_order),
+    """WITH ranked AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rn,
+    count(*) OVER () AS n
+  FROM documents),
+banded AS (
+  SELECT doc_id,
+    CAST((rn * 8) // n AS INTEGER) AS band,
+    ('0x' || substr(sha256('curr|' || cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      AS _h
+  FROM ranked)
+SELECT doc_id, band,
+  CAST(row_number() OVER (PARTITION BY band ORDER BY _h, doc_id) AS INTEGER)
+    AS band_pos,
+  CAST(row_number() OVER (ORDER BY band, _h, doc_id) - 1 AS BIGINT)
+    AS curriculum_pos
+FROM banded""",
+    ("pipeline", "curriculum", "ordering"),
+)
+
+
+REGISTRY["epoch_stream_order"] = QuerySpec(
+    _t(P.epoch_stream_order),
+    """WITH counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+staged AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(n_docs) * 1000000000.0) AS BIGINT) AS w
+  FROM counts),
+rates AS (
+  SELECT source,
+    (CAST(w AS DOUBLE) / CAST(sum(w) OVER () AS DOUBLE))
+      / (CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)) AS boost
+  FROM staged),
+drawn AS (
+  SELECT doc_id,
+    CAST(floor(boost) + (CASE WHEN
+      CAST(('0x' || substr(sha256('mix|' || doc_id), 1, 8))::BIGINT % 1000000000
+           AS DOUBLE) / 1000000000.0 < boost - floor(boost) THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_copies
+  FROM documents d JOIN rates USING (source)),
+expanded AS (
+  SELECT doc_id, unnest(range(n_copies)) AS copy
+  FROM drawn WHERE n_copies > 0),
+keyed AS (
+  SELECT doc_id, CAST(copy AS INTEGER) AS copy,
+    ('0x' || substr(sha256(
+       'epoch|' || cast(copy AS VARCHAR) || '|' || cast(doc_id AS VARCHAR)
+     ), 1, 8))::BIGINT AS _h
+  FROM expanded)
+SELECT doc_id, copy,
+  CAST((_h * 16) // 4294967296 AS INTEGER) AS shard,
+  CAST(row_number() OVER (ORDER BY _h, doc_id, copy) - 1 AS BIGINT)
+    AS epoch_pos
+FROM keyed""",
+    ("pipeline", "mixture", "ordering"),
+)
+
+
 REGISTRY["stratified_sample"] = QuerySpec(
     _t(P.stratified_sample),
     """WITH h AS (
@@ -3878,10 +3939,11 @@ _PRIORITY_WINDOW = [
     # driver-green rounds — single-row filter-count/max/first-row
     # shapes still swept by CORRECTNESS_FULL at 4 configs + 3 SFs)
     "q9_topn", "q9_grouped_topk",
-    "q11_conditional_count",
-    # (q12_dup_detect rotated out — its first-wins twin stays)
+    # (q11_conditional_count, q15_except_all rotated out after two
+    # driver-green rounds; q12_dup_detect rotated out — its first-wins
+    # twin stays)
     "q12_dedup_first_wins", "q13_anti_join", "q14_join_compare",
-    "q15_except_all", "q16_domain_violations",
+    "q16_domain_violations",
     "q17_count_parity", "p13_hourly_rollup", "p5_deterministic_id",
     # TPC-H shapes (broadcast dims, semi/anti self-joins)
     "tpch_q1_pricing_summary", "tpch_q3_top_revenue_orders",
@@ -3896,8 +3958,10 @@ _PRIORITY_WINDOW = [
     "dataset_split_assign", "text_scrub_pii", "ngram_counts",
     "corpus_curation_pipeline",
     # round-3 session-5 additions: deterministic global training-order
-    # shuffle, length-bucketed batching audit, stratified sampler
+    # shuffle, length-bucketed batching audit, stratified sampler,
+    # length-curriculum schedule, mixture epoch materialization
     "global_shuffle_order", "length_bucket_batches", "stratified_sample",
+    "curriculum_order", "epoch_stream_order",
     # round-3 session-4 additions: Bloom membership pre-screen,
     # hashed-feature quality gate, mixture materialization, quantized
     # embedding dedup, kNN graph

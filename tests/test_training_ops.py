@@ -1460,3 +1460,65 @@ def test_stratified_sample_matches_single_window_form(spark, sf_dir):
         expect = [d for _, d in sorted(truth[src])[:10]]
         assert [d for _, d in sorted(pairs)] == expect, src
         assert sorted(r for r, _ in pairs) == list(range(1, len(pairs) + 1))
+
+
+def test_curriculum_order_bands_and_positions(spark, sf_dir):
+    """Bands are equi-depth and monotone in difficulty (max n_chars of
+    band b <= min n_chars of band b+1 modulo the doc_id tiebreak);
+    curriculum_pos is a contiguous permutation that serves bands in
+    order."""
+    docs = {r["doc_id"]: r["n_chars"] for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    out = run("curriculum_order", spark, sf_dir).collect()
+    n = len(out)
+    assert n == len(docs)
+    assert sorted(r["curriculum_pos"] for r in out) == list(range(n))
+    ordered = sorted(out, key=lambda r: r["curriculum_pos"])
+    bands = [r["band"] for r in ordered]
+    assert bands == sorted(bands)
+    sizes = {}
+    for r in out:
+        sizes[r["band"]] = sizes.get(r["band"], 0) + 1
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # equi-depth
+    # difficulty monotone across band boundaries: every doc in band b
+    # is no longer than every doc in band b+1 (ties split by doc_id,
+    # so compare (n_chars, doc_id) keys)
+    key = lambda r: (docs[r["doc_id"]], r["doc_id"])
+    for b in range(7):
+        hi = max(key(r) for r in out if r["band"] == b)
+        lo = min(key(r) for r in out if r["band"] == b + 1)
+        assert hi < lo, b
+
+
+def test_epoch_stream_order_expands_upsampled_copies(spark):
+    """A minority source (boost > 1) must contribute multi-copy docs
+    with copy indices 0..n-1; epoch positions are contiguous over the
+    whole expanded stream and copies of one doc are keyed apart."""
+    from storm_data_etl_service_spark.operators.pipeline_ops import (
+        epoch_stream_order,
+        mixture_sample_assign,
+    )
+
+    rows = [(i, "t" * 50, "en", "big", 50) for i in range(96)]
+    rows += [(100 + i, "t" * 50, "en", "tiny", 50) for i in range(4)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    m = {r["doc_id"]: r["n_copies"] for r in
+         mixture_sample_assign({"documents": docs}).collect()}
+    # sqrt temperature: tiny source boost = (2/12)/(4/100) ≈ 4.2 — every
+    # tiny doc gets >= 4 copies
+    assert all(m[100 + i] >= 4 for i in range(4))
+    out = epoch_stream_order({"documents": docs}).collect()
+    assert len(out) == sum(m.values())
+    assert sorted(r["epoch_pos"] for r in out) == list(range(len(out)))
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    for doc_id, copies in per_doc.items():
+        assert sorted(copies) == list(range(m[doc_id])), doc_id
+    # up-sampled copies spread: the 4+ copies of one tiny doc must not
+    # be adjacent in the epoch (independent keys per copy)
+    pos = sorted(r["epoch_pos"] for r in out if r["doc_id"] == 100)
+    assert max(b - a for a, b in zip(pos, pos[1:])) > 1
