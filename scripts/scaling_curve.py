@@ -218,7 +218,8 @@ FLAG_NOTES = {
         "registry pins the LSH prefix width to the oracle's "
         "SEARCH_PREFIX_BITS so the DuckDB twin can enumerate the exact "
         "buckets, which lets bucket size — and the per-bucket Arrow "
-        "top-k's quadratic term — grow with n (exp 1.105 at ×16).  "
+        "top-k's quadratic term — grow with n (exp ~1.05-1.1 across "
+        "passes at ×16).  "
         "Production calls leave bits=None and get the "
         "bucket-size-constant knn_auto_bits derivation "
         "(monotonicity + bucket-size bound pinned in "
