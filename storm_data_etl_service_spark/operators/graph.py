@@ -349,10 +349,19 @@ def neardup_triangle_estimate(t, sample_mod: int = 4) -> DataFrame:
     by the mod-4 arithmetic: 40503+69061 ≡ 0 (mod 4))."""
     from storm_data_etl_service_spark.operators.dedup import dedup_minhash_lsh
 
+    e = dedup_minhash_lsh(t).select("doc_a", "doc_b")
+    return _triangle_estimate_edges(e, sample_mod)
+
+
+def _triangle_estimate_edges(e: DataFrame, sample_mod: int) -> DataFrame:
+    """``neardup_triangle_estimate`` body over a precomputed edge set —
+    shared with ``triangle_stats`` so the probe and the chosen rung
+    reuse one candidate-pair relation.  ``sample_mod=1`` keeps every
+    edge (no md5 evaluated), making the "estimate" the exact census
+    total with a 1³ scale-up — the dispatcher's exact branch."""
     if sample_mod not in (1, 2, 4, 8, 16):
         raise ValueError("sample_mod must divide 16 (one md5 hex nibble)")
     allowed = "0123456789abcdef"[: 16 // sample_mod]
-    e = dedup_minhash_lsh(t).select("doc_a", "doc_b")
     nibble = F.substring(
         F.md5(
             F.concat_ws(
@@ -362,7 +371,7 @@ def neardup_triangle_estimate(t, sample_mod: int = 4) -> DataFrame:
         1,
         1,
     )
-    kept = e.filter(nibble.isin(*allowed))
+    kept = e if sample_mod == 1 else e.filter(nibble.isin(*allowed))
     census = triangle_census(kept, "doc_a", "doc_b")
     totals = census.agg(
         F.coalesce((F.sum("n_triangles") / 3).cast("long"), F.lit(0).cast("long")).alias(
@@ -399,6 +408,88 @@ def neardup_triangle_count(t) -> DataFrame:
 
     e = dedup_minhash_lsh(t)  # doc_a < doc_b by construction
     return triangle_census(e, "doc_a", "doc_b")
+
+
+#: Quotient-wedge count above which the exact twin-contracted census
+#: hands off to the DOULION mod-4 estimate.  Calibrated from the
+#: SCALE_PROBE measurements: the census is wedge-bound at ~475 s for
+#: 2.7e9 quotient wedges on this host (≈ linear in wedges past the
+#: O(E) prep), while the mod-4 estimate cuts wedge work 16× and ran
+#: 14–38 s on the same corpora — so at 2e8 wedges the exact census
+#: still lands in the tens of seconds and stays the default, and past
+#: it the sampled rung wins by an order of magnitude.
+WEDGE_CUTOVER = 200_000_000
+
+
+def quotient_wedge_probe(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """Cheap pre-probe for the census/estimate dispatch: the number of
+    WEDGES (open triples) in the twin-class quotient graph — the exact
+    quantity the contracted census's two-join enumeration materializes,
+    computed in closed form from quotient degrees (Σ d·(d−1)/2) with
+    zero wedge rows built.  Costs one pass over the edge list (the
+    same O(E) neighborhood/class prep the census itself starts with),
+    so probing before censusing roughly doubles the linear prep while
+    saving the potentially-quadratic enumeration on degenerate
+    densities.  One row out: (quotient_wedges)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    closed = (
+        sym.groupBy(F.col("a").alias("n"))
+        .agg(F.collect_set("b").alias("nb"))
+        .select("n", F.sort_array(F.array_union("nb", F.array("n"))).alias("nbh"))
+    )
+    cls_map = closed.groupBy("nbh").agg(
+        F.min("n").alias("cls"), F.collect_list("n").alias("members")
+    )
+    node_cls = cls_map.select(F.explode("members").alias("node"), "cls")
+    qe = (
+        e.join(node_cls.select(F.col("node").alias("a"), F.col("cls").alias("ca")), "a")
+        .join(node_cls.select(F.col("node").alias("b"), F.col("cls").alias("cb")), "b")
+        .filter(F.col("ca") != F.col("cb"))
+        .select(F.least("ca", "cb").alias("qa"), F.greatest("ca", "cb").alias("qb"))
+        .distinct()
+    )
+    qsym = qe.union(qe.select(F.col("qb").alias("qa"), F.col("qa").alias("qb")))
+    return (
+        qsym.groupBy("qa")
+        .agg(F.count("*").alias("d"))
+        .agg(
+            F.coalesce(F.sum(F.expr("(d * (d - 1)) div 2")), F.lit(0))
+            .cast("long")
+            .alias("quotient_wedges")
+        )
+    )
+
+
+def triangle_stats(t, wedge_cutover: int = WEDGE_CUTOVER) -> DataFrame:
+    """Density-dispatched triangle statistics of the near-dup candidate
+    graph: probe the quotient wedge count (closed form, no enumeration),
+    then run the rung the density affords — the exact twin-contracted
+    census when wedges ≤ ``wedge_cutover``, the DOULION mod-4 estimate
+    past it (degenerate near-clique densities where even the contracted
+    census is wedge-bound; see WEDGE_CUTOVER for the measured cutover).
+    The exact branch is the estimate machinery at sample_mod=1 — every
+    edge kept, 1³ scale-up — so both branches share one plan shape and
+    one output contract: (branch, quotient_wedges, sample_mod,
+    n_edges_kept, n_tri_sampled, est_triangles); on the exact branch
+    est_triangles IS the exact global triangle count.
+
+    The probe scalar crosses the driver once (a single aggregate row —
+    the documented agg-cardinality exception), because the branch
+    decision changes the physical plan, exactly like AQE's runtime
+    re-planning but keyed on a graph statistic Spark doesn't track.
+    The DuckDB oracle replays the SAME probe and CASE, so the dispatch
+    logic itself — not just each rung — is oracle-checked."""
+    from storm_data_etl_service_spark.operators.dedup import dedup_minhash_lsh
+
+    edges = dedup_minhash_lsh(t).select("doc_a", "doc_b")
+    wedges = int(quotient_wedge_probe(edges).first()["quotient_wedges"])
+    mod = 1 if wedges <= wedge_cutover else 4
+    return _triangle_estimate_edges(edges, mod).select(
+        F.lit("exact_census" if mod == 1 else "doulion_estimate").alias("branch"),
+        F.lit(wedges).cast("long").alias("quotient_wedges"),
+        "*",
+    )
 
 
 def neardup_cluster_representative(t) -> DataFrame:

@@ -492,27 +492,71 @@ SELECT query_id, vec_id, cosine, rk FROM (
 WHERE rk <= 5"""
 
 
-def _knn_graph_oracle() -> str:
+_SQNORM_SQL = (
+    "list_reduce(list_transform(generate_series(1, len({v})),"
+    " i -> {v}[i]*{v}[i]), (x,y) -> x+y)"
+)
+
+_DOT_SQL = (
+    "list_reduce(list_transform(generate_series(1, len({b})),"
+    " i -> {a}[i]*{b}[i]), (x,y) -> x+y)"
+)
+
+
+def _auto_bits_cte() -> str:
+    """The ``knn_auto_bits`` width as a DuckDB scalar over count(*) —
+    closed form, so the oracle derives the IDENTICAL prefix width the
+    Spark side derives from its own count (similarity.knn_auto_bits).
+    n/target is a power-of-two division (exact in IEEE doubles) and
+    log2 is exact at power-of-two arguments in both engines, so the
+    ceil never straddles an ulp boundary differently."""
     from storm_data_etl_service_spark.operators.similarity import (
-        KNN_K,
+        KNN_TARGET_BUCKET,
+        MAX_LSH_PLANES,
         SEARCH_PREFIX_BITS,
     )
 
-    bits = SEARCH_PREFIX_BITS
-    flips = []
-    for i in range(1, bits + 1):
-        flipped = f"(CASE WHEN substr(pfx, {i}, 1) = '1' THEN '0' ELSE '1' END)"
-        flips.append(
-            f"substr(pfx, 1, {i - 1}) || {flipped} || substr(pfx, {i + 1}, {bits - i})"
-        )
-    probes = "[pfx, " + ", ".join(flips) + "]"
+    return f"""nb AS (
+  SELECT CASE WHEN count(*) <= {KNN_TARGET_BUCKET} THEN {SEARCH_PREFIX_BITS}
+         ELSE least({MAX_LSH_PLANES}, greatest({SEARCH_PREFIX_BITS},
+              cast(ceil(log2(count(*) / {KNN_TARGET_BUCKET}.0)) AS INTEGER)))
+         END AS bits
+  FROM e)"""
+
+
+def _dyn_probe_cte(src: str) -> str:
+    """Multi-probe expansion at a RUNTIME prefix width: the identity
+    prefix plus each hamming-1 flip at positions 1..bits — the SQL
+    twin of similarity._probe_prefixes with ``bits`` read from the
+    ``nb`` CTE instead of baked in."""
+    return f"""q AS (
+  SELECT vec_id AS src_id, v AS qv, nrm AS qn, pfx AS probe_pfx FROM {src}
+  UNION ALL
+  SELECT vec_id, v, nrm,
+    substr(pfx, 1, i - 1)
+      || (CASE WHEN substr(pfx, i, 1) = '1' THEN '0' ELSE '1' END)
+      || substr(pfx, i + 1)
+  FROM (SELECT vec_id, v, nrm, pfx, unnest(range(1, bits + 1)) AS i
+        FROM {src}, nb))"""
+
+
+def _knn_graph_oracle() -> str:
+    from storm_data_etl_service_spark.operators.similarity import (
+        KNN_K,
+        MAX_LSH_PLANES,
+    )
+
     return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-bucketed AS (SELECT vec_id, v, {_bucket_sql(bits)} AS pfx FROM e),
-q AS (SELECT vec_id AS src_id, v AS qv, unnest({probes}) AS probe_pfx
-      FROM bucketed),
+{_auto_bits_cte()},
+fb AS (SELECT vec_id, v, {_bucket_sql(MAX_LSH_PLANES)} AS fullpfx,
+         sqrt({_SQNORM_SQL.format(v='v')}) AS nrm
+       FROM e),
+bucketed AS (SELECT vec_id, v, nrm, substr(fullpfx, 1, bits) AS pfx
+             FROM fb, nb),
+{_dyn_probe_cte('bucketed')},
 cands AS (
   SELECT src_id, b.vec_id AS dst_id,
-    {_COSINE_SQL.format(a='qv', b='b.v')} AS cosine
+    {_DOT_SQL.format(a='qv', b='b.v')} / (qn * b.nrm) AS cosine
   FROM q JOIN bucketed b ON b.pfx = q.probe_pfx AND b.vec_id != q.src_id)
 SELECT src_id, dst_id, cosine, rk FROM (
   SELECT *, cast(row_number() OVER (PARTITION BY src_id
@@ -523,28 +567,25 @@ WHERE rk <= {KNN_K}"""
 def _semantic_contam_oracle() -> str:
     from storm_data_etl_service_spark.operators.dedup import INCREMENTAL_SPLIT
     from storm_data_etl_service_spark.operators.similarity import (
+        MAX_LSH_PLANES,
         NEAR_DUP_COSINE,
-        SEARCH_PREFIX_BITS,
     )
 
-    bits = SEARCH_PREFIX_BITS
-    flips = []
-    for i in range(1, bits + 1):
-        flipped = f"(CASE WHEN substr(pfx, {i}, 1) = '1' THEN '0' ELSE '1' END)"
-        flips.append(
-            f"substr(pfx, 1, {i - 1}) || {flipped} || substr(pfx, {i + 1}, {bits - i})"
-        )
-    probes = "[pfx, " + ", ".join(flips) + "]"
     return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_auto_bits_cte()},
 s AS (SELECT cast(floor((max(vec_id) + 1) * {INCREMENTAL_SPLIT}) AS BIGINT)
         AS t0 FROM e),
-bucketed AS (SELECT vec_id, v, {_bucket_sql(bits)} AS pfx FROM e),
+fb AS (SELECT vec_id, v, {_bucket_sql(MAX_LSH_PLANES)} AS fullpfx,
+         sqrt({_SQNORM_SQL.format(v='v')}) AS nrm
+       FROM e),
+bucketed AS (SELECT vec_id, v, nrm, substr(fullpfx, 1, bits) AS pfx
+             FROM fb, nb),
 train AS (SELECT b.* FROM bucketed b, s WHERE vec_id < t0),
 ev AS (SELECT b.* FROM bucketed b, s WHERE vec_id >= t0),
-q AS (SELECT vec_id AS src_id, v AS qv, unnest({probes}) AS probe_pfx FROM ev),
+{_dyn_probe_cte('ev')},
 cands AS (
   SELECT src_id, t.vec_id AS dst_id,
-    {_COSINE_SQL.format(a='qv', b='t.v')} AS cosine
+    {_DOT_SQL.format(a='qv', b='t.v')} / (qn * t.nrm) AS cosine
   FROM q JOIN train t ON t.pfx = q.probe_pfx),
 best AS (
   SELECT src_id, dst_id, cosine FROM (
@@ -556,16 +597,22 @@ SELECT ev.vec_id, best.dst_id AS nearest_train_id, best.cosine AS max_cosine,
 FROM ev LEFT JOIN best ON best.src_id = ev.vec_id"""
 
 
-def _semdedup_pairs_ctes() -> str:
+def _semdedup_pairs_ctes(auto_k: bool = False) -> str:
     """Shared SemDeDup CTE chain (seeded Lloyd unroll → final
     assignments ``af`` → within-cell pairs ≥ NEAR_DUP_COSINE as
     ``pairs``), composed by both the semdedup oracle and the
-    dedup-ladder rung-4 oracle."""
+    dedup-ladder rung-4 oracle.  ``auto_k=True`` derives the seed
+    count K = max(KMEANS_K, ⌈n / SEMDEDUP_TARGET_CELL⌉) from
+    count(*) inside the SQL — the same closed form as
+    similarity.semdedup_auto_k, so the oracle replays the production
+    K ∝ n knob at any scale (the Lloyd unroll is K-agnostic past the
+    seed CTE: assignment/update handle any centroid count)."""
     from storm_data_etl_service_spark.operators.similarity import (
         EMBEDDING_DIM,
         KMEANS_ITERS,
         KMEANS_K,
         NEAR_DUP_COSINE,
+        SEMDEDUP_TARGET_CELL,
     )
 
     n = EMBEDDING_DIM
@@ -591,11 +638,22 @@ def _semdedup_pairs_ctes() -> str:
         FROM {best}, range(1, {n + 1}) r(pos))
   GROUP BY cid, pos) GROUP BY cid"""
 
-    ctes = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"c0 AS (SELECT cast(vec_id AS INTEGER) AS cid, v AS cv FROM e"
-        f" WHERE vec_id < {KMEANS_K})",
-    ]
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    if auto_k:
+        # ceil division is exact: n / 4096.0 is a power-of-two divide
+        ctes.append(
+            f"kq AS (SELECT greatest({KMEANS_K}, cast(ceil(count(*)"
+            f" / {SEMDEDUP_TARGET_CELL}.0) AS BIGINT)) AS k FROM e)"
+        )
+        ctes.append(
+            "c0 AS (SELECT cast(vec_id AS INTEGER) AS cid, v AS cv"
+            " FROM e, kq WHERE vec_id < k)"
+        )
+    else:
+        ctes.append(
+            f"c0 AS (SELECT cast(vec_id AS INTEGER) AS cid, v AS cv FROM e"
+            f" WHERE vec_id < {KMEANS_K})"
+        )
     for i in range(KMEANS_ITERS):
         ctes.append(f"a{i} AS ({assign(f'c{i}')})")
         ctes.append(f"c{i + 1} AS ({update(f'a{i}')})")
@@ -611,17 +669,17 @@ def _semdedup_pairs_ctes() -> str:
     return ",\n".join(ctes)
 
 
-def _semdedup_pairs_oracle() -> str:
+def _semdedup_pairs_oracle(auto_k: bool = False) -> str:
     """SemDeDup pair list: the shared CTE chain projected to pairs."""
-    return f"""WITH {_semdedup_pairs_ctes()}
+    return f"""WITH {_semdedup_pairs_ctes(auto_k)}
 SELECT cid, id_a, id_b, cos FROM pairs"""
 
 
-def _semdedup_oracle() -> str:
+def _semdedup_oracle(auto_k: bool = False) -> str:
     """SemDeDup unrolled: the same seeded k-means CTE chain as the IVF
     oracle, then within-cell pairs above NEAR_DUP_COSINE and the
     min-id-wins keep flag."""
-    return f"""WITH {_semdedup_pairs_ctes()},
+    return f"""WITH {_semdedup_pairs_ctes(auto_k)},
 evidence AS (
   SELECT id_b AS vec_id, min(id_a) AS dup_of, max(cos) AS max_cos
   FROM pairs GROUP BY id_b)
@@ -2540,6 +2598,74 @@ REGISTRY["neardup_triangle_estimate"] = QuerySpec(
 )
 
 
+def _triangle_stats_oracle(cutover: int | None = None) -> str:
+    """The density dispatcher replayed in SQL: the SAME twin-quotient
+    wedge probe (closed-form Σ d·(d−1)/2 over quotient degrees, zero
+    wedge rows) and the SAME cutover CASE pick the rung, then the kept
+    edge set is either every pair (exact branch, sample_mod=1) or the
+    md5-nibble quarter (DOULION branch) — so the dispatch decision
+    itself is oracle-checked, not just each rung's arithmetic."""
+    from storm_data_etl_service_spark.operators.graph import WEDGE_CUTOVER
+
+    cut = WEDGE_CUTOVER if cutover is None else cutover
+    return f"""WITH pairs AS (
+{_minhash_oracle()}),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+closed AS (
+  SELECT a AS n, list_sort(list_distinct(list_append(list(b), a))) AS nbh
+  FROM sym GROUP BY a),
+node_cls AS (
+  SELECT n AS node, min(n) OVER (PARTITION BY nbh) AS cls FROM closed),
+qe AS (
+  SELECT DISTINCT least(na.cls, nb.cls) AS qa, greatest(na.cls, nb.cls) AS qb
+  FROM pairs p
+  JOIN node_cls na ON na.node = p.doc_a
+  JOIN node_cls nb ON nb.node = p.doc_b
+  WHERE na.cls != nb.cls),
+qdeg AS (
+  SELECT qa AS cls, count(*) AS d
+  FROM (SELECT qa, qb FROM qe UNION ALL SELECT qb, qa FROM qe)
+  GROUP BY qa),
+probe AS (
+  SELECT CAST(coalesce(sum((d * (d - 1)) // 2), 0) AS BIGINT) AS wedges
+  FROM qdeg),
+kept AS (
+  SELECT doc_a, doc_b FROM pairs, probe
+  WHERE wedges <= {cut}
+     OR substr(md5(CAST(doc_a AS VARCHAR) || '|' || CAST(doc_b AS VARCHAR)), 1, 1)
+        IN ('0', '1', '2', '3')),
+tri AS (
+  SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+  FROM kept ab
+  JOIN kept bc ON ab.doc_b = bc.doc_a
+  WHERE EXISTS (SELECT 1 FROM kept ac
+                WHERE ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b))
+SELECT
+  CASE WHEN wedges <= {cut} THEN 'exact_census'
+       ELSE 'doulion_estimate' END AS branch,
+  wedges AS quotient_wedges,
+  CAST(CASE WHEN wedges <= {cut} THEN 1 ELSE 4 END AS BIGINT) AS sample_mod,
+  (SELECT count(*) FROM kept) AS n_edges_kept,
+  (SELECT count(*) FROM tri) AS n_tri_sampled,
+  CAST((SELECT count(*) FROM tri)
+       * (CASE WHEN wedges <= {cut} THEN 1 ELSE 64 END) AS BIGINT)
+    AS est_triangles
+FROM probe"""
+
+
+REGISTRY["triangle_stats"] = QuerySpec(
+    # Auto-dispatch by density probe: exact census under WEDGE_CUTOVER
+    # quotient wedges, DOULION mod-4 estimate past it.  The oracle
+    # replays the probe and the CASE, so both the dispatch and the
+    # chosen rung are hash-checked; the estimate branch is additionally
+    # gate-checked with a forced tiny cutover in tests.
+    lambda spark, sf_dir: G.triangle_stats(load_tables(spark, sf_dir)),
+    _triangle_stats_oracle(),
+    ("graph", "triangles", "dispatch"),
+)
+
+
 def _power_iteration_oracle() -> str:
     """The power-iteration rounds unrolled into SQL, fixed-point
     arithmetic identical to the Spark loop (exact BIGINT dot folds,
@@ -2992,22 +3118,20 @@ FROM erred GROUP BY dim""",
 
 
 REGISTRY["knn_graph_lsh"] = QuerySpec(
-    # bits pinned to the oracle prefix width: the DuckDB twin
-    # enumerates those exact buckets.  Production calls leave
-    # bits=None and get the bucket-size-constant auto-derivation.
-    lambda spark, sf_dir: S.knn_graph_lsh(
-        load_tables(spark, sf_dir), bits=S.SEARCH_PREFIX_BITS
-    ),
+    # bits=None: the production bucket-size-constant auto-derivation
+    # IS the oracle-checked form — the DuckDB twin derives the same
+    # width from count(*) (closed form, _auto_bits_cte), so the gate
+    # exercises the plan that actually runs at scale.
+    lambda spark, sf_dir: S.knn_graph_lsh(load_tables(spark, sf_dir), bits=None),
     _knn_graph_oracle(),
     ("similarity", "knn-graph", "lsh", "pandas-udf"),
 )
 
 
 REGISTRY["eval_semantic_contamination"] = QuerySpec(
-    # bits pinned to the oracle prefix width (see knn_graph_lsh);
-    # production calls leave bits=None.
+    # bits=None auto-width, oracle derives the same (see knn_graph_lsh).
     lambda spark, sf_dir: S.eval_semantic_contamination(
-        load_tables(spark, sf_dir), bits=S.SEARCH_PREFIX_BITS
+        load_tables(spark, sf_dir), bits=None
     ),
     _semantic_contam_oracle(),
     ("similarity", "decontamination", "lsh", "pandas-udf"),
@@ -3052,6 +3176,18 @@ REGISTRY["semdedup_pairs"] = QuerySpec(
     lambda spark, sf_dir: S.semdedup_pairs(load_tables(spark, sf_dir), k=S.KMEANS_K),
     _semdedup_pairs_oracle(),
     ("dedup", "semantic", "embeddings", "pairs"),
+)
+
+REGISTRY["semdedup_auto"] = QuerySpec(
+    # The production K ∝ n knob as the oracle-checked form: k=None
+    # derives K = max(KMEANS_K, ceil(n / SEMDEDUP_TARGET_CELL)) from
+    # one count, and the DuckDB twin derives the IDENTICAL K from
+    # count(*) inside the SQL (the Lloyd unroll is K-agnostic past
+    # the seed CTE).  The fixed-K `semdedup` twin stays registered
+    # for determinism history.
+    lambda spark, sf_dir: S.semdedup(load_tables(spark, sf_dir), k=None),
+    _semdedup_oracle(auto_k=True),
+    ("dedup", "semantic", "embeddings", "kmeans", "auto-k"),
 )
 
 

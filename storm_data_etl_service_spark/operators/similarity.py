@@ -678,6 +678,14 @@ def _cell_pairs_kernel(threshold: float = None, block: int = None):
         nrm = np.zeros(m)
         for i in range(d):
             nrm += V[:, i] * V[:, i]
+        if not nrm.all():
+            # fail loudly like the ANSI Column twin (DIVIDE_BY_ZERO)
+            # instead of silently emitting NaN the oracle would drop
+            bad = ids[nrm == 0]
+            raise ValueError(
+                f"zero-norm embedding(s) vec_id={bad[:5].tolist()}: "
+                "cosine is undefined (ANSI twin raises DIVIDE_BY_ZERO)"
+            )
         nrm = np.sqrt(nrm)
         out_a, out_b, out_c = [], [], []
         for r0 in range(0, m, B):
@@ -901,22 +909,35 @@ def embedding_exact_dedup(t) -> DataFrame:
 
 #: kNN graph: neighbors kept per vector, and the bucket-size target
 #: that the auto bit-width holds (bits = log2(n / target), clamped to
-#: [SEARCH_PREFIX_BITS, LSH_PLANES]).
+#: [SEARCH_PREFIX_BITS, MAX_LSH_PLANES]).
 KNN_K = 5
 KNN_TARGET_BUCKET = 64
+
+#: Hard ceiling on the derived prefix width (and with it the number of
+#: hyperplanes materialized): constant expected bucket size holds for
+#: n ≤ 2^MAX_LSH_PLANES · KNN_TARGET_BUCKET ≈ 4.2M vectors; past that
+#: bucket size grows ∝ n again and this constant must be raised (the
+#: oracle embeds the same plane count, so raise both together).  The
+#: ceiling exists only to bound the static plane literals in plans and
+#: oracle SQL — planes beyond LSH_PLANES are derived on demand.
+MAX_LSH_PLANES = 16
 
 
 def knn_auto_bits(n: int) -> int:
     """Prefix bit-width holding expected bucket size near
     KNN_TARGET_BUCKET — the knob that keeps per-bucket pair work
     O(n·target) instead of n²/2^bits growing super-linearly (the
-    semdedup_auto_k rule transposed to hyperplane LSH)."""
+    semdedup_auto_k rule transposed to hyperplane LSH).  Derives MORE
+    planes than the fixed LSH_PLANES=8 when n needs them (consumers
+    hash with ``max(LSH_PLANES, bits)`` planes), so bucket size stays
+    constant up to the documented 2^MAX_LSH_PLANES·target ≈ 4.2M-vector
+    bound instead of growing linearly past 2^8·target ≈ 16k."""
     import math
 
     if n <= KNN_TARGET_BUCKET:
         return SEARCH_PREFIX_BITS
     return min(
-        LSH_PLANES,
+        MAX_LSH_PLANES,
         max(SEARCH_PREFIX_BITS, math.ceil(math.log2(n / KNN_TARGET_BUCKET))),
     )
 
@@ -929,7 +950,15 @@ def _bucket_topk_kernel(k: int | None = None, block: int | None = None):
     runs outside the numpy broadcast, so every scalar follows the
     sequential fold order of the Column-expression ``cosine()`` and
     DuckDB ``list_reduce`` — partials merge into the oracle's global
-    top-k exactly.  Closure-shipped via cloudpickle."""
+    top-k exactly.  BOTH axes are blocked (probers AND members), so
+    the working set is ≤ B²·8 B regardless of bucket size: per
+    member-block top-k partials merge into the per-prober-block
+    top-k, which is exact because top-k of concatenated per-block
+    top-ks equals global top-k under the total (cos desc, id asc)
+    order.  Zero-norm vectors are rejected loudly (the Column twin
+    raises DIVIDE_BY_ZERO under ANSI mode for them, and the DuckDB
+    oracle would silently NULL-drop — a silent numpy NaN here would
+    diverge from both).  Closure-shipped via cloudpickle."""
     kk = KNN_K if k is None else k
     B = SEMDEDUP_CELL_BLOCK if block is None else block
 
@@ -956,26 +985,48 @@ def _bucket_topk_kernel(k: int | None = None, block: int | None = None):
         P = np.stack(prb["v"].to_numpy()).astype(np.float64)
         d = M.shape[1]
 
-        def seq_norm(V):
+        def seq_norm(V, who):
             acc = np.zeros(V.shape[0])
             for i in range(d):
                 acc += V[:, i] * V[:, i]
+            if not acc.all():
+                bad = (mids if who == "member" else pids)[acc == 0]
+                raise ValueError(
+                    f"zero-norm {who} embedding(s) vec_id={bad[:5].tolist()}: "
+                    "cosine is undefined (ANSI twin raises DIVIDE_BY_ZERO)"
+                )
             return np.sqrt(acc)
 
-        mn, pn = seq_norm(M), seq_norm(P)
+        mn, pn = seq_norm(M, "member"), seq_norm(P, "prober")
         out_s, out_d, out_c = [], [], []
         for r0 in range(0, P.shape[0], B):
             r1 = min(r0 + B, P.shape[0])
-            dot = np.zeros((r1 - r0, M.shape[0]))
-            for i in range(d):
-                dot += P[r0:r1, i][:, None] * M[:, i][None, :]
-            cos = dot / (pn[r0:r1][:, None] * mn[None, :])
+            # per-(prober, member-block) top-k partials, merged below
+            part_i, part_d, part_c = [], [], []
+            for c0 in range(0, M.shape[0], B):
+                c1 = min(c0 + B, M.shape[0])
+                dot = np.zeros((r1 - r0, c1 - c0))
+                for i in range(d):
+                    dot += P[r0:r1, i][:, None] * M[c0:c1, i][None, :]
+                cos = dot / (pn[r0:r1][:, None] * mn[c0:c1][None, :])
+                bids = mids[c0:c1]
+                for j in range(r1 - r0):
+                    keep = bids != pids[r0 + j]
+                    row, ids = cos[j][keep], bids[keep]
+                    top = np.lexsort((ids, -row))[:kk]
+                    part_i.append(np.full(len(top), j))
+                    part_d.append(ids[top])
+                    part_c.append(row[top])
+            if not part_i:
+                continue
+            pj = np.concatenate(part_i)
+            pd_ids = np.concatenate(part_d)
+            pc = np.concatenate(part_c)
             for j in range(r1 - r0):
-                src = pids[r0 + j]
-                keep = mids != src
-                row, ids = cos[j][keep], mids[keep]
+                sel = pj == j
+                row, ids = pc[sel], pd_ids[sel]
                 top = np.lexsort((ids, -row))[:kk]
-                out_s.append(np.full(len(top), src))
+                out_s.append(np.full(len(top), pids[r0 + j]))
                 out_d.append(ids[top])
                 out_c.append(row[top])
         if not out_s:
@@ -1003,16 +1054,18 @@ def knn_graph_lsh(t, bits: int | None = None) -> DataFrame:
     materialization), the per-bucket prober×member cosines run in the
     blocked Arrow kernel, and only ≤ k partial edges per
     (vector, bucket) reach the final top-k window.  ``bits=None``
-    (production default) derives the prefix width from one cheap
-    count so bucket size — and with it per-bucket quadratic work —
-    stays constant as n grows.  The registry entry pins
-    ``bits=SEARCH_PREFIX_BITS`` because the DuckDB oracle enumerates
-    those exact buckets; auto-bits equals that pin for every n ≤
-    2^SEARCH_PREFIX_BITS · KNN_TARGET_BUCKET (all driver-gate scales).
+    (the default, and what the registry/oracle now exercise) derives
+    the prefix width from one cheap count so bucket size — and with
+    it per-bucket quadratic work — stays constant as n grows, up to
+    the documented 2^MAX_LSH_PLANES·KNN_TARGET_BUCKET bound; planes
+    beyond LSH_PLANES are derived on demand so the width is never
+    silently clamped below what n needs.  The DuckDB oracle derives
+    the identical width from ``count(*)`` (closed form), so the
+    auto form is itself hash-checked at every gate scale.
 
     Approximate by construction: a true neighbor in a bucket ≥ 2 bit
     flips away is unseen (recall bounded in tests against the exact
-    scan); raise LSH_PLANES/probe radius for recall, bits for cost.
+    scan); raise the probe radius for recall, bits for cost.
     """
     emb = t["embeddings"].select("vec_id", _vec(F.col("embedding")).alias("v"))
     if bits is None:
@@ -1020,7 +1073,9 @@ def knn_graph_lsh(t, bits: int | None = None) -> DataFrame:
     bucketed = emb.select(
         "vec_id",
         "v",
-        F.substring(lsh_bucket_col(F.col("v")), 1, bits).alias("pfx"),
+        F.substring(
+            lsh_bucket_col(F.col("v"), n_planes=max(LSH_PLANES, bits)), 1, bits
+        ).alias("pfx"),
     )
     members = bucketed.select(
         F.col("pfx").alias("bkey"),
@@ -1066,10 +1121,13 @@ def eval_semantic_contamination(t, bits: int | None = None) -> DataFrame:
     probers shuffle once on the bucket key, the per-bucket kernel
     (k = 1) emits one best-train partial per (eval, bucket), and a
     top-1 window merges probes.  Cost scales with the EVAL split ×
-    bucket size — never train × train — and ``bits=None`` derives
-    the prefix width from one cheap count to hold bucket size
-    constant.  The registry pins the oracle width; recall is bounded
-    by the hamming-1 probe radius like every sign-LSH entry here.
+    bucket size — never train × train — and ``bits=None`` (the
+    default, and what the registry/oracle now exercise) derives the
+    prefix width from one cheap count to hold bucket size constant
+    up to 2^MAX_LSH_PLANES·KNN_TARGET_BUCKET vectors, deriving
+    planes beyond LSH_PLANES on demand.  The DuckDB oracle derives
+    the identical width from ``count(*)``; recall is bounded by the
+    hamming-1 probe radius like every sign-LSH entry here.
     """
     from storm_data_etl_service_spark.operators.dedup import INCREMENTAL_SPLIT
 
@@ -1081,7 +1139,9 @@ def eval_semantic_contamination(t, bits: int | None = None) -> DataFrame:
         "vec_id",
         "v",
         "t0",
-        F.substring(lsh_bucket_col(F.col("v")), 1, bits).alias("pfx"),
+        F.substring(
+            lsh_bucket_col(F.col("v"), n_planes=max(LSH_PLANES, bits)), 1, bits
+        ).alias("pfx"),
     )
     members = bucketed.filter(F.col("vec_id") < F.col("t0")).select(
         F.col("pfx").alias("bkey"),

@@ -16,17 +16,40 @@ import os
 from pyspark.sql import SparkSession
 
 
-def _default_driver_mem(cap_gb: int = 32) -> str:
-    """``min(cap_gb, ~70% of MemTotal)`` in whole GB, floor 1g."""
+def _host_mem_gb() -> float | None:
+    """Effective memory budget in GB: the MIN of /proc/meminfo MemTotal
+    and any cgroup limit (v2 ``memory.max``, v1 ``limit_in_bytes``).
+    Inside cgroup-limited containers MemTotal reports the HOST's
+    memory, so sizing from it alone can still get the JVM OOM-killed —
+    the cgroup files are what the kernel actually enforces."""
+    budgets = []
     try:
         with open("/proc/meminfo") as f:
             for line in f:
                 if line.startswith("MemTotal:"):
-                    total_gb = int(line.split()[1]) / (1024 * 1024)
-                    return f"{max(1, min(cap_gb, int(total_gb * 0.7)))}g"
+                    budgets.append(int(line.split()[1]) * 1024)
+                    break
     except OSError:
         pass
-    return f"{cap_gb}g"
+    for path in ("/sys/fs/cgroup/memory.max", "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+        try:
+            raw = open(path).read().strip()
+            if raw.isdigit():  # v2 writes "max" when unlimited; v1 a huge int
+                val = int(raw)
+                if val < 1 << 50:  # treat >1 PiB as "no limit"
+                    budgets.append(val)
+        except OSError:
+            continue
+    return min(budgets) / (1024**3) if budgets else None
+
+
+def _default_driver_mem(cap_gb: int = 32) -> str:
+    """``min(cap_gb, ~70% of the enforced memory budget)`` in whole GB,
+    floor 1g — budget = min(MemTotal, cgroup limit), see _host_mem_gb."""
+    total_gb = _host_mem_gb()
+    if total_gb is None:
+        return f"{cap_gb}g"
+    return f"{max(1, min(cap_gb, int(total_gb * 0.7)))}g"
 
 
 def get_spark(

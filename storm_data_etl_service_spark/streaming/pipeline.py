@@ -392,9 +392,10 @@ def bloom_gate_batch_fn(bits_dir: str, verdicts_dir: str):
       3. catch exact duplicates WITHIN the batch via a self-join on
          the content hash (``dup_of_in_batch`` = earliest partner),
          since the index only covers batches before this one;
-      4. append verdicts, and the batch's distinct new bits to the
-         index — later batches (and later runs: the bits are durable)
-         gate against everything before them.
+      4. write verdicts to a batch_id-keyed partition directory and
+         append the batch's distinct new bits to the index — later
+         batches (and later runs: the bits are durable) gate against
+         everything before them.
 
     The index read is gated on a filesystem existence check, not a
     blanket except (same rationale as ``incremental_dedup_batch_fn``:
@@ -402,9 +403,12 @@ def bloom_gate_batch_fn(bits_dir: str, verdicts_dir: str):
     silently pass everything as new).  State is O(m bits) forever —
     the whole point versus the LSH index's per-document rows; at
     100 TB the (bit) relation compacts to an m/8-byte bitmap merged
-    by OR and broadcast to executors.  Reprocessed batches re-derive
-    identical bits and verdicts (sha256 everywhere), so checkpoint
-    retries are idempotent.
+    by OR and broadcast to executors.  Checkpoint retries are
+    idempotent on BOTH relations: bits re-derive identically (sha256)
+    and survive duplicate appends via distinct-at-read, while
+    verdicts overwrite their own ``batch_id=N`` partition — a batch
+    retried after a partial verdict write replaces it instead of
+    appending duplicate verdict rows.
     """
     from pyspark.sql import functions as F
 
@@ -457,8 +461,8 @@ def bloom_gate_batch_fn(bits_dir: str, verdicts_dir: str):
                     (F.col("n_set") == BLOOM_HASHES).alias("bloom_hit"),
                     "dup_of_in_batch",
                 )
-                .write.mode("append")
-                .parquet(verdicts_dir)
+                .write.mode("overwrite")
+                .parquet(f"{verdicts_dir}/batch_id={batch_id}")
             )
             probes.select("bit").distinct().write.mode("append").parquet(bits_dir)
         finally:

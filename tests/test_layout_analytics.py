@@ -453,6 +453,80 @@ def test_triangle_census_property_batch(spark):
         assert got.get(gi, {}) == _brute_triangles(es), f"graph {gi}"
 
 
+def test_quotient_wedge_probe_matches_brute_force(spark):
+    """The dispatcher's pre-probe must equal the quotient graph's true
+    wedge count (Σ over quotient nodes of C(deg,2)) on graphs with and
+    without twins, and 0 on the empty graph."""
+    import itertools
+
+    from storm_data_etl_service_spark.operators import graph as G
+
+    def brute_quotient_wedges(edges):
+        adj = {}
+        nodes = set()
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+            nodes |= {a, b}
+        cls = {}
+        for n in nodes:
+            cls.setdefault(frozenset(adj[n] | {n}), []).append(n)
+        rep = {n: min(ms) for ms in cls.values() for n in ms}
+        qadj = {}
+        for a, b in edges:
+            ca, cb = rep[a], rep[b]
+            if ca != cb:
+                qadj.setdefault(ca, set()).add(cb)
+                qadj.setdefault(cb, set()).add(ca)
+        return sum(len(v) * (len(v) - 1) // 2 for v in qadj.values())
+
+    cases = [
+        [(a, b) for a in range(1, 6) for b in range(a + 1, 6)],  # K5: 1 class
+        [(1, 2), (2, 3), (3, 4), (4, 5)],  # path: no twins
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        [],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges or [], "doc_a long, doc_b long")
+        got = G.quotient_wedge_probe(df).first()["quotient_wedges"]
+        assert got == brute_quotient_wedges(edges), edges
+
+
+def test_triangle_stats_dispatch_both_branches(spark, t, sf_dir):
+    """triangle_stats must (a) pick the exact branch at gate density
+    and equal the mod=1 estimate, and (b) with a forced cutover of -1,
+    pick the DOULION branch and STILL hash-match the parameterized
+    DuckDB oracle — the dispatch CASE replays in SQL on both sides."""
+    import duckdb
+
+    from storm_data_etl_service_spark.operators import graph as G
+    from storm_data_etl_service_spark.operators.registry import (
+        _triangle_stats_oracle,
+    )
+
+    exact = G.triangle_stats(t).first()
+    assert exact["branch"] == "exact_census" and exact["sample_mod"] == 1
+    truth = G.neardup_triangle_estimate(t, sample_mod=1).first()
+    assert exact["est_triangles"] == truth["est_triangles"]
+    assert exact["n_edges_kept"] == truth["n_edges_kept"]
+
+    forced = G.triangle_stats(t, wedge_cutover=-1).first()
+    assert forced["branch"] == "doulion_estimate" and forced["sample_mod"] == 4
+    assert forced["quotient_wedges"] == exact["quotient_wedges"]
+
+    con = duckdb.connect()
+    for tbl in ("documents",):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')"
+        )
+    want = con.execute(_triangle_stats_oracle(cutover=-1)).fetchone()
+    got = tuple(forced[c] for c in (
+        "branch", "quotient_wedges", "sample_mod",
+        "n_edges_kept", "n_tri_sampled", "est_triangles",
+    ))
+    assert got == want
+
+
 def test_graph_ops_on_empty_and_multigraph_input(spark):
     """pagerank must return an empty frame (not ZeroDivisionError) on
     an empty edge list, and the census must be immune to duplicate /

@@ -911,3 +911,19 @@ def test_streaming_bloom_gate_flags_across_batches(spark, workdir):
 
     n_bits = spark.read.parquet(str(workdir / "bloom_bits")).select("bit").distinct().count()
     assert 0 < n_bits <= BLOOM_HASHES * 4  # 4 distinct texts
+
+    # checkpoint-retry idempotency: re-running a batch (same batch_id)
+    # after its verdicts were already written must OVERWRITE its
+    # batch_id partition, not append duplicate verdict rows
+    replay = spark.createDataFrame(
+        [(11, "the original corpus document body"),
+         (12, "entirely new content in batch one"),
+         (13, "entirely new content in batch one")],
+        "doc_id long, text string",
+    )
+    bloom_gate_batch_fn(str(workdir / "bloom_bits"), str(workdir / "verdicts"))(
+        replay, 1
+    )
+    after = spark.read.parquet(str(workdir / "verdicts"))
+    assert after.count() == 5  # still one verdict per doc, no dups
+    assert after.groupBy("doc_id").count().filter("count > 1").count() == 0

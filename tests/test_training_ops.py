@@ -625,6 +625,152 @@ def test_cell_pairs_kernel_bitwise_matches_column_cosine(spark):
         assert all(ia < ib for ia, ib in got)
 
 
+def _bucket_pdf(m_members, n_probers, d=8, seed=5):
+    """A single-bucket kernel input: m members + n probers (prober ids
+    overlap member ids so the self-exclusion path is exercised)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    mids = np.arange(m_members, dtype=np.int64)
+    pids = np.arange(0, n_probers, dtype=np.int64)
+    mv = rng.uniform(-1, 1, size=(m_members, d)).round(4)
+    pv = mv[:n_probers]  # probers are the first members (self-probe)
+    return pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "vec_id": mids,
+                    "v": [r.tolist() for r in mv],
+                    "is_member": True,
+                    "is_prober": False,
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "vec_id": pids,
+                    "v": [r.tolist() for r in pv],
+                    "is_member": False,
+                    "is_prober": True,
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+
+
+def test_bucket_topk_kernel_blocked_axes_match_unblocked(spark):
+    """Member-axis blocking must not change output: the per-member-block
+    top-k partials merge into the global per-prober top-k exactly (total
+    order cos desc, id asc), and cosines stay bit-identical to the
+    Column-expression fold across every block size."""
+    import numpy as np
+
+    from storm_data_etl_service_spark.operators import similarity as S
+
+    pdf = _bucket_pdf(m_members=53, n_probers=17)
+    ref = S._bucket_topk_kernel(k=5, block=4096)(pdf)
+    ref_rows = sorted(map(tuple, ref.to_numpy().tolist()))
+    for block in (4, 7, 16):  # member AND prober axes multi-block
+        out = S._bucket_topk_kernel(k=5, block=block)(pdf)
+        got = sorted(map(tuple, out.to_numpy().tolist()))
+        assert got == ref_rows, f"blocked output diverged at block={block}"
+        # bitwise: merging partials must not re-do any arithmetic
+        for (_, _, ca), (_, _, cb) in zip(got, ref_rows):
+            assert np.float64(ca).tobytes() == np.float64(cb).tobytes()
+
+
+def test_bucket_topk_kernel_working_set_stays_in_block_budget():
+    """A pathological single bucket far larger than the block must not
+    allocate any pair matrix beyond block² — the OOM guard for
+    degenerate LSH buckets (every 2-D allocation the kernel makes is
+    recorded and checked against B²)."""
+    from unittest.mock import patch
+
+    import numpy as np
+
+    from storm_data_etl_service_spark.operators import similarity as S
+
+    B = 8
+    pdf = _bucket_pdf(m_members=200, n_probers=64)
+    shapes = []
+    real_zeros = np.zeros
+
+    def recording_zeros(shape, *a, **kw):
+        if isinstance(shape, tuple) and len(shape) == 2:
+            shapes.append(shape)
+        return real_zeros(shape, *a, **kw)
+
+    with patch("numpy.zeros", side_effect=recording_zeros):
+        S._bucket_topk_kernel(k=5, block=B)(pdf)
+    assert shapes, "kernel allocated no pair matrices?"
+    worst = max(r * c for r, c in shapes)
+    assert worst <= B * B, f"pair matrix {worst} exceeds block budget {B * B}"
+
+
+def test_cell_pairs_kernel_working_set_stays_in_block_budget():
+    """Same OOM guard for the SemDeDup within-cell kernel: a planted
+    degenerate cell (all vectors in one cid) must never allocate a
+    pair matrix beyond block²."""
+    from unittest.mock import patch
+
+    import numpy as np
+    import pandas as pd
+
+    from storm_data_etl_service_spark.operators import similarity as S
+
+    B = 8
+    rng = np.random.default_rng(9)
+    m = 150
+    pdf = pd.DataFrame(
+        {
+            "cid": 0,
+            "vec_id": np.arange(m, dtype=np.int64),
+            "v": [r.tolist() for r in rng.uniform(-1, 1, size=(m, 8)).round(4)],
+        }
+    )
+    shapes = []
+    real_zeros = np.zeros
+
+    def recording_zeros(shape, *a, **kw):
+        if isinstance(shape, tuple) and len(shape) == 2:
+            shapes.append(shape)
+        return real_zeros(shape, *a, **kw)
+
+    with patch("numpy.zeros", side_effect=recording_zeros):
+        S._cell_pairs_kernel(threshold=0.2, block=B)(pdf)
+    assert shapes, "kernel allocated no pair matrices?"
+    worst = max(r * c for r, c in shapes)
+    assert worst <= B * B, f"pair matrix {worst} exceeds block budget {B * B}"
+
+
+def test_kernels_reject_zero_norm_embeddings():
+    """Zero-norm vectors make cosine undefined; the ANSI Column twin
+    raises DIVIDE_BY_ZERO and the DuckDB oracle NULL-drops, so a silent
+    numpy NaN would diverge from both — the kernels must fail loudly,
+    naming the offending vec_id."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from storm_data_etl_service_spark.operators import similarity as S
+
+    pdf = _bucket_pdf(m_members=6, n_probers=3)
+    pdf.at[2, "v"] = [0.0] * 8  # member vec_id=2 has zero norm
+    with pytest.raises(ValueError, match="zero-norm.*vec_id=\\[2\\]"):
+        S._bucket_topk_kernel(k=5, block=16)(pdf)
+
+    cell = pd.DataFrame(
+        {
+            "cid": 0,
+            "vec_id": np.arange(4, dtype=np.int64),
+            "v": [[1.0, 2.0], [0.0, 0.0], [3.0, 1.0], [2.0, 2.0]],
+        }
+    )
+    with pytest.raises(ValueError, match="zero-norm.*vec_id=\\[1\\]"):
+        S._cell_pairs_kernel(threshold=0.2, block=16)(cell)
+
+
 def test_semdedup_auto_k_scales_near_linearly(spark):
     """The K ∝ n knob must turn SemDeDup's quadratic pair work into
     near-linear: measured as the DETERMINISTIC candidate-pair count
@@ -1297,7 +1443,7 @@ def test_knn_graph_kernel_matches_expression_cosine(spark, sf_dir):
 def test_knn_auto_bits_holds_bucket_size():
     from storm_data_etl_service_spark.operators.similarity import (
         KNN_TARGET_BUCKET,
-        LSH_PLANES,
+        MAX_LSH_PLANES,
         SEARCH_PREFIX_BITS,
         knn_auto_bits,
     )
@@ -1306,7 +1452,11 @@ def test_knn_auto_bits_holds_bucket_size():
     assert knn_auto_bits(500) == SEARCH_PREFIX_BITS  # driver-gate scales
     assert knn_auto_bits(KNN_TARGET_BUCKET * 2**SEARCH_PREFIX_BITS) == SEARCH_PREFIX_BITS
     assert knn_auto_bits(80_000) > SEARCH_PREFIX_BITS
-    assert knn_auto_bits(10**10) == LSH_PLANES  # clamped to available planes
+    # past LSH_PLANES=8 the width keeps growing (planes derived on
+    # demand) instead of silently clamping — bucket size stays at the
+    # target up to 2^MAX_LSH_PLANES · KNN_TARGET_BUCKET vectors
+    assert knn_auto_bits(2**9 * KNN_TARGET_BUCKET) == 9
+    assert knn_auto_bits(10**10) == MAX_LSH_PLANES  # documented hard bound
     assert all(
         knn_auto_bits(n) <= knn_auto_bits(2 * n) for n in (100, 1000, 10_000, 100_000)
     )
