@@ -77,6 +77,10 @@ BENCH_QUERIES = [
     "stratified_sample",        # salted two-level per-stratum top-k
     "curriculum_order",         # equi-depth difficulty bands, in-band shuffle
     "epoch_stream_order",       # mixture copies expanded into one epoch layout
+    # round-4 additions
+    "triangle_stats",           # wedge probe + density-dispatched census
+    "semdedup_auto",            # K ∝ n semantic dedup (production knob)
+    "eval_semantic_contamination",  # auto-width LSH nearest-train search
 ]
 
 
@@ -118,11 +122,15 @@ def main():
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    def run(name: str) -> float:
-        # best-of-2: single-shot timings on a shared host swing 2-3x
+    def run(name: str) -> list[float]:
+        # best-of-3: single-shot timings on a shared host swing 2-3x
         # from GC pauses / neighbor noise; the min is the steady-state
-        # engine cost and is stable run-to-run.
-        return min(run_once(name), run_once(name))
+        # engine cost and is stable run-to-run.  All three samples are
+        # kept (sorted = [min, med, max]) so the round-over-round diff
+        # can demand a MEDIAN regression before flagging — r2→r3
+        # produced a spurious flag on byte-identical code from a
+        # single tail sample.
+        return sorted(run_once(name) for _ in range(3))
 
     # Warm up every plan shape at the smallest SF first: whole-stage
     # codegen compiles per unique generated source, so the sf-target
@@ -132,7 +140,8 @@ def main():
             "noop"
         ).mode("overwrite").save()
 
-    timings = {name: round(run(name), 4) for name in bench_queries}
+    samples = {name: [round(s, 4) for s in run(name)] for name in bench_queries}
+    timings = {name: s[0] for name, s in samples.items()}
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -141,6 +150,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": samples,  # per-query [min, med, max] of 3 runs
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -68,11 +68,26 @@ def main(argv: list[str]) -> int:
         "added": sorted(set(aq) - set(bq)),
         "removed": sorted(set(bq) - set(aq)),
     }
+    bs, as_ = before.get("spread", {}), after.get("spread", {})
     for name in sorted(set(bq) & set(aq)):
         b, a = bq[name], aq[name]
         ratio = a / b if b else float("inf")
         entry = {"before_sec": b, "after_sec": a, "ratio": round(ratio, 3)}
-        if ratio > THRESHOLD and a > MIN_SEC:
+        med_ratio = None
+        if name in bs and name in as_:
+            bmed, amed = bs[name][len(bs[name]) // 2], as_[name][len(as_[name]) // 2]
+            med_ratio = amed / bmed if bmed else float("inf")
+            entry["before_spread"] = bs[name]
+            entry["after_spread"] = as_[name]
+            entry["median_ratio"] = round(med_ratio, 3)
+        # A flag needs the MIN (steady-state) to regress AND, when both
+        # rounds carry spreads, the MEDIAN too — one tail sample on a
+        # 2-3x-noise host is not a regression (r2→r3 false flag on
+        # byte-identical code).
+        regressed = ratio > THRESHOLD and a > MIN_SEC
+        if regressed and med_ratio is not None and med_ratio <= THRESHOLD:
+            regressed = False
+        if regressed:
             report["regressions"][name] = entry
         elif ratio < 1 / THRESHOLD and b > MIN_SEC:
             report["improvements"][name] = entry

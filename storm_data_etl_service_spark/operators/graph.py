@@ -482,7 +482,10 @@ def triangle_stats(t, wedge_cutover: int = WEDGE_CUTOVER) -> DataFrame:
     logic itself — not just each rung — is oracle-checked."""
     from storm_data_etl_service_spark.operators.dedup import dedup_minhash_lsh
 
-    edges = dedup_minhash_lsh(t).select("doc_a", "doc_b")
+    # materialize the pair list once: the probe AND the chosen rung
+    # both consume it, and recomputing MinHash+LSH twice would cost
+    # more than the probe saves (pair-scale, so checkpointing is cheap)
+    edges = dedup_minhash_lsh(t).select("doc_a", "doc_b").localCheckpoint()
     wedges = int(quotient_wedge_probe(edges).first()["quotient_wedges"])
     mod = 1 if wedges <= wedge_cutover else 4
     return _triangle_estimate_edges(edges, mod).select(

@@ -4068,56 +4068,44 @@ SELECT source, sample_rank, doc_id FROM ranked WHERE sample_rank <= 10""",
 # --------------------------------------------------------------------------
 
 _PRIORITY_WINDOW = [
-    # SURVEY §2: the reference's own query/transform surface
-    "storm_enrich", "enrich_events",
-    "q1_group_count", "q2_group_count_composite",
-    # (q3/q4/q5/q6/q7/q8/q10/q16_crossfield rotated out after two
-    # driver-green rounds — single-row filter-count/max/first-row
-    # shapes still swept by CORRECTNESS_FULL at 4 configs + 3 SFs)
-    "q9_topn", "q9_grouped_topk",
-    # (q11_conditional_count, q15_except_all rotated out after two
-    # driver-green rounds; q12_dup_detect rotated out — its first-wins
-    # twin stays)
-    "q12_dedup_first_wins", "q13_anti_join", "q14_join_compare",
-    "q16_domain_violations",
-    "q17_count_parity", "p13_hourly_rollup", "p5_deterministic_id",
-    # TPC-H shapes (broadcast dims, semi/anti self-joins)
-    "tpch_q1_pricing_summary", "tpch_q3_top_revenue_orders",
-    "tpch_q21_waiting_suppliers",
-    # multi-dim aggregation + sketches (rollup/cube/pivot and the
-    # distinct/percentile basics rotated out after two driver-green
-    # rounds; still swept by CORRECTNESS_FULL at 4 configs + 3 SFs)
-    "approx_distinct_counts",
-    # analytics / skew / funnel
-    "funnel_conversion", "salted_group_sum",
-    # curation + text
-    "dataset_split_assign", "text_scrub_pii", "ngram_counts",
-    "corpus_curation_pipeline",
-    # round-3 session-5 additions: deterministic global training-order
-    # shuffle, length-bucketed batching audit, stratified sampler,
-    # length-curriculum schedule, mixture epoch materialization
-    "global_shuffle_order", "length_bucket_batches", "stratified_sample",
-    "curriculum_order", "epoch_stream_order",
-    # round-3 session-4 additions: Bloom membership pre-screen,
-    # hashed-feature quality gate, mixture materialization, quantized
-    # embedding dedup, kNN graph
-    "bloom_dedup_report", "quality_linear_score", "mixture_sample_assign",
-    "embedding_exact_dedup", "knn_graph_lsh", "eval_semantic_contamination",
-    # dedup ladder — round 3's scale-path rework, rung by rung
+    # --- round-4 rotation: the r3 verdict asked for ≥25 entries with
+    # no CORRECTNESS_r03 row; 32 below are new to the gate this round.
+    # Everything rotated out stays swept by CORRECTNESS_FULL at 4
+    # configs + 3 SFs. ---
+    # SURVEY §2 core enrichment contract (never rotates: the flagship)
+    "storm_enrich", "enrich_events", "p5_deterministic_id",
+    "p13_hourly_rollup",
+    # SURVEY §2 filter/max/first-row shapes, back in after two rounds
+    # out (q1/q2/q9/q13/q14/q16_domain/q17 rotate out, driver-green 3x)
+    "q3_filter_eq_count", "q4_filter_conj_count", "q5_filter_in_count",
+    "q6_filter_threshold_count", "q7_bounding_box_count", "q8_filtered_max",
+    "q10_first_row", "q11_conditional_count", "q12_dup_detect",
+    "q15_except_all", "q16_crossfield_check",
+    # TPC-H shapes: the min-cost correlated-subquery join rotates in;
+    # the waiting-suppliers anti-join holds as the semi/anti sentinel
+    "tpch_q2_min_cost_supplier", "tpch_q21_waiting_suppliers",
+    # multi-dim aggregation family, never driver-gated before
+    "rollup_agg", "cube_agg", "grouping_sets_sql", "pivot_agg",
+    "upsert_merge", "percentile_summary",
+    # temporal/window semantics, never driver-gated before
+    "asof_join_last_click", "range_join_pairs", "scd2_history",
+    "forward_fill_values",
+    "tumbling_window_agg", "sliding_window_agg", "session_window_agg",
+    # near-dup graph family, never driver-gated before
+    "neardup_components", "pagerank_neardup",
+    "neardup_cluster_representative", "neardup_source_overlap",
+    # round-4 additions: density-dispatched census, auto-K semdedup
+    "triangle_stats", "semdedup_auto",
+    # dedup ladder holdovers (r4 touched the shared CTE chain and the
+    # auto-width promotion — keep the composed forms under the gate)
     "dedup_exact", "dedup_jaccard_prefix_join", "dedup_minhash_lsh",
-    "dedup_incremental_minhash", "semdedup", "semdedup_pairs",
-    "dedup_ladder_report", "crossmodal_dedup_agreement",
-    "fuzzy_neardup_distance",
-    # graph census — round 3's twin-contraction rewrite + DOULION
-    # sampled estimate
-    "neardup_triangle_count", "neardup_triangle_estimate",
-    # ANN family
-    "ann_lsh_search", "ann_ivf_search", "ann_pq_search",
-    # multimodal
-    "multimodal_decode_stats", "image_resize_stats",
-    # streaming-window semantics (batch twins; rotated out after two
-    # driver-green rounds — still swept by CORRECTNESS_FULL at 4
-    # configs + 3 SFs): tumbling_window_agg, session_window_agg
+    "dedup_simhash", "semdedup", "semdedup_pairs", "dedup_ladder_report",
+    # ANN/kNN: the auto-width forms changed this round
+    "knn_graph_lsh", "eval_semantic_contamination", "ann_ivf_search",
+    # training layout + streaming-ingest representatives
+    "global_shuffle_order", "curriculum_order", "bloom_dedup_report",
+    # multimodal representative
+    "multimodal_decode_stats",
 ]
 assert len(_PRIORITY_WINDOW) == 50, len(_PRIORITY_WINDOW)
 _missing = [n for n in _PRIORITY_WINDOW if n not in REGISTRY]
