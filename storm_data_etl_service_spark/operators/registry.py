@@ -313,7 +313,14 @@ sh AS (
   FROM toks),
 shf AS (SELECT * FROM sh WHERE len(shingles) > 0)"""
 
-_NGRAM_JACCARD_ORACLE = f"""WITH {_TOKS_CTE},
+#: The naive all-shingles Jaccard definition — kept ONLY as the
+#: independent ground truth for tests/test_training_ops.py's
+#: oracle-equivalence check; the REGISTERED oracle below uses the same
+#: prefix-filter candidate restriction as the Spark plan (provably
+#: identical output, PPJoin 100%-recall bound), which keeps the DuckDB
+#: side feasible at sf1.6 density where the df² shingle self-join is
+#: not (>30 min vs seconds).
+_NGRAM_JACCARD_NAIVE_ORACLE = f"""WITH {_TOKS_CTE},
 ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
 counts AS (SELECT doc_id, len(shingles) AS ns FROM shf),
 common AS (
@@ -325,6 +332,68 @@ FROM common
 JOIN (SELECT doc_id AS doc_a, ns AS na FROM counts) USING (doc_a)
 JOIN (SELECT doc_id AS doc_b, ns AS nb FROM counts) USING (doc_b)
 WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.8"""
+
+#: Shared rarest-first prefix ranking (PPJoin global order: document
+#: frequency, then shingle text — the exact sort key of
+#: dedup.prefix_filter_candidates' struct(df, s) sort).
+_PPJOIN_RANK_CTES = f"""{_TOKS_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+dfq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+ranked AS (
+  SELECT doc_id, list(s ORDER BY df, s) AS ordered
+  FROM ex JOIN dfq USING (s) GROUP BY doc_id)"""
+
+# J >= 0.8 pairs must share one of each doc's ns - ceil(0.8 ns) + 1
+# rarest shingles (ceil(4n/5) = (4n+4)//5, integer-exact like the
+# Spark side) and satisfy the 4·max <= 5·min size gate.
+_NGRAM_JACCARD_ORACLE = f"""WITH {_PPJOIN_RANK_CTES},
+pre AS (
+  SELECT doc_id, len(ordered) AS ns,
+    unnest(ordered[1 : len(ordered) - (4 * len(ordered) + 4) // 5 + 1]) AS s
+  FROM ranked),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pre a JOIN pre b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+   AND 4 * greatest(a.ns, b.ns) <= 5 * least(a.ns, b.ns)),
+v AS (
+  SELECT doc_a, doc_b,
+    len(list_intersect(sa.shingles, sb.shingles)) AS common,
+    len(sa.shingles) AS na, len(sb.shingles) AS nb
+  FROM cand
+  JOIN shf sa ON sa.doc_id = doc_a
+  JOIN shf sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+FROM v WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.8"""
+
+# Directed variant for containment >= 0.9 (p/q = 9/10 exactly, the
+# same Fraction the Spark side derives): sub-side prefix length
+# ns - (9 ns + 9)//10 + 1, size gate 10·n_super >= 9·n_sub, verify on
+# candidates only.
+_CONTAINMENT_ORACLE = f"""WITH {_PPJOIN_RANK_CTES},
+subp AS (
+  SELECT doc_id AS doc_sub, len(ordered) AS ns_sub,
+    unnest(ordered[1 : len(ordered) - (9 * len(ordered) + 9) // 10 + 1]) AS s
+  FROM ranked),
+supf AS (SELECT doc_id AS doc_super, len(shingles) AS ns_super,
+                unnest(shingles) AS s
+         FROM shf),
+cand AS (
+  SELECT DISTINCT doc_sub, doc_super
+  FROM subp JOIN supf USING (s)
+  WHERE doc_sub != doc_super AND 10 * ns_super >= 9 * ns_sub),
+v AS (
+  SELECT doc_sub, doc_super,
+    len(list_intersect(sa.shingles, sb.shingles)) AS common,
+    len(sa.shingles) AS na, len(sb.shingles) AS nb
+  FROM cand
+  JOIN shf sa ON sa.doc_id = doc_sub
+  JOIN shf sb ON sb.doc_id = doc_super)
+SELECT doc_sub, doc_super,
+  CAST(na AS BIGINT) AS n_sub, CAST(nb AS BIGINT) AS n_super,
+  CAST(common AS DOUBLE) / na AS containment,
+  CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+FROM v WHERE CAST(common AS DOUBLE) / na >= 0.9"""
 
 def _minhash_oracle() -> str:
     from storm_data_etl_service_spark.operators.dedup import (
@@ -1105,30 +1174,11 @@ FROM documents""",
         # |sub ∩ super| / |sub| >= 0.9 — catches short-doc-inside-
         # long-doc duplication that symmetric Jaccard dilutes away.
         _t(D.dedup_containment),
-        f"""WITH {_TOKS_CTE},
-ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
-counts AS (SELECT doc_id, len(shingles) AS ns FROM shf),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-pairs AS (
-  SELECT doc_a, doc_b, common, na, nb
-  FROM common
-  JOIN (SELECT doc_id AS doc_a, ns AS na FROM counts) USING (doc_a)
-  JOIN (SELECT doc_id AS doc_b, ns AS nb FROM counts) USING (doc_b)),
-directed AS (
-  SELECT doc_a AS doc_sub, doc_b AS doc_super,
-         CAST(na AS BIGINT) AS n_sub, CAST(nb AS BIGINT) AS n_super,
-         CAST(common AS DOUBLE) / na AS containment,
-         CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
-  FROM pairs
-  UNION ALL
-  SELECT doc_b, doc_a, CAST(nb AS BIGINT), CAST(na AS BIGINT),
-         CAST(common AS DOUBLE) / nb,
-         CAST(common AS DOUBLE) / (na + nb - common)
-  FROM pairs)
-SELECT * FROM directed WHERE containment >= 0.9""",
+        # Directed prefix-filtered form (same output as the naive
+        # all-pairs definition — the asymmetric PPJoin bound is exact;
+        # equivalence additionally pinned in tests) — feasible at
+        # sf1.6 density where the df² shingle self-join is not.
+        _CONTAINMENT_ORACLE,
         ("dedup", "neardup", "containment"),
     ),
     "dedup_jaccard_prefix_join": QuerySpec(

@@ -776,11 +776,12 @@ def semdedup(t, k: int | None = None) -> DataFrame:
     measurement shows (exp ≈ 1.2 at fixed K=8).  ``k=None`` (the
     production default) derives K from one cheap count via
     ``semdedup_auto_k`` — K = ⌈n / SEMDEDUP_TARGET_CELL⌉, floored at
-    the oracle K — turning the n²/K term into O(n·target_cell).  The
-    registry entry pins ``k=KMEANS_K`` because the DuckDB oracle
-    replays the unrolled Lloyd iterations with that exact K; the knob,
-    not the plan shape, is what changes at scale (near-linearity with
-    auto-K is measured in tests/test_training_ops.py).
+    the oracle K — turning the n²/K term into O(n·target_cell).  Both
+    forms are oracle-checked: ``semdedup`` pins ``k=KMEANS_K`` (the
+    determinism-history twin) and ``semdedup_auto`` runs ``k=None``
+    against a DuckDB twin that derives the IDENTICAL K from count(*)
+    inside the SQL; near-linearity with auto-K is measured in
+    tests/test_training_ops.py.
     """
     assigned, pairs = _semdedup_assigned_pairs(t, k)
     evidence = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(

@@ -68,6 +68,7 @@ INTENTIONAL_PYTHON_OPS = [
     # semdedup_pairs.
     "semdedup",
     "semdedup_pairs",
+    "semdedup_auto",
     "crossmodal_dedup_agreement",
     "dedup_ladder_report",
     # kNN graph's per-bucket top-k kernel (_bucket_topk_kernel): the

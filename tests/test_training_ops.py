@@ -315,6 +315,61 @@ def test_prefix_join_equals_naive_exact_jaccard(spark, sf_dir):
     assert pruned == naive
 
 
+def test_prefix_oracle_sql_equals_naive_oracle_sql(sf_dir):
+    """The REGISTERED DuckDB oracles for the Jaccard/containment family
+    use the same prefix-filter candidate restriction as the Spark plans
+    (the naive df² forms are infeasible at sf1.6 density).  The
+    restriction must lose nothing: both SQL forms, run in DuckDB on the
+    same parquet, must emit identical row sets — the oracle-side twin
+    of test_prefix_join_equals_naive_exact_jaccard."""
+    import duckdb
+
+    from storm_data_etl_service_spark.operators.registry import (
+        _CONTAINMENT_ORACLE,
+        _NGRAM_JACCARD_NAIVE_ORACLE,
+        _NGRAM_JACCARD_ORACLE,
+        _TOKS_CTE,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    naive = sorted(con.execute(_NGRAM_JACCARD_NAIVE_ORACLE).fetchall())
+    pruned = sorted(con.execute(_NGRAM_JACCARD_ORACLE).fetchall())
+    assert naive, "fixture should contain planted near-dup documents"
+    assert pruned == naive
+
+    naive_containment = f"""WITH {_TOKS_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+counts AS (SELECT doc_id, len(shingles) AS ns FROM shf),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b, common, na, nb
+  FROM common
+  JOIN (SELECT doc_id AS doc_a, ns AS na FROM counts) USING (doc_a)
+  JOIN (SELECT doc_id AS doc_b, ns AS nb FROM counts) USING (doc_b)),
+directed AS (
+  SELECT doc_a AS doc_sub, doc_b AS doc_super,
+         CAST(na AS BIGINT) AS n_sub, CAST(nb AS BIGINT) AS n_super,
+         CAST(common AS DOUBLE) / na AS containment,
+         CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+  FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a, CAST(nb AS BIGINT), CAST(na AS BIGINT),
+         CAST(common AS DOUBLE) / nb,
+         CAST(common AS DOUBLE) / (na + nb - common)
+  FROM pairs)
+SELECT * FROM directed WHERE containment >= 0.9"""
+    naive_c = sorted(con.execute(naive_containment).fetchall())
+    pruned_c = sorted(con.execute(_CONTAINMENT_ORACLE).fetchall())
+    assert naive_c, "fixture should contain planted containment pairs"
+    assert pruned_c == naive_c
+
+
 def test_prefix_join_prunes_candidate_pairs(spark, sf_dir):
     """The prefix candidate join must generate strictly fewer pairs
     than the all-shingles self-join — the point of the technique
