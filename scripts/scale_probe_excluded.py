@@ -47,20 +47,10 @@ SPARK_SIDE_BASELINE = {
 
 #: Entries whose REGISTRY build pins an oracle-determinism knob that
 #: is NOT the production form: probe the production call instead.
-PROBE_BUILD_OVERRIDE = {
-    # registry pins bits=SEARCH_PREFIX_BITS for the oracle; at scale
-    # the auto-bits derivation holds bucket size constant.
-    "eval_semantic_contamination": (
-        "from storm_data_etl_service_spark.operators.similarity import eval_semantic_contamination\n"
-        "from storm_data_etl_service_spark.schemas import load_tables\n"
-        "df = eval_semantic_contamination(load_tables(spark, sf_dir))"
-    ),
-    "knn_graph_lsh": (
-        "from storm_data_etl_service_spark.operators.similarity import knn_graph_lsh\n"
-        "from storm_data_etl_service_spark.schemas import load_tables\n"
-        "df = knn_graph_lsh(load_tables(spark, sf_dir))"
-    ),
-}
+#: (Round 4 emptied this: knn_graph_lsh / eval_semantic_contamination
+#: now REGISTER the auto-width production form, oracle included, and
+#: both left the exclusion list entirely.)
+PROBE_BUILD_OVERRIDE: dict[str, str] = {}
 
 
 def probe_one(name: str, sf_dir: str, timeout: int) -> subprocess.CompletedProcess:

@@ -7,6 +7,11 @@ the Spark side of those has separate at-scale evidence).  Chunked
 subprocesses so one heavy query cannot wedge the sweep.
 
 Usage: python scripts/sweep_sf16.py [chunk_timeout_sec]
+
+The HEAVY entries run one per chunk; give them headroom — 2100 s
+covers the slowest measured oracle (crossmodal_dedup_agreement,
+1441 s solo; prefix-Jaccard 483 s) plus the Spark side and session
+startup, with margin for host noise.
 """
 
 from __future__ import annotations
@@ -20,50 +25,63 @@ sys.path.insert(0, str(REPO))
 
 SF_DIR = "/tmp/spark_graft_scale/sf1.6"
 
-#: oracle-side infeasible at sf1.6 density (reason in parentheses)
+#: oracle-side infeasible at sf1.6 density (reason in parentheses).
+#: Round-4 note: this list shrank 23 → 11.  Each former exclusion was
+#: MEASURED this round (CTAS materialization, not count(*), so DuckDB
+#: cannot projection-prune the expensive columns): the signature
+#: rebuilds finish in seconds, the auto-width LSH oracles in ~1 min,
+#: the unrolled-Lloyd semdedup chain in ~4 min, and the Jaccard/
+#: containment family became feasible by registering prefix-filtered
+#: oracle SQL (provably identical output; the naive df² forms never
+#: finished one query in 40 min).  What remains is genuinely
+#: output-bound or unbounded at this density.
 EXCLUDE = {
     "neardup_components": "DuckDB unbounded recursion on ~50-node near-cliques",
     "neardup_components_sql": "same, plus Spark UNION ALL walk explosion (documented)",
     "pagerank_neardup": "unrolled-CTE oracle over the dense pair graph",
-    "neardup_triangle_count": "pair-graph triangle census oracle",
-    "neardup_triangle_estimate": "sampled pair-graph triangle oracle (wedge join on kept edges)",
-    "neardup_cluster_representative": "depends on components oracle",
-    "neardup_source_overlap": "pair-graph oracle",
-    "minhash_accuracy_report": "exact pairwise Jaccard oracle (df^2)",
-    "dedup_ngram_jaccard": "naive all-shingles df^2 oracle",
-    "dedup_jaccard_prefix_join": "same oracle as the naive join",
-    "dedup_containment": "naive all-pairs containment oracle",
-    "fuzzy_neardup_distance": "pairwise Levenshtein oracle",
-    "duplicated_span_report": "per-doc span list_transform oracle at 80k docs",
-    "embedding_near_dup": "n^2/2 cosine oracle (0.5B pairs)",
-    "crossmodal_dedup_agreement": "naive all-shingles Jaccard + unrolled-Lloyd semdedup oracle",
-    "dedup_ladder_report": "unions the df^2 Jaccard and unrolled-Lloyd rung oracles",
-    "semdedup": "unrolled Lloyd iterations over 32k vectors in SQL",
-    "semdedup_pairs": "same unrolled-Lloyd oracle as semdedup",
-    "dedup_minhash_lsh": "12-permutation signature rebuild over 3.6M shingles in SQL",
-    "dedup_incremental_minhash": "same signature rebuild",
-    "dedup_simhash": "64-bit signature rebuild oracle",
-    "eval_semantic_contamination": (
-        "same 4-bit-pinned bucket join as knn_graph_lsh: ~5e7 DuckDB"
-        " cosine rows at sf1.6; auto-bits production path probed"
-        " Spark-side"
+    "neardup_triangle_count": "wedge-join census oracle: >50 GB spill at 13.9M-pair density",
+    "neardup_triangle_estimate": "same wedge join on the kept quarter of the pair graph",
+    "triangle_stats": "dispatcher oracle embeds the same wedge join (measured >51 GB spill)",
+    "neardup_cluster_representative": "depends on the components recursion",
+    "neardup_source_overlap": "pair-graph rollup oracle (measured >40 min)",
+    "minhash_accuracy_report": "exact pairwise Jaccard ground truth is df² BY DEFINITION",
+    "dedup_ladder_report": (
+        "the composed 4-rung oracle OOMs DuckDB even solo at an 80 GB"
+        " memory limit (measured) — every RUNG is individually"
+        " oracle-checked at sf1.6 (exact, prefix-Jaccard, MinHash,"
+        " semdedup chain), so only the counts-union composition is"
+        " unverified at this density"
     ),
-    "knn_graph_lsh": (
-        "4-bit-pinned oracle form: bucket size grows ∝ n, so the DuckDB"
-        " bucketed self-join materializes ~2e9 cosine rows (the"
-        " semdedup fixed-knob trade); the auto-bits production path is"
-        " what runs at scale and is probed Spark-side"
-    ),
+    "fuzzy_neardup_distance": "pairwise Levenshtein oracle (labeled quadratic baseline)",
+    "embedding_near_dup": "n²/2 cosine oracle, 0.5B pairs (labeled quadratic baseline)",
+}
+
+#: feasible but minutes-long oracles (measured at sf1.6: prefix-Jaccard
+#: 483 s, containment 335 s, semdedup chain ~230 s, ladder/crossmodal
+#: compose them) — run ONE per chunk so a shared chunk timeout cannot
+#: starve the entries after them.
+HEAVY = {
+    "dedup_jaccard_prefix_join",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "semdedup",
+    "semdedup_pairs",
+    "semdedup_auto",
+    "crossmodal_dedup_agreement",
+    "knn_graph_lsh",
+    "eval_semantic_contamination",
 }
 
 
 def main() -> int:
-    timeout = int(sys.argv[1]) if len(sys.argv) > 1 else 560
+    timeout = int(sys.argv[1]) if len(sys.argv) > 1 else 900
 
     from storm_data_etl_service_spark.operators.registry import REGISTRY
 
-    names = [n for n in REGISTRY if n not in EXCLUDE]
-    chunks = [names[i : i + 18] for i in range(0, len(names), 18)]
+    light = [n for n in REGISTRY if n not in EXCLUDE and n not in HEAVY]
+    heavy = [n for n in REGISTRY if n in HEAVY]
+    chunks = [light[i : i + 18] for i in range(0, len(light), 18)]
+    chunks += [[n] for n in heavy]
     ok, fail, timed_out = [], [], []
     for ci, chunk in enumerate(chunks):
         print(f"chunk {ci + 1}/{len(chunks)}: {chunk[0]}..{chunk[-1]}", flush=True)
