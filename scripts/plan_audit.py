@@ -41,6 +41,8 @@ BNLJ_JUSTIFIED = {
     #     any scale, not a nested loop over data.
     "funnel_conversion": "1-row step-count aggregate joined to itself",
     "neardup_triangle_estimate": "1-row kept-edge count x 1-row sampled-census total",
+    "triangle_stats": "1-row kept-edge count x 1-row census total (the "
+    "dispatched estimate rung; the wedge probe itself is join-free)",
     "tfidf_top_terms": "1-row corpus-size scalar",
     "bigram_surprisal_scores": "1-row vocab-size scalar",
     "tpch_q22_idle_customers": "1-row average-balance scalar",
@@ -79,6 +81,8 @@ BNLJ_JUSTIFIED = {
     #     cardinality is a fixed hyperparameter, independent of data
     #     scale.
     "semdedup": "K-row k-means centroid table (fixed K) + 1-row scalars",
+    "semdedup_auto": "K-row centroid table (K derived from one count, "
+    "constant cell size) + 1-row scalars — same plan shape as semdedup",
     "ann_ivf_search": "K-row IVF centroid table broadcast (assign + probe)",
     "ann_pq_search": "K-row codebook / distance-LUT broadcasts per subspace",
     "nearest_centroid_accuracy": "K-row centroid table broadcast",

@@ -214,17 +214,19 @@ FLAG_NOTES = {
         "determinism-checked form."
     ),
     "knn_graph_lsh": (
-        "fixed-width artifact, same class as semdedup's fixed K: the "
-        "registry pins the LSH prefix width to the oracle's "
-        "SEARCH_PREFIX_BITS so the DuckDB twin can enumerate the exact "
-        "buckets, which lets bucket size — and the per-bucket Arrow "
-        "top-k's quadratic term — grow with n (exp ~1.05-1.1 across "
-        "passes at ×16).  "
-        "Production calls leave bits=None and get the "
-        "bucket-size-constant knn_auto_bits derivation "
-        "(monotonicity + bucket-size bound pinned in "
-        "tests/test_training_ops.py); the auto-bits form's sf1.6 run "
-        "is recorded in SCALE_PROBE.md."
+        "if flagged, check the corpus: since round 4 the registry runs "
+        "the bits=None auto-width form (the DuckDB oracle derives the "
+        "same width from count(*)), which holds bucket size — and the "
+        "per-bucket Arrow top-k's quadratic term — constant in n up to "
+        "2^MAX_LSH_PLANES·KNN_TARGET_BUCKET vectors.  The r3 exp ~1.05 "
+        "was the since-retired pinned-SEARCH_PREFIX_BITS artifact."
+    ),
+    "triangle_stats": (
+        "the dispatcher's DOULION branch fires on the shuffled corpus "
+        "(quotient wedges > WEDGE_CUTOVER), so the top step compares an "
+        "exact census at sf0.1 against a mod-4 sampled census at sf1.6 "
+        "on a corpus whose pair density is itself inflated — "
+        "output-bound, like the dedup rungs it gates."
     ),
     "dedup_jaccard_prefix_join": (
         "output-bound on the SHUFFLED corpus: the per-replica hash-sort "
