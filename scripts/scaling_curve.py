@@ -259,6 +259,9 @@ DEDUP_FAMILY = [
     "dedup_incremental_minhash",
     "duplicated_span_report",
     "dedup_ladder_report",
+    # pair-density-sensitive like the rungs it gates: the dispatcher's
+    # DOULION branch only fires on the inflated shuffled corpus
+    "triangle_stats",
 ]
 
 
@@ -420,7 +423,13 @@ def render_md(summary: dict) -> None:
                 f"| {r['exponent']} | {shuf_exp} |"
             )
         md.append("")
-    notes = [q for q in FLAG_NOTES if q in rows]
+    # footnote only what the table actually marks with † — a stale
+    # note under an unflagged row reads as an open issue that isn't
+    notes = [
+        q for q in FLAG_NOTES
+        if q in rows
+        and (q in flagged or (rows[q]["top_step_exponent"] or 0) > 0.9)
+    ]
     if notes:
         md += ["## Footnotes", ""]
         for q in notes:
