@@ -154,8 +154,15 @@ def main():
         )
     con = duckdb.connect()
     # keep oracle spill out of the repo (heavy recursive oracles can
-    # write tens of GB of temp before finishing or being killed)
+    # write tens of GB of temp before finishing or being killed), and
+    # CAP DuckDB's memory so heavy oracles spill instead of the kernel
+    # OOM-killing the whole process (observed: the crossmodal oracle at
+    # sf1.6 grew to ~108 GB RSS and died; with a cap + temp dir the
+    # same query completes) — the cap leaves room for the Spark driver
+    # JVM sharing the process.
     con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    mem_gb = os.environ.get("SPARK_GRAFT_ORACLE_MEM_GB", "60")
+    con.execute(f"SET memory_limit='{mem_gb}GB'")
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
         # directory-layout tables (Spark writes a dir) need a glob
