@@ -530,27 +530,42 @@ def _bucket_sql(n_planes: int) -> str:
 
 
 def _lsh_buckets_oracle() -> str:
-    from storm_data_etl_service_spark.operators.similarity import LSH_PLANES
+    """Auto-width twin of similarity.ann_lsh_buckets: the bucket key is
+    the first ``bits`` sign bits where ``bits`` is the same
+    ``knn_auto_bits`` closed form over count(*) the Spark side derives
+    (``_auto_bits_cte``) — fixed widths make bucket population ∝ n."""
+    from storm_data_etl_service_spark.operators.similarity import MAX_LSH_PLANES
 
-    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT vec_id, {_bucket_sql(LSH_PLANES)} AS bucket FROM e"""
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_auto_bits_cte()},
+fb AS (SELECT vec_id, {_bucket_sql(MAX_LSH_PLANES)} AS fullpfx FROM e)
+SELECT vec_id, substr(fullpfx, 1, bits) AS bucket FROM fb, nb"""
 
 
 def _lsh_search_oracle() -> str:
-    from storm_data_etl_service_spark.operators.similarity import SEARCH_PREFIX_BITS
+    """Auto-width twin of similarity.ann_lsh_search: prefix width AND
+    multi-probe radius (1 + bits hamming-1 flips) both derived from
+    count(*) via the same closed form as the Spark side."""
+    from storm_data_etl_service_spark.operators.similarity import (
+        MAX_LSH_PLANES,
+        N_QUERIES,
+    )
 
-    bits = SEARCH_PREFIX_BITS
-    flips = []
-    for i in range(1, bits + 1):
-        flipped = f"(CASE WHEN substr(qpfx, {i}, 1) = '1' THEN '0' ELSE '1' END)"
-        flips.append(
-            f"substr(qpfx, 1, {i - 1}) || {flipped} || substr(qpfx, {i + 1}, {bits - i})"
-        )
-    probes = "[qpfx, " + ", ".join(flips) + "]"
     return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-bucketed AS (SELECT vec_id, v, {_bucket_sql(SEARCH_PREFIX_BITS)} AS pfx FROM e),
-q0 AS (SELECT vec_id AS query_id, v AS qv, pfx AS qpfx FROM bucketed WHERE vec_id < 5),
-q AS (SELECT query_id, qv, unnest({probes}) AS probe_pfx FROM q0),
+{_auto_bits_cte()},
+fb AS (SELECT vec_id, v, {_bucket_sql(MAX_LSH_PLANES)} AS fullpfx FROM e),
+bucketed AS (SELECT vec_id, v, substr(fullpfx, 1, bits) AS pfx FROM fb, nb),
+q0 AS (SELECT vec_id AS query_id, v AS qv, pfx AS qpfx
+       FROM bucketed WHERE vec_id < {N_QUERIES}),
+q AS (
+  SELECT query_id, qv, qpfx AS probe_pfx FROM q0
+  UNION ALL
+  SELECT query_id, qv,
+    substr(qpfx, 1, i - 1)
+      || (CASE WHEN substr(qpfx, i, 1) = '1' THEN '0' ELSE '1' END)
+      || substr(qpfx, i + 1)
+  FROM (SELECT query_id, qv, qpfx, unnest(range(1, bits + 1)) AS i
+        FROM q0, nb)),
 cands AS (
   SELECT query_id, b.vec_id,
     {_COSINE_SQL.format(a='qv', b='b.v')} AS cosine

@@ -135,17 +135,33 @@ def lsh_bucket_col(v: Column, n_planes: int = LSH_PLANES) -> Column:
     return F.concat(*bits)
 
 
-def ann_lsh_buckets(t) -> DataFrame:
+def ann_lsh_buckets(t, bits: int | None = None) -> DataFrame:
     """Per-vector LSH bucket assignment (the scale path's shuffle key):
     vectors in the same bucket are candidate neighbors.  Output is the
-    oracle-checked contract (vec_id → bucket)."""
+    oracle-checked contract (vec_id → bucket).
+
+    ``bits=None`` (the default, and what the registry/oracle exercise)
+    derives the bucket width from one cheap count via ``knn_auto_bits``
+    so the expected bucket population stays near KNN_TARGET_BUCKET as
+    n grows — the same auto-width promotion ``knn_graph_lsh`` got; a
+    fixed width would make every bucket's population ∝ n.  Planes
+    beyond LSH_PLANES are derived on demand, and the DuckDB oracle
+    derives the identical width from ``count(*)``."""
     emb = t["embeddings"].select("vec_id", _vec(F.col("embedding")).alias("v"))
-    return emb.select("vec_id", lsh_bucket_col(F.col("v")).alias("bucket"))
+    if bits is None:
+        bits = knn_auto_bits(emb.count())
+    return emb.select(
+        "vec_id",
+        F.substring(
+            lsh_bucket_col(F.col("v"), n_planes=max(LSH_PLANES, bits)), 1, bits
+        ).alias("bucket"),
+    )
 
 
-#: Probe with a 4-bit bucket prefix: coarser buckets → enough
-#: candidates per query at test scale; at production scale you tune
-#: bits (and multi-probe neighboring buckets) for the recall target.
+#: Floor on the derived prefix width (and the fixed width used by
+#: explicit-``bits`` callers in tests): 4 bits keeps enough candidates
+#: per bucket at tiny test scale; production widths come from
+#: ``knn_auto_bits`` (bucket-size-constant in n).
 SEARCH_PREFIX_BITS = 4
 
 
@@ -164,7 +180,7 @@ def _probe_prefixes(qpfx: Column, bits: int = SEARCH_PREFIX_BITS) -> Column:
     return F.array(qpfx, *flips)
 
 
-def ann_lsh_search(t) -> DataFrame:
+def ann_lsh_search(t, bits: int | None = None) -> DataFrame:
     """Bucketed ANN search — the scale path end-to-end: queries hash to
     a bucket prefix and multi-probe its hamming-1 neighborhood;
     candidates come from those buckets only (an equi-join on the
@@ -172,18 +188,30 @@ def ann_lsh_search(t) -> DataFrame:
 
     Versus brute force: the data side is scanned once and shuffled on
     a bucket key; the per-query candidate set is (1+bits)·|bucket| ≪ N.
-    Approximate by construction — recall is bounded in the unit test
-    against `ann_cosine_topk`."""
+    ``bits=None`` (the default, and what the registry/oracle exercise)
+    derives the prefix width from one cheap count (``knn_auto_bits``)
+    so |bucket| — and with it per-query candidate work — stays near
+    KNN_TARGET_BUCKET instead of growing ∝ n as the old pinned
+    SEARCH_PREFIX_BITS=4 form did; the multi-probe radius grows with
+    the width (1 + bits probes), which is what keeps recall roughly
+    flat as buckets shrink.  The DuckDB oracle derives the identical
+    width from ``count(*)`` (``_auto_bits_cte``).  Approximate by
+    construction — recall is bounded in the unit test against
+    `ann_cosine_topk`."""
     emb = t["embeddings"].select("vec_id", _vec(F.col("embedding")).alias("v"))
+    if bits is None:
+        bits = knn_auto_bits(emb.count())
     bucketed = emb.select(
         "vec_id",
         "v",
-        F.substring(lsh_bucket_col(F.col("v")), 1, SEARCH_PREFIX_BITS).alias("pfx"),
+        F.substring(
+            lsh_bucket_col(F.col("v"), n_planes=max(LSH_PLANES, bits)), 1, bits
+        ).alias("pfx"),
     )
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
-        F.explode(_probe_prefixes(F.col("pfx"))).alias("probe_pfx"),
+        F.explode(_probe_prefixes(F.col("pfx"), bits)).alias("probe_pfx"),
     )
     cands = (
         F.broadcast(q)

@@ -79,8 +79,14 @@ def test_ann_topk_matches_brute_force(spark, sf_dir):
 
 
 def test_lsh_bucket_groups_are_nonempty_strings(spark, sf_dir):
+    from storm_data_etl_service_spark.operators.similarity import knn_auto_bits
+
     rows = run("ann_lsh_buckets", spark, sf_dir).collect()
-    assert all(len(r["bucket"]) == 8 and set(r["bucket"]) <= {"0", "1"} for r in rows)
+    # auto-width: the bucket key is exactly knn_auto_bits(n) sign bits
+    want = knn_auto_bits(len(rows))
+    assert all(
+        len(r["bucket"]) == want and set(r["bucket"]) <= {"0", "1"} for r in rows
+    )
     # buckets should split the space, not collapse into one
     assert len({r["bucket"] for r in rows}) > 1
 
