@@ -9,6 +9,11 @@ prints ONE JSON line:
 Each query is materialized through the noop sink — full computation,
 no driver collect overhead.  A tiny warmup query first amortizes JVM /
 codegen startup so timings reflect steady-state engine throughput.
+Timings are best-of-3; the full per-query [min, med, max] spread is
+written to ``$SPARK_GRAFT_BENCH_SPREAD_FILE`` (default
+``BENCH_SPREAD.json`` next to this script) rather than inlined in the
+stdout line, which must stay short enough for the driver's tail
+capture.
 """
 
 from __future__ import annotations
@@ -143,18 +148,25 @@ def main():
     samples = {name: [round(s, 4) for s in run(name)] for name in bench_queries}
     timings = {name: s[0] for name, s in samples.items()}
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": samples,  # per-query [min, med, max] of 3 runs
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    doc = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "max_query": max(timings, key=timings.get) if timings else None,
+    }
+    # The full per-query [min, med, max] spread goes to a sidecar file
+    # only: inlining it in the stdout line once outgrew the grading
+    # driver's tail capture (BENCH_r04 recorded "parsed": null).  The
+    # stdout line stays the compact driver contract.
+    spread_file = os.environ.get(
+        "SPARK_GRAFT_BENCH_SPREAD_FILE",
+        str(Path(__file__).resolve().parent / "BENCH_SPREAD.json"),
     )
+    Path(spread_file).write_text(json.dumps({**doc, "spread": samples}, indent=1))
+    print(json.dumps(doc))
     spark.stop()
 
 
