@@ -404,11 +404,13 @@ def bloom_gate_batch_fn(bits_dir: str, verdicts_dir: str):
     the whole point versus the LSH index's per-document rows; at
     100 TB the (bit) relation compacts to an m/8-byte bitmap merged
     by OR and broadcast to executors.  Checkpoint retries are
-    idempotent on BOTH relations: bits re-derive identically (sha256)
-    and survive duplicate appends via distinct-at-read, while
-    verdicts overwrite their own ``batch_id=N`` partition — a batch
-    retried after a partial verdict write replaces it instead of
-    appending duplicate verdict rows.
+    REPLAY-STABLE on both relations: each writes (overwrite) its own
+    ``batch_id=N`` partition, and the probe reads only partitions
+    with ``batch_id < N`` — so a batch replayed after its bits commit
+    (verdict commit failed last time) still probes exactly the
+    pre-batch index and rewrites byte-identical verdicts, instead of
+    flipping its own first-seen docs to ``bloom_hit`` by seeing its
+    own bits.
     """
     from pyspark.sql import functions as F
 
@@ -432,8 +434,11 @@ def bloom_gate_batch_fn(bits_dir: str, verdicts_dir: str):
                 "doc_id", F.explode(bloom_bit_positions(F.col("h"))).alias("bit")
             )
             if _bits_exist(spark):
+                # ONLY earlier batches' bits: a replayed batch must not
+                # probe against bits it appended itself last attempt
                 idx = (
                     spark.read.parquet(bits_dir)
+                    .filter(F.col("batch_id") < batch_id)
                     .select("bit")
                     .distinct()
                     .withColumn("_set", F.lit(1))
@@ -464,7 +469,9 @@ def bloom_gate_batch_fn(bits_dir: str, verdicts_dir: str):
                 .write.mode("overwrite")
                 .parquet(f"{verdicts_dir}/batch_id={batch_id}")
             )
-            probes.select("bit").distinct().write.mode("append").parquet(bits_dir)
+            probes.select("bit").distinct().write.mode("overwrite").parquet(
+                f"{bits_dir}/batch_id={batch_id}"
+            )
         finally:
             hashed.unpersist()
 
