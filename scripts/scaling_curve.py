@@ -243,11 +243,28 @@ FLAG_NOTES = {
         "inherits rung 2's output-bound growth on the shuffled corpus "
         "(the PPJoin prefix join above).  All four rungs are the "
         "scale-path operators — the natural-density corpus exponent "
-        "below (0.83) measures the plan itself.  An earlier form that "
-        "composed the quadratic baselines measured exponent 2.0 "
+        "below ({nat_exp}) measures the plan itself.  An earlier form "
+        "that composed the quadratic baselines measured exponent 2.0 "
         "(1204 s at sf1.6)."
     ),
 }
+
+
+def _note_text(q: str, summary: dict) -> str:
+    """Fill a FLAG_NOTES template from the MEASURED summary — footnote
+    numbers must come from the same JSON as the table they annotate
+    (a hand-written 0.83 once drifted against the table's 0.568)."""
+    note = FLAG_NOTES[q]
+    nat = (summary.get("natural_corpus") or {}).get(q) or {}
+    row = (summary.get("queries") or {}).get(q) or {}
+    fills = {
+        "nat_exp": nat.get("exponent"),
+        "shuf_exp": row.get("top_step_exponent"),
+    }
+    try:
+        return note.format(**fills)
+    except (KeyError, IndexError):
+        return note
 
 #: Dedup rungs re-timed on the natural-density corpus, where
 #: within-replica duplicate density equals the source corpus's own
@@ -365,7 +382,7 @@ def render_md(summary: dict) -> None:
         "# SCALING — measured time-vs-data curve for the headline queries",
         "",
         "Generated by `scripts/scaling_curve.py`: `bench.py` (same warmup +",
-        "best-of-2 noop-sink protocol) at the three provided scale factors",
+        "best-of-3 noop-sink protocol) at the three provided scale factors",
         f"plus a synthesized **sf{sfs[-1]}** (sf0.1 replicated x{replicas} with",
         "per-replica key offsets; text content-hash-shuffled / embeddings",
         "nudged so duplicate structure stays natural — see the script",
@@ -418,8 +435,9 @@ def render_md(summary: dict) -> None:
             natural.items(), key=lambda kv: -(kv[1]["natural_sf_sec"] or 0)
         ):
             shuf_exp = rows.get(q, {}).get("top_step_exponent")
+            stale = " (stale: not re-measured in last merge)" if r.get("stale") else ""
             md.append(
-                f"| {q} | {r['sf0.1_sec']:.2f} | {r['natural_sf_sec']:.2f} "
+                f"| {q}{stale} | {r['sf0.1_sec']:.2f} | {r['natural_sf_sec']:.2f} "
                 f"| {r['exponent']} | {shuf_exp} |"
             )
         md.append("")
@@ -433,7 +451,7 @@ def render_md(summary: dict) -> None:
     if notes:
         md += ["## Footnotes", ""]
         for q in notes:
-            md.append(f"- **{q}** † — {FLAG_NOTES[q]}")
+            md.append(f"- **{q}** † — {_note_text(q, summary)}")
         md.append("")
     (REPO / "SCALING.md").write_text("\n".join(md))
 

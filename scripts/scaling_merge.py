@@ -75,8 +75,45 @@ def main() -> int:
     summary["flagged_superlinear"] = sorted(
         f for f in flagged if f in summary["queries"]
     )
+    # DEDUP_FAMILY members also carry a natural-density-corpus row —
+    # re-measure it too, or the re-rendered natural table silently
+    # mixes rounds (stale sf0.1 baseline against a new shuffled row).
+    nat_queries = [q for q in queries if q in sc.DEDUP_FAMILY]
+    nat_note = None
+    if nat_queries:
+        natural_dir = sc.SCRATCH / f"sf{sfs[-1]}_natural"
+        if (natural_dir / "documents.parquet").exists():
+            print(f"bench natural-corpus subset @ sf{sfs[-1]} ...", flush=True)
+            nat_times = sc.run_bench(str(natural_dir), nat_queries)["queries"]
+            for q in nat_queries:
+                t_small = per_sf[sfs[-2]].get(q)
+                t_nat = nat_times.get(q)
+                summary.setdefault("natural_corpus", {})[q] = {
+                    "sf0.1_sec": t_small,
+                    "natural_sf_sec": t_nat,
+                    "exponent": (
+                        round(math.log(t_nat / t_small) / math.log(top_ratio), 3)
+                        if t_small and t_nat
+                        else None
+                    ),
+                }
+                print(f"  {q} natural: {t_small} -> {t_nat}", flush=True)
+        else:
+            nat_note = (
+                f"natural corpus missing at {natural_dir}; DEDUP_FAMILY rows "
+                f"for {nat_queries} NOT re-measured (stale)"
+            )
+            for q in nat_queries:
+                row = summary.get("natural_corpus", {}).get(q)
+                if row is not None:
+                    row["stale"] = True
+            print(nat_note, flush=True)
     summary.setdefault("merged_rounds", []).append(
-        {"queries": queries, "note": "subset re-measure via scaling_merge.py"}
+        {
+            "queries": queries,
+            "note": "subset re-measure via scaling_merge.py",
+            **({"natural_omission": nat_note} if nat_note else {}),
+        }
     )
     summary["totals_sec"] = {
         s: round(sum(v["times_sec"][i] for v in summary["queries"].values()

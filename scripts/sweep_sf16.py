@@ -26,7 +26,7 @@ sys.path.insert(0, str(REPO))
 SF_DIR = "/tmp/spark_graft_scale/sf1.6"
 
 #: oracle-side infeasible at sf1.6 density (reason in parentheses).
-#: Round-4 note: this list shrank 23 → 11.  Each former exclusion was
+#: Round-4 note: this list shrank 23 → 12.  Each former exclusion was
 #: MEASURED this round (CTAS materialization, not count(*), so DuckDB
 #: cannot projection-prune the expensive columns): the signature
 #: rebuilds finish in seconds, the auto-width LSH oracles in ~1 min,
