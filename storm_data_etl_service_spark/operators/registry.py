@@ -4133,44 +4133,45 @@ SELECT source, sample_rank, doc_id FROM ranked WHERE sample_rank <= 10""",
 # --------------------------------------------------------------------------
 
 _PRIORITY_WINDOW = [
-    # --- round-4 rotation: the r3 verdict asked for ≥25 entries with
-    # no CORRECTNESS_r03 row; 32 below are new to the gate this round.
-    # Everything rotated out stays swept by CORRECTNESS_FULL at 4
-    # configs + 3 SFs. ---
-    # SURVEY §2 core enrichment contract (never rotates: the flagship)
-    "storm_enrich", "enrich_events", "p5_deterministic_id",
-    "p13_hourly_rollup",
-    # SURVEY §2 filter/max/first-row shapes, back in after two rounds
-    # out (q1/q2/q9/q13/q14/q16_domain/q17 rotate out, driver-green 3x)
-    "q3_filter_eq_count", "q4_filter_conj_count", "q5_filter_in_count",
-    "q6_filter_threshold_count", "q7_bounding_box_count", "q8_filtered_max",
-    "q10_first_row", "q11_conditional_count", "q12_dup_detect",
-    "q15_except_all", "q16_crossfield_check",
-    # TPC-H shapes: the min-cost correlated-subquery join rotates in;
-    # the waiting-suppliers anti-join holds as the semi/anti sentinel
-    "tpch_q2_min_cost_supplier", "tpch_q21_waiting_suppliers",
-    # multi-dim aggregation family, never driver-gated before
-    "rollup_agg", "cube_agg", "grouping_sets_sql", "pivot_agg",
-    "upsert_merge", "percentile_summary",
-    # temporal/window semantics, never driver-gated before
-    "asof_join_last_click", "range_join_pairs", "scd2_history",
-    "forward_fill_values",
-    "tumbling_window_agg", "sliding_window_agg", "session_window_agg",
-    # near-dup graph family, never driver-gated before
-    "neardup_components", "pagerank_neardup",
-    "neardup_cluster_representative", "neardup_source_overlap",
-    # round-4 additions: density-dispatched census, auto-K semdedup
-    "triangle_stats", "semdedup_auto",
-    # dedup ladder holdovers (r4 touched the shared CTE chain and the
-    # auto-width promotion — keep the composed forms under the gate)
-    "dedup_exact", "dedup_jaccard_prefix_join", "dedup_minhash_lsh",
-    "dedup_simhash", "semdedup", "semdedup_pairs", "dedup_ladder_report",
-    # ANN/kNN: the auto-width forms changed this round
-    "knn_graph_lsh", "eval_semantic_contamination", "ann_ivf_search",
-    # training layout + streaming-ingest representatives
-    "global_shuffle_order", "curriculum_order", "bloom_dedup_report",
-    # multimodal representative
-    "multimodal_decode_stats",
+    # --- round-5 rotation: the r4 verdict asked for a window drawn
+    # from the 108 entries never driver-gated in r1-r4; 49 below have
+    # no row in any CORRECTNESS_r0{1..4}.json.  The one holdover is
+    # ann_lsh_search, whose registered form changed this round
+    # (auto-width promotion) — its never-gated twin ann_lsh_buckets
+    # is in the new set.  Everything rotated out stays swept by
+    # CORRECTNESS_FULL at 4 configs + 3 SFs. ---
+    # the changed-this-round ANN pair
+    "ann_lsh_search", "ann_lsh_buckets", "ann_cosine_topk",
+    # the TPC-H analytical suite (every member never driver-gated)
+    "tpch_q4_priority_semijoin", "tpch_q5_regional_revenue",
+    "tpch_q6_forecast_revenue", "tpch_q6_shared_sql",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_type_profit", "tpch_q10_returned_items",
+    "tpch_q11_important_values", "tpch_q12_priority_by_linestatus",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_filter", "tpch_q20_excess_shippers",
+    "tpch_q22_idle_customers",
+    # embedding family
+    "embedding_near_dup", "embedding_quantize_int8",
+    "embedding_power_iteration", "nearest_centroid_accuracy",
+    # text-analysis suite
+    "text_stats", "text_token_count", "text_lang_id", "text_fingerprint",
+    "tfidf_top_terms", "bm25_doc_ranking", "bigram_surprisal_scores",
+    "heavy_hitter_bigrams", "cms_token_frequencies", "pii_incidence_report",
+    # dedup rungs without a prior gate row
+    "dedup_containment", "dedup_exact_normalized", "dedup_ngram_jaccard",
+    "duplicated_span_report",
+    # graph: the recursive-SQL components twin
+    "neardup_components_sql",
+    # analytics
+    "weekly_active_users", "cohort_retention", "revenue_pareto_curve",
+    "mad_outlier_stats", "equi_depth_histogram",
+    # training layout / curation
+    "sequence_pack_assign", "per_source_cap_sample",
+    # multimodal + pipe-SQL dialect representatives
+    "video_frame_sample", "q1_group_count_pipe_sql",
 ]
 assert len(_PRIORITY_WINDOW) == 50, len(_PRIORITY_WINDOW)
 _missing = [n for n in _PRIORITY_WINDOW if n not in REGISTRY]
