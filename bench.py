@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "triangle_stats",           # wedge probe + density-dispatched census
     "semdedup_auto",            # K ∝ n semantic dedup (production knob)
     "eval_semantic_contamination",  # auto-width LSH nearest-train search
+    # round-5 additions
+    "ann_lsh_search",           # auto-width multi-probe bucketed ANN
+    "neardup_triangle_estimate",  # DOULION branch alone (same-branch scaling pair)
 ]
 
 

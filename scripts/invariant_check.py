@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Exact sf1.6 oracle replay for the recursion-excluded graph entries.
+
+The registry oracles for ``neardup_components``, ``pagerank_neardup``
+and ``neardup_cluster_representative`` are exact but expressed with
+recursive / chained CTEs, and DuckDB's CTE evaluation explodes at
+sf1.6 pair-graph density: the components recursion materializes the
+TRANSITIVE CLOSURE (Σ|component|² rows on near-clique clusters) and
+the unrolled PageRank re-inlines the whole MinHash pair pipeline into
+every round (measured >51 GB spill).  The fixpoints themselves are
+cheap — each round is one O(E) join — so this checker replays them as
+BOUNDED staged passes over ``CREATE TEMP TABLE`` materializations:
+
+* the candidate pair graph is materialized ONCE (the same
+  ``_minhash_oracle()`` SQL the registry oracles embed — measured
+  seconds at sf1.6);
+* connected components = min-label propagation rounds, each one
+  hash join + grouped min, iterated to an EXPLICIT fixpoint (zero
+  labels changed) with the same 25-round cap as
+  ``graph.connected_components`` — convergence is verified, never
+  assumed;
+* PageRank = the registry oracle's own round expression (the
+  floor-quantized decimal reduction, lifted verbatim so every IEEE
+  operation matches Spark bit-for-bit), staged per round instead of
+  chained CTEs;
+* the cluster representative is the registry oracle's aggregation
+  tail over the replayed labels.
+
+The result is compared against the Spark output with the same
+row/column/type normalization as ``check_correctness.py`` — so these
+three entries get an EXACT value-equality gate at sf1.6, not a weaker
+invariant battery.  Output lines use the same ``  ok <name>`` /
+``FAIL <name>`` grammar so ``sweep_sf16.py`` can parse them.
+
+Usage: python scripts/invariant_check.py [entry ...]     (default: all)
+Env:   SPARK_GRAFT_CHECK_SF_DIR (default /tmp/spark_graft_scale/sf1.6)
+       SPARK_GRAFT_ORACLE_MEM_GB (DuckDB cap, default 60)
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/tmp/spark_graft_scale/sf1.6")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+ENTRIES = (
+    "neardup_components",
+    "pagerank_neardup",
+    "neardup_cluster_representative",
+)
+
+#: matches graph.connected_components(max_rounds=25): the replay must
+#: reach the same fixpoint the Spark side reached (or failed loudly).
+CC_MAX_ROUNDS = 25
+
+#: one PageRank round as a staged table — the expression text is the
+#: registry oracle's own (registry.py pagerank_neardup), so literal
+#: typing and IEEE op order are the proven-at-gate-scales forms.
+_PR_ROUND = """CREATE TEMP TABLE r{nxt} AS
+  SELECT o.node, o.deg,
+    floor(((1.0 - 0.85) / nn.n
+           + 0.85 * (cast(sum(cast(floor((r.rank / r.deg) * 1e9)
+                                  AS DECIMAL(25,0))) AS DOUBLE) / 1e9))
+          * 1e9) / 1e9 AS rank
+  FROM sym e JOIN r{cur} r ON e.src = r.node
+             JOIN deg o ON e.dst = o.node, nn
+  GROUP BY o.node, o.deg, nn.n"""
+
+_CC_ROUND = """CREATE TEMP TABLE l_next AS
+  SELECT l.node, least(l.label, coalesce(m.nbr, l.label)) AS label
+  FROM l_cur l LEFT JOIN (
+    SELECT e.src AS node, min(x.label) AS nbr
+    FROM sym e JOIN l_cur x ON x.node = e.dst
+    GROUP BY e.src) m ON m.node = l.node"""
+
+_REPLAY_SELECT = {
+    "neardup_components": """SELECT node AS doc_id, label AS component_id,
+  node = label AS is_canonical FROM l_cur""",
+    "pagerank_neardup": "SELECT node AS doc_id, deg, rank FROM r5",
+    # the registry oracle's aggregation tail, over the replayed labels
+    "neardup_cluster_representative": """WITH members AS (
+  SELECT l.node AS doc_id, l.label AS component_id, d.n_chars
+  FROM l_cur l JOIN documents d ON d.doc_id = l.node)
+SELECT component_id, kept_doc_id, kept_n_chars, n_members, total_chars
+FROM (
+  SELECT component_id, doc_id AS kept_doc_id, n_chars AS kept_n_chars,
+    row_number() OVER (PARTITION BY component_id
+                       ORDER BY n_chars DESC, doc_id) AS rk,
+    count(*) OVER (PARTITION BY component_id) AS n_members,
+    CAST(sum(n_chars) OVER (PARTITION BY component_id) AS BIGINT)
+      AS total_chars
+  FROM members)
+WHERE rk = 1""",
+}
+
+
+def _load_cc_module():
+    spec = importlib.util.spec_from_file_location(
+        "cc_compare", REPO / "scripts/check_correctness.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _build_graph_tables(con) -> None:
+    from storm_data_etl_service_spark.operators.registry import _minhash_oracle
+
+    con.execute("CREATE TEMP TABLE pairs AS " + _minhash_oracle())
+    con.execute(
+        """CREATE TEMP TABLE sym AS
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs"""
+    )
+    con.execute(
+        "CREATE TEMP TABLE deg AS SELECT src AS node, count(*) AS deg"
+        " FROM sym GROUP BY src"
+    )
+    con.execute("CREATE TEMP TABLE nn AS SELECT count(*) AS n FROM deg")
+
+
+def _replay_components(con) -> None:
+    """Min-label propagation to an explicit fixpoint — the same
+    algorithm (and cap) as graph.connected_components, each round one
+    staged O(E) pass instead of a transitive-closure recursion."""
+    con.execute("CREATE TEMP TABLE l_cur AS SELECT node, node AS label FROM deg")
+    for _ in range(CC_MAX_ROUNDS):
+        con.execute(_CC_ROUND)
+        changed = con.sql(
+            """SELECT count(*) FROM l_next n JOIN l_cur c USING (node)
+               WHERE n.label < c.label"""
+        ).fetchone()[0]
+        con.execute("DROP TABLE l_cur")
+        con.execute("ALTER TABLE l_next RENAME TO l_cur")
+        if changed == 0:
+            return
+    raise RuntimeError(
+        f"components replay did not converge in {CC_MAX_ROUNDS} rounds"
+    )
+
+
+def _replay_pagerank(con) -> None:
+    con.execute(
+        """CREATE TEMP TABLE r0 AS
+           SELECT node, deg, floor((1.0 / n) * 1e9) / 1e9 AS rank
+           FROM deg, nn"""
+    )
+    for k in range(5):
+        con.execute(_PR_ROUND.format(cur=k, nxt=k + 1))
+
+
+def main() -> int:
+    import duckdb
+
+    from storm_data_etl_service_spark.operators.registry import REGISTRY
+    from storm_data_etl_service_spark.session import get_spark
+
+    only = [n for n in sys.argv[1:] if n in ENTRIES] or list(ENTRIES)
+    cc = _load_cc_module()
+
+    # --- Spark phase: collect the three outputs, then free the JVM ---
+    spark = get_spark(
+        app_name="invariant_check",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark_out = {}
+    for name in only:
+        df = REGISTRY[name].build(spark, SF_DIR)
+        spark_out[name] = (df.columns, df.dtypes, [tuple(r) for r in df.collect()])
+    spark.stop()
+
+    # --- DuckDB phase: staged replay + exact compare ---
+    con = duckdb.connect()
+    os.makedirs("/tmp/duckdb_oracle_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    mem_gb = os.environ.get("SPARK_GRAFT_ORACLE_MEM_GB", "60")
+    con.execute(f"SET memory_limit='{mem_gb}GB'")
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+
+    _build_graph_tables(con)
+    if {"neardup_components", "neardup_cluster_representative"} & set(only):
+        _replay_components(con)
+    if "pagerank_neardup" in only:
+        _replay_pagerank(con)
+
+    failures = []
+    for name in only:
+        scols_raw, sdtypes, srows = spark_out[name]
+        scols, sdata = cc.normalize_result(scols_raw, srows)
+        rel = con.sql(_REPLAY_SELECT[name])
+        dcols_raw, dtypes_raw = list(rel.columns), list(rel.types)
+        dcols, ddata = cc.normalize_result(dcols_raw, rel.fetchall())
+        status = []
+        if scols != dcols:
+            status.append(f"COLS spark={scols} duck={dcols}")
+        for col, sk, dk in cc.type_mismatches(sdtypes, dcols_raw, dtypes_raw):
+            status.append(f"TYPE {col}: spark={sk} duck={dk}")
+        if len(sdata) != len(ddata):
+            status.append(f"ROWCOUNT spark={len(sdata)} duck={len(ddata)}")
+        elif sdata != ddata:
+            ndiff = sum(1 for a, b in zip(sdata, ddata) if a != b)
+            first = next((a, b) for a, b in zip(sdata, ddata) if a != b)
+            status.append(f"VALUES {ndiff}/{len(sdata)} differ; first: {first}")
+        if status:
+            failures.append(name)
+            print(f"FAIL {name}: " + " | ".join(status))
+        else:
+            print(f"  ok {name:32s} ({len(sdata)} rows, exact replay)")
+    if failures:
+        print(f"\n{len(failures)} FAILURES: {failures}")
+        return 1
+    print("\nall replayed entries match exactly")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

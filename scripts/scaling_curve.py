@@ -226,7 +226,11 @@ FLAG_NOTES = {
         "(quotient wedges > WEDGE_CUTOVER), so the top step compares an "
         "exact census at sf0.1 against a mod-4 sampled census at sf1.6 "
         "on a corpus whose pair density is itself inflated — "
-        "output-bound, like the dedup rungs it gates."
+        "output-bound, like the dedup rungs it gates.  Same-branch "
+        "measurements: census at BOTH points on the natural corpus "
+        "(triangle_stats natural exp {census_nat_exp}) and DOULION at "
+        "both points on the shuffled corpus (neardup_triangle_estimate "
+        "exp {doulion_shuf_exp})."
     ),
     "dedup_jaccard_prefix_join": (
         "output-bound on the SHUFFLED corpus: the per-replica hash-sort "
@@ -255,11 +259,21 @@ def _note_text(q: str, summary: dict) -> str:
     numbers must come from the same JSON as the table they annotate
     (a hand-written 0.83 once drifted against the table's 0.568)."""
     note = FLAG_NOTES[q]
-    nat = (summary.get("natural_corpus") or {}).get(q) or {}
-    row = (summary.get("queries") or {}).get(q) or {}
+    nat_all = summary.get("natural_corpus") or {}
+    q_all = summary.get("queries") or {}
+    nat = nat_all.get(q) or {}
+    row = q_all.get(q) or {}
     fills = {
         "nat_exp": nat.get("exponent"),
         "shuf_exp": row.get("top_step_exponent"),
+        # cross-query fills for the triangle dispatcher's same-branch
+        # footnote: census arm = triangle_stats on the natural corpus
+        # (under WEDGE_CUTOVER at both points), DOULION arm = the
+        # always-mod-4 estimate entry on the shuffled corpus
+        "census_nat_exp": (nat_all.get("triangle_stats") or {}).get("exponent"),
+        "doulion_shuf_exp": (
+            q_all.get("neardup_triangle_estimate") or {}
+        ).get("top_step_exponent"),
     }
     try:
         return note.format(**fills)
@@ -279,6 +293,10 @@ DEDUP_FAMILY = [
     # pair-density-sensitive like the rungs it gates: the dispatcher's
     # DOULION branch only fires on the inflated shuffled corpus
     "triangle_stats",
+    # always the DOULION branch (mod=4) — with triangle_stats staying
+    # under WEDGE_CUTOVER (census) at both natural points, the two
+    # entries give a SAME-BRANCH exponent for each dispatcher arm
+    "neardup_triangle_estimate",
 ]
 
 

@@ -26,24 +26,20 @@ sys.path.insert(0, str(REPO))
 SF_DIR = "/tmp/spark_graft_scale/sf1.6"
 
 #: oracle-side infeasible at sf1.6 density (reason in parentheses).
-#: Round-4 note: this list shrank 23 → 12.  Each former exclusion was
-#: MEASURED this round (CTAS materialization, not count(*), so DuckDB
-#: cannot projection-prune the expensive columns): the signature
-#: rebuilds finish in seconds, the auto-width LSH oracles in ~1 min,
-#: the unrolled-Lloyd semdedup chain in ~4 min, and the Jaccard/
-#: containment family became feasible by registering prefix-filtered
-#: oracle SQL (provably identical output; the naive df² forms never
-#: finished one query in 40 min).  What remains is genuinely
-#: output-bound or unbounded at this density.
+#: History: 23 (r3) → 12 (r4, each reason measured via CTAS
+#: materialization so DuckDB cannot projection-prune) → 8 (r5):
+#: the components/pagerank/representative recursion blockers moved to
+#: REPLAY below (exact staged-fixpoint oracles, not exclusions), and
+#: neardup_source_overlap's ">40 min" reason was re-measured at 3.9 s
+#: (it predated the fast prefix-filtered MinHash pair SQL) so it
+#: rejoins the normal sweep.  What remains is genuinely output-bound
+#: (wedge enumeration at 13.9M-pair density) or quadratic by
+#: definition.
 EXCLUDE = {
-    "neardup_components": "DuckDB unbounded recursion on ~50-node near-cliques",
-    "neardup_components_sql": "same, plus Spark UNION ALL walk explosion (documented)",
-    "pagerank_neardup": "unrolled-CTE oracle over the dense pair graph",
+    "neardup_components_sql": "SPARK-side UNION ALL walk explosion at this density (documented); the DataFrame twin is replay-checked below",
     "neardup_triangle_count": "wedge-join census oracle: >50 GB spill at 13.9M-pair density",
     "neardup_triangle_estimate": "same wedge join on the kept quarter of the pair graph",
     "triangle_stats": "dispatcher oracle embeds the same wedge join (measured >51 GB spill)",
-    "neardup_cluster_representative": "depends on the components recursion",
-    "neardup_source_overlap": "pair-graph rollup oracle (measured >40 min)",
     "minhash_accuracy_report": "exact pairwise Jaccard ground truth is df² BY DEFINITION",
     "dedup_ladder_report": (
         "the composed 4-rung oracle OOMs DuckDB even solo at an 80 GB"
@@ -55,6 +51,16 @@ EXCLUDE = {
     "fuzzy_neardup_distance": "pairwise Levenshtein oracle (labeled quadratic baseline)",
     "embedding_near_dup": "n²/2 cosine oracle, 0.5B pairs (labeled quadratic baseline)",
 }
+
+#: checked by scripts/invariant_check.py instead of the registry
+#: oracle: the EXACT fixpoint replayed as bounded staged passes
+#: (recursive-CTE transitive closure is the only thing infeasible at
+#: sf1.6 — the per-round joins are O(E) and cheap).
+REPLAY = [
+    "neardup_components",
+    "pagerank_neardup",
+    "neardup_cluster_representative",
+]
 
 #: feasible but minutes-long oracles (measured at sf1.6: prefix-Jaccard
 #: 483 s, containment 335 s, semdedup chain ~230 s, ladder/crossmodal
@@ -78,16 +84,21 @@ def main() -> int:
 
     from storm_data_etl_service_spark.operators.registry import REGISTRY
 
-    light = [n for n in REGISTRY if n not in EXCLUDE and n not in HEAVY]
+    light = [
+        n for n in REGISTRY
+        if n not in EXCLUDE and n not in HEAVY and n not in REPLAY
+    ]
     heavy = [n for n in REGISTRY if n in HEAVY]
-    chunks = [light[i : i + 18] for i in range(0, len(light), 18)]
-    chunks += [[n] for n in heavy]
+    chunks = [("check_correctness.py", light[i : i + 18]) for i in range(0, len(light), 18)]
+    chunks += [("check_correctness.py", [n]) for n in heavy]
+    # the staged-fixpoint replay entries share one Spark/pair build
+    chunks += [("invariant_check.py", REPLAY)]
     ok, fail, timed_out = [], [], []
-    for ci, chunk in enumerate(chunks):
+    for ci, (script, chunk) in enumerate(chunks):
         print(f"chunk {ci + 1}/{len(chunks)}: {chunk[0]}..{chunk[-1]}", flush=True)
         try:
             p = subprocess.run(
-                [sys.executable, str(REPO / "scripts/check_correctness.py"), *chunk],
+                [sys.executable, str(REPO / "scripts" / script), *chunk],
                 capture_output=True,
                 text=True,
                 env={**__import__("os").environ, "SPARK_GRAFT_CHECK_SF_DIR": SF_DIR},
