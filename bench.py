@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     # round-5 additions
     "ann_lsh_search",           # auto-width multi-probe bucketed ANN
     "neardup_triangle_estimate",  # DOULION branch alone (same-branch scaling pair)
+    "ann_ivf_auto",             # K ∝ n IVF coarse quantizer (production knob)
 ]
 
 

@@ -84,6 +84,7 @@ BNLJ_JUSTIFIED = {
     "semdedup_auto": "K-row centroid table (K derived from one count, "
     "constant cell size) + 1-row scalars — same plan shape as semdedup",
     "ann_ivf_search": "K-row IVF centroid table broadcast (assign + probe)",
+    "ann_ivf_auto": "K-row IVF centroid table broadcast (K derived ∝ n, assign + probe)",
     "ann_pq_search": "K-row codebook / distance-LUT broadcasts per subspace",
     "nearest_centroid_accuracy": "K-row centroid table broadcast",
     "dedup_incremental_minhash": "1-row batch-boundary scalar (doc_id >= t0 residual)",

@@ -76,6 +76,9 @@ HEAVY = {
     "crossmodal_dedup_agreement",
     "knn_graph_lsh",
     "eval_semantic_contamination",
+    # K ∝ n coarse quantizer: the oracle's unrolled Lloyd assigns
+    # n × K distances per round (K≈250 at sf1.6 vs 8 fixed)
+    "ann_ivf_auto",
 }
 
 

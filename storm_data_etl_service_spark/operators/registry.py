@@ -1611,13 +1611,18 @@ SELECT node AS doc_id, min(label) AS component_id,
 FROM reach GROUP BY node"""
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(auto_k: bool = False) -> str:
     """The whole IVF pipeline — seeded k-means (fixed rounds, ordered
     double folds), cell assignment, nprobe probing, per-query top-k —
-    unrolled into one DuckDB CTE chain, bit-equal to the Spark side."""
+    unrolled into one DuckDB CTE chain, bit-equal to the Spark side.
+    ``auto_k=True`` derives the seed count K = max(KMEANS_K,
+    ⌈n / IVF_TARGET_CELL⌉) from count(*) inside the SQL — the same
+    closed form as similarity.ivf_auto_k (exact: IVF_TARGET_CELL is a
+    power of two, so the division and ceil never straddle an ulp)."""
     from storm_data_etl_service_spark.operators.similarity import (
         EMBEDDING_DIM,
         IVF_NPROBE,
+        IVF_TARGET_CELL,
         KMEANS_ITERS,
         KMEANS_K,
         N_QUERIES,
@@ -1647,11 +1652,19 @@ def _ivf_oracle() -> str:
         FROM {best}, range(1, {n + 1}) r(pos))
   GROUP BY cid, pos) GROUP BY cid"""
 
-    ctes = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"c0 AS (SELECT cast(vec_id AS INTEGER) AS cid, v AS cv FROM e"
-        f" WHERE vec_id < {KMEANS_K})",
-    ]
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    if auto_k:
+        ctes += [
+            f"kq AS (SELECT greatest({KMEANS_K}, cast(ceil(count(*)"
+            f" / {IVF_TARGET_CELL}.0) AS BIGINT)) AS k FROM e)",
+            "c0 AS (SELECT cast(vec_id AS INTEGER) AS cid, v AS cv"
+            " FROM e, kq WHERE vec_id < k)",
+        ]
+    else:
+        ctes.append(
+            f"c0 AS (SELECT cast(vec_id AS INTEGER) AS cid, v AS cv FROM e"
+            f" WHERE vec_id < {KMEANS_K})"
+        )
     for i in range(KMEANS_ITERS):
         ctes.append(f"a{i} AS ({assign(f'c{i}')})")
         ctes.append(f"c{i + 1} AS ({update(f'a{i}')})")
@@ -1679,6 +1692,21 @@ WHERE rk <= {TOPK}"""
 
 REGISTRY["ann_ivf_search"] = QuerySpec(
     _t(S.ann_ivf_search), _ivf_oracle(), ("similarity", "ivf", "iterative")
+)
+
+REGISTRY["ann_ivf_auto"] = QuerySpec(
+    # The production K ∝ n coarse quantizer as the oracle-checked
+    # form: k=None derives K = max(KMEANS_K, ceil(n / IVF_TARGET_CELL))
+    # from one count, so inverted-list length — and per-query probe
+    # work — stays constant as the corpus grows; the DuckDB twin
+    # derives the IDENTICAL K from count(*) inside the SQL.  At the
+    # two driver-gate scales the derivation lands on DIFFERENT K
+    # (8 at sf0.01, 16 at sf0.1), hash-checking the knob itself.
+    # The fixed-K `ann_ivf_search` twin stays registered for
+    # determinism history (same class as semdedup vs semdedup_auto).
+    lambda spark, sf_dir: S.ann_ivf_search(load_tables(spark, sf_dir), k=None),
+    _ivf_oracle(auto_k=True),
+    ("similarity", "ivf", "iterative", "auto-k"),
 )
 
 

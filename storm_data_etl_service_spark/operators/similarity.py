@@ -235,6 +235,22 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 IVF_NPROBE = 2
 
+#: auto-K holds expected IVF cell population near this, so per-query
+#: probe work stays IVF_NPROBE · target instead of IVF_NPROBE · n/K
+#: growing linearly with the corpus.  128 is small enough that the
+#: two driver-gate scales derive DIFFERENT cell counts (sf0.01 →
+#: K=8 floor, sf0.1 → K=16), hash-checking the derivation itself.
+IVF_TARGET_CELL = 128
+
+
+def ivf_auto_k(n_vectors: int, target_cell: int = IVF_TARGET_CELL) -> int:
+    """K ∝ n for the IVF coarse quantizer, floored at the fixed
+    KMEANS_K — the semdedup_auto_k rule transposed to IVF: constant K
+    makes every inverted list grow ∝ n (per-query candidate scan
+    degenerates toward brute force); K = ⌈n / target⌉ holds list
+    length — and per-query work — constant."""
+    return max(KMEANS_K, -(-n_vectors // target_cell))
+
 
 def _l2sq(a: Column, b: Column) -> Column:
     """Squared L2 distance as a sequential left fold (bit-equal to the
@@ -310,7 +326,7 @@ def kmeans_centroids(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITER
     return cent
 
 
-def ann_ivf_search(t) -> DataFrame:
+def ann_ivf_search(t, k: int | None = KMEANS_K) -> DataFrame:
     """IVF approximate nearest neighbour: k-means cells + nprobe-cell
     probing.
 
@@ -320,9 +336,20 @@ def ann_ivf_search(t) -> DataFrame:
     the K-row centroid table, a shuffle on cid, and a per-query top-k,
     scanning ~nprobe/K of the corpus instead of all of it.  Recall vs
     the exact scan is asserted in tests; the oracle reproduces the
-    whole pipeline (model included) bit-for-bit."""
+    whole pipeline (model included) bit-for-bit.
+
+    ``k=None`` (the ``ann_ivf_auto`` registry form) derives the cell
+    count from one cheap count via ``ivf_auto_k`` so inverted-list
+    length stays near IVF_TARGET_CELL as n grows — with the fixed
+    KMEANS_K=8 of the determinism-history twin, every list grows ∝ n
+    and per-query candidate work with it (the pinned-parameter scale
+    class that auto-width LSH and auto-K semdedup already left).  The
+    DuckDB oracle derives the IDENTICAL K from count(*) (the Lloyd
+    unroll is K-agnostic past the seed CTE)."""
     emb = t["embeddings"].select("vec_id", _vec(F.col("embedding")).alias("v"))
-    cent = kmeans_centroids(emb)
+    if k is None:
+        k = ivf_auto_k(emb.count())
+    cent = kmeans_centroids(emb, k=k)
     assigned = _assign_cells(emb, cent)
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")

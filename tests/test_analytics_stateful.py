@@ -142,6 +142,30 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
         assert ivf_pairs[k] == exact_pairs[k]
 
 
+def test_ivf_auto_k_recall_and_derivation(spark, sf_dir):
+    """The auto-K IVF form (K = max(KMEANS_K, ceil(n/IVF_TARGET_CELL)))
+    must hold the same recall floor as the fixed-K twin at the derived
+    cell count, and the derivation must match the closed form."""
+    from storm_data_etl_service_spark.operators.similarity import (
+        IVF_TARGET_CELL,
+        KMEANS_K,
+        ivf_auto_k,
+    )
+
+    n = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].count()
+    k = ivf_auto_k(n)
+    assert k == max(KMEANS_K, -(-n // IVF_TARGET_CELL))
+    exact = run("ann_cosine_topk", spark, sf_dir).collect()
+    auto = run("ann_ivf_auto", spark, sf_dir).collect()
+    exact_pairs = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
+    auto_pairs = {(r["query_id"], r["vec_id"]): r["cosine"] for r in auto}
+    hits = set(exact_pairs) & set(auto_pairs)
+    recall = len(hits) / len(exact_pairs)
+    assert recall >= 0.5, f"auto-K IVF recall {recall:.2f} too low at K={k}"
+    for key in hits:
+        assert auto_pairs[key] == exact_pairs[key]
+
+
 def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
     """PQ/ADC approximates L2 (not cosine): recall is measured against
     the exact L2 top-10 recomputed driver-side.  With an 8^4-cell
