@@ -24,7 +24,15 @@ BOUNDED staged passes over ``CREATE TEMP TABLE`` materializations:
   operation matches Spark bit-for-bit), staged per round instead of
   chained CTEs;
 * the cluster representative is the registry oracle's aggregation
-  tail over the replayed labels.
+  tail over the replayed labels;
+* ``dedup_ladder_report`` — whose registry oracle is exact but OOMs
+  DuckDB when all four rung pipelines sit in ONE query's CTEs (CTE
+  materialization holds every rung's working set at once; measured
+  dead even at an 80 GB limit) — replays with each rung staged into
+  its own ``CREATE TEMP TABLE`` (each rung is feasible solo at sf1.6:
+  the prefix-filtered Jaccard ~8 min, the SemDeDup chain ~4 min, the
+  MinHash pairs and the normalized-hash rung seconds), then runs the
+  registry oracle's own counts-union tail verbatim over the tables.
 
 The result is compared against the Spark output with the same
 row/column/type normalization as ``check_correctness.py`` — so these
@@ -56,6 +64,7 @@ ENTRIES = (
     "neardup_components",
     "pagerank_neardup",
     "neardup_cluster_representative",
+    "dedup_ladder_report",
 )
 
 #: matches graph.connected_components(max_rounds=25): the replay must
@@ -100,6 +109,25 @@ FROM (
       AS total_chars
   FROM members)
 WHERE rk = 1""",
+    # the registry oracle's counts-union tail, verbatim, over the
+    # staged rung tables (pairs == mp: both are _minhash_oracle())
+    "dedup_ladder_report": r"""WITH norm AS (
+  SELECT count(*) AS n FROM (
+    SELECT doc_id FROM (
+      SELECT doc_id,
+        count(*) OVER (PARTITION BY
+          sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n
+      FROM documents) WHERE n > 1)),
+jd AS (SELECT count(*) AS n FROM
+  (SELECT doc_a AS d FROM lad_jp UNION SELECT doc_b FROM lad_jp)),
+md AS (SELECT count(*) AS n FROM
+  (SELECT doc_a AS d FROM pairs UNION SELECT doc_b FROM pairs)),
+ed AS (SELECT count(*) AS n FROM
+  (SELECT id_a AS d FROM lad_ep UNION SELECT id_b FROM lad_ep))
+SELECT '1_exact_normalized' AS rung, n AS n_docs_flagged FROM norm
+UNION ALL SELECT '2_ngram_jaccard', n FROM jd
+UNION ALL SELECT '3_minhash_lsh', n FROM md
+UNION ALL SELECT '4_semdedup_cosine', n FROM ed""",
 }
 
 
@@ -148,6 +176,24 @@ def _replay_components(con) -> None:
     )
 
 
+def _stage_ladder_rungs(con) -> None:
+    """Materialize rung 2 (prefix-filtered Jaccard pairs) and rung 4
+    (SemDeDup within-cell cosine pairs) as their own temp tables; rung
+    3's pair table (``pairs``) is already built by
+    ``_build_graph_tables`` from the identical ``_minhash_oracle()``
+    SQL, and rung 1 is a cheap inline aggregate in the tail."""
+    from storm_data_etl_service_spark.operators.registry import (
+        REGISTRY,
+        _semdedup_pairs_oracle,
+    )
+
+    con.execute(
+        "CREATE TEMP TABLE lad_jp AS "
+        + REGISTRY["dedup_ngram_jaccard"].oracle
+    )
+    con.execute("CREATE TEMP TABLE lad_ep AS " + _semdedup_pairs_oracle())
+
+
 def _replay_pagerank(con) -> None:
     con.execute(
         """CREATE TEMP TABLE r0 AS
@@ -194,6 +240,8 @@ def main() -> int:
         _replay_components(con)
     if "pagerank_neardup" in only:
         _replay_pagerank(con)
+    if "dedup_ladder_report" in only:
+        _stage_ladder_rungs(con)
 
     failures = []
     for name in only:

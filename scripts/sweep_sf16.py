@@ -27,39 +27,39 @@ SF_DIR = "/tmp/spark_graft_scale/sf1.6"
 
 #: oracle-side infeasible at sf1.6 density (reason in parentheses).
 #: History: 23 (r3) → 12 (r4, each reason measured via CTAS
-#: materialization so DuckDB cannot projection-prune) → 8 (r5):
-#: the components/pagerank/representative recursion blockers moved to
-#: REPLAY below (exact staged-fixpoint oracles, not exclusions), and
-#: neardup_source_overlap's ">40 min" reason was re-measured at 3.9 s
-#: (it predated the fast prefix-filtered MinHash pair SQL) so it
-#: rejoins the normal sweep.  What remains is genuinely output-bound
-#: (wedge enumeration at 13.9M-pair density) or quadratic by
-#: definition.
+#: materialization so DuckDB cannot projection-prune) → 8 → 6 (r5):
+#: the components/pagerank/representative recursion blockers AND the
+#: composed ladder moved to REPLAY below (exact staged oracles, not
+#: exclusions); neardup_source_overlap's ">40 min" reason was
+#: re-measured at 3.9 s (it predated the fast prefix-filtered MinHash
+#: pair SQL) so it rejoins the normal sweep; and
+#: fuzzy_neardup_distance's oracle was rewritten on the prefix-
+#: filtered PPJoin candidate SQL (provably identical output — pinned
+#: in tests/test_training_ops.py::test_fuzzy_oracle_prefix_matches_
+#: naive) so it rejoins as a HEAVY entry.  What remains is genuinely
+#: output-bound (wedge enumeration at 13.9M-pair density) or
+#: quadratic by definition.
 EXCLUDE = {
     "neardup_components_sql": "SPARK-side UNION ALL walk explosion at this density (documented); the DataFrame twin is replay-checked below",
     "neardup_triangle_count": "wedge-join census oracle: >50 GB spill at 13.9M-pair density",
     "neardup_triangle_estimate": "same wedge join on the kept quarter of the pair graph",
     "triangle_stats": "dispatcher oracle embeds the same wedge join (measured >51 GB spill)",
     "minhash_accuracy_report": "exact pairwise Jaccard ground truth is df² BY DEFINITION",
-    "dedup_ladder_report": (
-        "the composed 4-rung oracle OOMs DuckDB even solo at an 80 GB"
-        " memory limit (measured) — every RUNG is individually"
-        " oracle-checked at sf1.6 (exact, prefix-Jaccard, MinHash,"
-        " semdedup chain), so only the counts-union composition is"
-        " unverified at this density"
-    ),
-    "fuzzy_neardup_distance": "pairwise Levenshtein oracle (labeled quadratic baseline)",
     "embedding_near_dup": "n²/2 cosine oracle, 0.5B pairs (labeled quadratic baseline)",
 }
 
 #: checked by scripts/invariant_check.py instead of the registry
-#: oracle: the EXACT fixpoint replayed as bounded staged passes
-#: (recursive-CTE transitive closure is the only thing infeasible at
-#: sf1.6 — the per-round joins are O(E) and cheap).
+#: oracle — each an EXACT replay with the blocking structure staged
+#: into bounded temp-table passes: the graph fixpoints round-by-round
+#: (recursive-CTE transitive closure is the only infeasible part —
+#: the per-round joins are O(E) and cheap), the composed ladder rung
+#: by rung (the one-query CTE composition OOMs at 80 GB; every rung
+#: is feasible solo).
 REPLAY = [
     "neardup_components",
     "pagerank_neardup",
     "neardup_cluster_representative",
+    "dedup_ladder_report",
 ]
 
 #: feasible but minutes-long oracles (measured at sf1.6: prefix-Jaccard
@@ -79,6 +79,9 @@ HEAVY = {
     # K ∝ n coarse quantizer: the oracle's unrolled Lloyd assigns
     # n × K distances per round (K≈250 at sf1.6 vs 8 fixed)
     "ann_ivf_auto",
+    # prefix-filtered candidate SQL + Levenshtein tail (same candidate
+    # CTEs as the Jaccard prefix join — minutes, not df²)
+    "fuzzy_neardup_distance",
 }
 
 
@@ -95,7 +98,13 @@ def main() -> int:
     chunks = [("check_correctness.py", light[i : i + 18]) for i in range(0, len(light), 18)]
     chunks += [("check_correctness.py", [n]) for n in heavy]
     # the staged-fixpoint replay entries share one Spark/pair build
-    chunks += [("invariant_check.py", REPLAY)]
+    # graph trio shares one pair-graph build; the ladder's rung
+    # staging (~12 min of DuckDB alone) gets its own chunk so a shared
+    # timeout cannot starve either
+    chunks += [
+        ("invariant_check.py", [n for n in REPLAY if n != "dedup_ladder_report"]),
+        ("invariant_check.py", ["dedup_ladder_report"]),
+    ]
     ok, fail, timed_out = [], [], []
     for ci, (script, chunk) in enumerate(chunks):
         print(f"chunk {ci + 1}/{len(chunks)}: {chunk[0]}..{chunk[-1]}", flush=True)

@@ -1094,18 +1094,33 @@ SELECT count(*) AS n_users, count(fc) AS n_clicked,
     ),
     "fuzzy_neardup_distance": QuerySpec(
         _t(A.fuzzy_neardup_distance),
-        f"""WITH {_TOKS_CTE},
-ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
-counts AS (SELECT doc_id, len(shingles) AS ns FROM shf),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
+        # Candidate pairs via the SAME prefix-filtered PPJoin SQL as
+        # the dedup_jaccard_prefix_join oracle (provably identical to
+        # the naive df² shingle self-join — the equivalence test in
+        # tests/test_training_ops.py covers the shared pair CTEs, and
+        # test_fuzzy_oracle_prefix_matches_naive pins this query's
+        # full output) — this keeps the oracle feasible at sf1.6
+        # density, where the old common-shingle self-join was the
+        # measured blocker, while the Levenshtein tail stays
+        # O(candidates) in both engines.
+        f"""WITH {_PPJOIN_RANK_CTES},
+pre AS (
+  SELECT doc_id, len(ordered) AS ns,
+    unnest(ordered[1 : len(ordered) - (4 * len(ordered) + 4) // 5 + 1]) AS s
+  FROM ranked),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pre a JOIN pre b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+   AND 4 * greatest(a.ns, b.ns) <= 5 * least(a.ns, b.ns)),
 pairs AS (
-  SELECT doc_a, doc_b FROM common
-  JOIN (SELECT doc_id AS doc_a, ns AS na FROM counts) USING (doc_a)
-  JOIN (SELECT doc_id AS doc_b, ns AS nb FROM counts) USING (doc_b)
-  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.8)
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN shf sa ON sa.doc_id = doc_a
+  JOIN shf sb ON sb.doc_id = doc_b
+  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))) >= 0.8)
 SELECT doc_a, doc_b,
   levenshtein(
     (SELECT substr(text, 1, 40) FROM documents d WHERE d.doc_id = doc_a),
@@ -1615,14 +1630,19 @@ def _ivf_oracle(auto_k: bool = False) -> str:
     """The whole IVF pipeline — seeded k-means (fixed rounds, ordered
     double folds), cell assignment, nprobe probing, per-query top-k —
     unrolled into one DuckDB CTE chain, bit-equal to the Spark side.
-    ``auto_k=True`` derives the seed count K = max(KMEANS_K,
-    ⌈n / IVF_TARGET_CELL⌉) from count(*) inside the SQL — the same
-    closed form as similarity.ivf_auto_k (exact: IVF_TARGET_CELL is a
-    power of two, so the division and ceil never straddle an ulp)."""
+    ``auto_k=True`` derives the balanced cell count K = max(KMEANS_K,
+    min(⌈√(nprobe · n)⌉, n // IVF_MIN_CELL)) and the Lloyd training
+    sample size min(n, IVF_TRAIN_PER_CELL · K) from count(*) inside
+    the SQL — the same closed forms as similarity.ivf_auto_k (nprobe·n
+    is integer-exact in a double and both engines use correctly-
+    rounded IEEE sqrt, so the ceil never straddles an ulp), with
+    training rounds assigning only the sample and the final pass
+    assigning the full corpus, exactly like the Spark side."""
     from storm_data_etl_service_spark.operators.similarity import (
         EMBEDDING_DIM,
+        IVF_MIN_CELL,
         IVF_NPROBE,
-        IVF_TARGET_CELL,
+        IVF_TRAIN_PER_CELL,
         KMEANS_ITERS,
         KMEANS_K,
         N_QUERIES,
@@ -1637,12 +1657,12 @@ def _ivf_oracle(auto_k: bool = False) -> str:
             f" i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])), (x,y) -> x+y)"
         )
 
-    def assign(cent: str) -> str:
+    def assign(cent: str, src: str = "e") -> str:
         return f"""SELECT vec_id, v, cid FROM (
   SELECT e.vec_id, e.v, c.cid,
     row_number() OVER (PARTITION BY e.vec_id
                        ORDER BY {l2('e.v', 'c.cv')}, c.cid) AS rk
-  FROM e, {cent} c) WHERE rk = 1"""
+  FROM {src} e, {cent} c) WHERE rk = 1"""
 
     def update(best: str) -> str:
         return f"""SELECT cid, list(m ORDER BY pos) AS cv FROM (
@@ -1653,20 +1673,30 @@ def _ivf_oracle(auto_k: bool = False) -> str:
   GROUP BY cid, pos) GROUP BY cid"""
 
     ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    train_src = "e"
     if auto_k:
         ctes += [
-            f"kq AS (SELECT greatest({KMEANS_K}, cast(ceil(count(*)"
-            f" / {IVF_TARGET_CELL}.0) AS BIGINT)) AS k FROM e)",
+            f"kq AS (SELECT greatest({KMEANS_K}, least("
+            f"cast(ceil(sqrt({IVF_NPROBE}.0 * count(*))) AS BIGINT),"
+            f" count(*) // {IVF_MIN_CELL})) AS k,"
+            f" least(count(*), {IVF_TRAIN_PER_CELL} * greatest({KMEANS_K},"
+            f" least(cast(ceil(sqrt({IVF_NPROBE}.0 * count(*))) AS BIGINT),"
+            f" count(*) // {IVF_MIN_CELL}))) AS s FROM e)",
+            # deterministic train sample: the s lowest vec_ids
+            "tr AS (SELECT vec_id, v FROM ("
+            "SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn"
+            " FROM e), kq WHERE rn <= s)",
             "c0 AS (SELECT cast(vec_id AS INTEGER) AS cid, v AS cv"
-            " FROM e, kq WHERE vec_id < k)",
+            " FROM tr, kq WHERE vec_id < k)",
         ]
+        train_src = "tr"
     else:
         ctes.append(
             f"c0 AS (SELECT cast(vec_id AS INTEGER) AS cid, v AS cv FROM e"
             f" WHERE vec_id < {KMEANS_K})"
         )
     for i in range(KMEANS_ITERS):
-        ctes.append(f"a{i} AS ({assign(f'c{i}')})")
+        ctes.append(f"a{i} AS ({assign(f'c{i}', train_src)})")
         ctes.append(f"c{i + 1} AS ({update(f'a{i}')})")
     final_c = f"c{KMEANS_ITERS}"
     ctes += [
@@ -1695,15 +1725,19 @@ REGISTRY["ann_ivf_search"] = QuerySpec(
 )
 
 REGISTRY["ann_ivf_auto"] = QuerySpec(
-    # The production K ∝ n coarse quantizer as the oracle-checked
-    # form: k=None derives K = max(KMEANS_K, ceil(n / IVF_TARGET_CELL))
-    # from one count, so inverted-list length — and per-query probe
-    # work — stays constant as the corpus grows; the DuckDB twin
-    # derives the IDENTICAL K from count(*) inside the SQL.  At the
-    # two driver-gate scales the derivation lands on DIFFERENT K
-    # (8 at sf0.01, 16 at sf0.1), hash-checking the knob itself.
-    # The fixed-K `ann_ivf_search` twin stays registered for
-    # determinism history (same class as semdedup vs semdedup_auto).
+    # The production balanced coarse quantizer as the oracle-checked
+    # form: k=None derives K = max(KMEANS_K, min(⌈√(nprobe · n)⌉,
+    # n // IVF_MIN_CELL)) — equalizing per-query probe work (K) with
+    # per-query list-scan work (nprobe · n/K) so both stay Θ(√n); a
+    # fixed K lets lists grow ∝ n and a K ∝ n rule moves the same
+    # linearity into the probe.  Lloyd trains on the min(n, 32·K)
+    # lowest-vec_id sample (one full-corpus pass only at the final
+    # assignment); the DuckDB twin derives the IDENTICAL K and sample
+    # from count(*) inside the SQL.  At the two driver-gate scales the
+    # derivation lands on DIFFERENT (K, sample) operating points,
+    # hash-checking the knob itself.  The fixed-K `ann_ivf_search`
+    # twin stays registered for determinism history (same class as
+    # semdedup vs semdedup_auto).
     lambda spark, sf_dir: S.ann_ivf_search(load_tables(spark, sf_dir), k=None),
     _ivf_oracle(auto_k=True),
     ("similarity", "ivf", "iterative", "auto-k"),
@@ -4162,14 +4196,17 @@ SELECT source, sample_rank, doc_id FROM ranked WHERE sample_rank <= 10""",
 
 _PRIORITY_WINDOW = [
     # --- round-5 rotation: the r4 verdict asked for a window drawn
-    # from the 108 entries never driver-gated in r1-r4; 49 below have
-    # no row in any CORRECTNESS_r0{1..4}.json.  The one holdover is
-    # ann_lsh_search, whose registered form changed this round
-    # (auto-width promotion) — its never-gated twin ann_lsh_buckets
-    # is in the new set.  Everything rotated out stays swept by
+    # from the entries never driver-gated in r1-r4; ALL 50 below have
+    # no row in any CORRECTNESS_r0{1..4}.json (never-checked count
+    # 109 → 59).  ann_lsh_search — whose registered form changed this
+    # round (auto-width promotion) — is NOT re-gated here because a
+    # holdover would cost a rotation slot; its never-gated twin
+    # ann_lsh_buckets (same auto-width derivation) IS in the set, and
+    # the changed form is value-checked at sf0.01 AND sf0.1 by
+    # CORRECTNESS_FULL.  Everything rotated out stays swept by
     # CORRECTNESS_FULL at 4 configs + 3 SFs. ---
-    # the changed-this-round ANN pair
-    "ann_lsh_search", "ann_lsh_buckets", "ann_cosine_topk",
+    # the auto-width ANN family (buckets twin + new K ∝ n IVF form)
+    "ann_lsh_buckets", "ann_ivf_auto", "ann_cosine_topk",
     # the TPC-H analytical suite (every member never driver-gated)
     "tpch_q4_priority_semijoin", "tpch_q5_regional_revenue",
     "tpch_q6_forecast_revenue", "tpch_q6_shared_sql",

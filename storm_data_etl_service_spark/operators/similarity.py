@@ -235,21 +235,29 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 IVF_NPROBE = 2
 
-#: auto-K holds expected IVF cell population near this, so per-query
-#: probe work stays IVF_NPROBE · target instead of IVF_NPROBE · n/K
-#: growing linearly with the corpus.  128 is small enough that the
-#: two driver-gate scales derive DIFFERENT cell counts (sf0.01 →
-#: K=8 floor, sf0.1 → K=16), hash-checking the derivation itself.
-IVF_TARGET_CELL = 128
+#: Minimum inverted-list occupancy for the auto-K rule: caps K at
+#: n / 32 so small corpora keep statistically-meaningful cells (and
+#: the fixed recall floor) instead of ~√n singleton cells.
+IVF_MIN_CELL = 32
 
 
-def ivf_auto_k(n_vectors: int, target_cell: int = IVF_TARGET_CELL) -> int:
-    """K ∝ n for the IVF coarse quantizer, floored at the fixed
-    KMEANS_K — the semdedup_auto_k rule transposed to IVF: constant K
-    makes every inverted list grow ∝ n (per-query candidate scan
-    degenerates toward brute force); K = ⌈n / target⌉ holds list
-    length — and per-query work — constant."""
-    return max(KMEANS_K, -(-n_vectors // target_cell))
+def ivf_auto_k(
+    n_vectors: int, nprobe: int = IVF_NPROBE, min_cell: int = IVF_MIN_CELL
+) -> int:
+    """Balanced K for the IVF coarse quantizer, floored at the fixed
+    KMEANS_K.  Per-query work is K centroid distances (the probe) plus
+    nprobe · n/K candidate distances (the scan); K = ⌈√(nprobe · n)⌉
+    equalizes the two terms so BOTH stay Θ(√n) — a constant K lets the
+    lists grow ∝ n, while K ∝ n (the rule this one replaced) merely
+    moves the linearity into the centroid probe.  The min-cell clamp
+    keeps lists ≥ ~32 vectors at small n.  Float path is ulp-stable
+    across engines: nprobe · n is integer-exact in a double and both
+    Spark and DuckDB use correctly-rounded IEEE sqrt, so the DuckDB
+    oracle's closed form derives the identical K."""
+    import math
+
+    balanced = math.ceil(math.sqrt(float(nprobe) * n_vectors))
+    return max(KMEANS_K, min(balanced, n_vectors // min_cell))
 
 
 def _l2sq(a: Column, b: Column) -> Column:
@@ -312,17 +320,38 @@ def _update_centroids(best: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_centroids(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> DataFrame:
+#: Training-sample budget per centroid for the auto-K form: Lloyd
+#: rounds see min(n, 32·K) vectors, not the corpus (the FAISS
+#: train-on-a-sample recipe) — keeps training cost Θ(K²) per round
+#: while the single full-corpus assignment pass stays the only
+#: n-proportional stage of the index build.
+IVF_TRAIN_PER_CELL = 32
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    train_n: int | None = None,
+) -> DataFrame:
     """Deterministic Lloyd k-means: centroids seeded from the k lowest
     vec_ids, a FIXED number of assign/update rounds (no convergence
     randomness), exact decimal means.  Each round is one broadcast
     crossJoin + one argmin window + one grouped mean — all
-    partition-parallel; rounds don't grow the plan (localCheckpoint)."""
-    cent = emb.filter(F.col("vec_id") < k).select(
+    partition-parallel; rounds don't grow the plan (localCheckpoint).
+
+    ``train_n`` bounds the Lloyd rounds to the train_n lowest-vec_id
+    vectors (deterministic sample; a TakeOrdered, never a full sort) —
+    the scale path for K ∝ √n cell counts, where full-corpus rounds
+    would cost iters · n · K."""
+    train = emb
+    if train_n is not None:
+        train = emb.orderBy("vec_id").limit(train_n)
+    cent = train.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
     )
     for _ in range(iters):
-        cent = _update_centroids(_assign_cells(emb, cent)).localCheckpoint()
+        cent = _update_centroids(_assign_cells(train, cent)).localCheckpoint()
     return cent
 
 
@@ -338,18 +367,25 @@ def ann_ivf_search(t, k: int | None = KMEANS_K) -> DataFrame:
     the exact scan is asserted in tests; the oracle reproduces the
     whole pipeline (model included) bit-for-bit.
 
-    ``k=None`` (the ``ann_ivf_auto`` registry form) derives the cell
-    count from one cheap count via ``ivf_auto_k`` so inverted-list
-    length stays near IVF_TARGET_CELL as n grows — with the fixed
-    KMEANS_K=8 of the determinism-history twin, every list grows ∝ n
-    and per-query candidate work with it (the pinned-parameter scale
-    class that auto-width LSH and auto-K semdedup already left).  The
-    DuckDB oracle derives the IDENTICAL K from count(*) (the Lloyd
-    unroll is K-agnostic past the seed CTE)."""
+    ``k=None`` (the ``ann_ivf_auto`` registry form) derives a BALANCED
+    cell count from one cheap count via ``ivf_auto_k``: K = ⌈√(nprobe
+    · n)⌉ equalizes the per-query centroid probe (K distances) with
+    the per-query list scan (nprobe · n/K distances), holding both at
+    Θ(√n) — a fixed K (the KMEANS_K=8 determinism-history twin) lets
+    lists grow ∝ n, and a K ∝ n rule just moves the linearity into
+    the probe.  Lloyd rounds train on the min(n, 32·K)-vector
+    deterministic sample (``IVF_TRAIN_PER_CELL``), so build cost is
+    one full-corpus assignment pass plus Θ(K²)-per-round training —
+    the FAISS recipe.  The DuckDB oracle derives the IDENTICAL K and
+    sample from count(*) (the Lloyd unroll is K-agnostic past the
+    seed and sample CTEs)."""
     emb = t["embeddings"].select("vec_id", _vec(F.col("embedding")).alias("v"))
+    train_n = None
     if k is None:
-        k = ivf_auto_k(emb.count())
-    cent = kmeans_centroids(emb, k=k)
+        n = emb.count()
+        k = ivf_auto_k(n)
+        train_n = min(n, IVF_TRAIN_PER_CELL * k)
+    cent = kmeans_centroids(emb, k=k, train_n=train_n)
     assigned = _assign_cells(emb, cent)
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")

@@ -143,18 +143,25 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
 
 
 def test_ivf_auto_k_recall_and_derivation(spark, sf_dir):
-    """The auto-K IVF form (K = max(KMEANS_K, ceil(n/IVF_TARGET_CELL)))
-    must hold the same recall floor as the fixed-K twin at the derived
-    cell count, and the derivation must match the closed form."""
+    """The auto-K IVF form (balanced K = max(KMEANS_K, min(⌈√(nprobe ·
+    n)⌉, n // IVF_MIN_CELL)), sample-trained Lloyd) must hold the same
+    recall floor as the fixed-K twin at the derived cell count, and
+    the derivation must match the closed form."""
+    import math
+
     from storm_data_etl_service_spark.operators.similarity import (
-        IVF_TARGET_CELL,
+        IVF_MIN_CELL,
+        IVF_NPROBE,
         KMEANS_K,
         ivf_auto_k,
     )
 
     n = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].count()
     k = ivf_auto_k(n)
-    assert k == max(KMEANS_K, -(-n // IVF_TARGET_CELL))
+    assert k == max(
+        KMEANS_K,
+        min(math.ceil(math.sqrt(IVF_NPROBE * n)), n // IVF_MIN_CELL),
+    )
     exact = run("ann_cosine_topk", spark, sf_dir).collect()
     auto = run("ann_ivf_auto", spark, sf_dir).collect()
     exact_pairs = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}

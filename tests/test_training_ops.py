@@ -376,6 +376,50 @@ SELECT * FROM directed WHERE containment >= 0.9"""
     assert pruned_c == naive_c
 
 
+def test_fuzzy_oracle_prefix_matches_naive(sf_dir):
+    """fuzzy_neardup_distance's REGISTERED oracle derives its candidate
+    pairs with the prefix-filtered PPJoin SQL (feasible at sf1.6) —
+    its full output must equal the old naive form (common-shingle df²
+    self-join, the measured sf1.6 blocker) with the identical
+    Levenshtein tail."""
+    import duckdb
+
+    from storm_data_etl_service_spark.operators.registry import (
+        REGISTRY,
+        _TOKS_CTE,
+    )
+
+    naive = f"""WITH {_TOKS_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+counts AS (SELECT doc_id, len(shingles) AS ns FROM shf),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN (SELECT doc_id AS doc_a, ns AS na FROM counts) USING (doc_a)
+  JOIN (SELECT doc_id AS doc_b, ns AS nb FROM counts) USING (doc_b)
+  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.8)
+SELECT doc_a, doc_b,
+  levenshtein(
+    (SELECT substr(text, 1, 40) FROM documents d WHERE d.doc_id = doc_a),
+    (SELECT substr(text, 1, 40) FROM documents d WHERE d.doc_id = doc_b)
+  ) AS prefix_edit_distance
+FROM pairs"""
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    naive_rows = sorted(con.execute(naive).fetchall())
+    registered_rows = sorted(
+        con.execute(REGISTRY["fuzzy_neardup_distance"].oracle).fetchall()
+    )
+    assert naive_rows, "fixture should contain planted near-dup documents"
+    assert registered_rows == naive_rows
+
+
 def test_prefix_join_prunes_candidate_pairs(spark, sf_dir):
     """The prefix candidate join must generate strictly fewer pairs
     than the all-shingles self-join — the point of the technique
