@@ -228,7 +228,8 @@ FLAG_NOTES = {
         "on a corpus whose pair density is itself inflated — "
         "output-bound, like the dedup rungs it gates.  Same-branch "
         "measurements: census at BOTH points on the natural corpus "
-        "(triangle_stats natural exp {census_nat_exp}) and DOULION at "
+        "(triangle_stats natural exp {census_nat_exp}; branch column "
+        "probed = exact_census at both) and DOULION at "
         "both points on the shuffled corpus (neardup_triangle_estimate "
         "exp {doulion_shuf_exp})."
     ),
