@@ -517,3 +517,27 @@ def test_global_rankings_are_distributed(spark, sf_dir):
                 # the 10-row decile rollup feeding a cumulative window
                 or "HashAggregate(keys=[decile" in head
             ), f"{q} has a data-sized single-partition exchange:\n{seg[:800]}"
+
+
+def test_dedup_family_reuses_staging_exchange(spark, sf_dir):
+    """The shingle/signature staging relations deliberately end in an
+    exchange (``_ranked_shingles``'s groupBy; the explicit
+    ``repartition(band, key)`` before the LSH self-join): every
+    re-reference of the staging relation must then compile to a
+    ReusedExchange — ONE evaluation of the tokenize/shingle/signature
+    map work per query, however many consumers the plan has.  AQE only
+    marks reuse when it materializes stages, so execute first and
+    inspect the finalized adaptive plan."""
+    for q, min_reuse in [
+        ("dedup_minhash_lsh", 1),          # self-join's second side
+        ("dedup_jaccard_prefix_join", 3),  # prefix b-side + ha + hb
+        ("dedup_containment", 3),          # super side + ha + hb
+        ("dedup_incremental_minhash", 1),  # batch probe side
+    ]:
+        df = REGISTRY[q].build(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("isFinalPlan=true") >= 1, plan[:500]
+        assert plan.count("ReusedExchange") >= min_reuse, (
+            f"{q} lost its staging-exchange reuse:\n{plan[:3000]}"
+        )
