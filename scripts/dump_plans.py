@@ -40,8 +40,10 @@ ANNOTATED = {
     ),
     "dedup_minhash_lsh": (
         "Map-only signatures (one sha256 per shingle + integer "
-        "permutations) → explode to (band, key) → the single shuffle is "
-        "the band-bucket self-join. This is the near-dup scale path."
+        "permutations) → explode to (band, key) → one explicit "
+        "repartition on (band, key) that BOTH self-join sides consume "
+        "(the second as a ReusedExchange, so the signature map work "
+        "runs once). This is the near-dup scale path."
     ),
     "session_window_agg": (
         "Session windows: one shuffle on user_id with an in-shuffle sort; "
@@ -126,7 +128,10 @@ ANNOTATED = {
         "directed integer-exact size gate, so the df² blowup of the "
         "naive all-shingles self-join lives exactly in the shingles "
         "the prefix excludes; exact array_intersect verification runs "
-        "only on surviving candidate pairs. 100% recall, no knobs."
+        "only on surviving candidate pairs. 100% recall, no knobs. "
+        "Prefix, super side, and verification arrays all derive from "
+        "ONE ranked-shingles exchange (ReusedExchange), so the "
+        "tokenize/shingle map work is evaluated once per query."
     ),
     "duplicated_span_report": (
         "Rolling 10-token windows built as a zip of 10 shifted array "
@@ -201,7 +206,9 @@ ANNOTATED = {
         "The band-key index builds map-only (signature + explode), the new "
         "batch filters via the broadcast 1-row split threshold, and the only "
         "pair work is the band-bucket equi-join against the batch — corpus "
-        "cost is index scan, not re-pairing."
+        "cost is index scan, not re-pairing. The index is explicitly "
+        "repartitioned on (band, key) before the split so the batch "
+        "probe side reuses the same exchange (one signature pass)."
     ),
     "embedding_quantize_int8": (
         "posexplode → tiny groupBy(dim) for scales → broadcast back across "

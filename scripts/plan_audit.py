@@ -101,6 +101,43 @@ BNLJ_JUSTIFIED = {
 }
 
 
+def final_shuffles(df) -> dict:
+    """Execution-reality counters (exchanges actually computed, reused
+    references, join operators that actually ran) from the FINALIZED
+    adaptive plan.  The pre-execution plan string counts an
+    exchange once per plan OCCURRENCE, so a staging relation shared by
+    k consumers (the dedup family's deliberate exchange-reuse design)
+    inflates the count k× even though AQE materializes the shuffle
+    once and wires the other k-1 in as ReusedExchange.  Executing the
+    query and counting net-of-reuse is the honest network-cost metric;
+    the string count stays in the profile as `shuffles_plan_refs`."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # an executed AdaptiveSparkPlan prints BOTH "== Final Plan ==" and
+    # "== Initial Plan ==" sections — keep only the final one, or every
+    # node is double-counted.
+    plan = plan.split("== Initial Plan ==")[0]
+    # a ReusedExchange line embeds the ORIGINAL node's description
+    # ("ReusedExchange [...], Exchange hashpartitioning(...)"), so the
+    # raw regex counts it as a computed shuffle — subtract exactly the
+    # shuffle-kind reuses (broadcast reuses never matched the regex).
+    total = len(re.findall(r"Exchange (?:hash|range|Single)", plan))
+    reused_shuffle = len(
+        re.findall(r"ReusedExchange \[[^\]]*\], Exchange (?:hash|range|Single)", plan)
+    )
+    reused_all = plan.count("ReusedExchange")
+    return {
+        "shuffles": total - reused_shuffle,
+        "reused_exchanges": reused_all,
+        # join operators the finalized plan actually ran (AQE converts
+        # SMJ→BHJ at runtime when a side turns out small, so the
+        # pre-execution counts overstate sort-merge work)
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
+    }
+
+
 def profile(plan: str) -> dict:
     return {
         "shuffles": len(re.findall(r"Exchange (?:hash|range|Single)", plan)),
@@ -139,6 +176,8 @@ def main() -> int:
         df = spec.build(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         p = profile(plan)
+        p["shuffles_plan_refs"] = p["shuffles"]
+        p.update(final_shuffles(df))
         flags = []
         if p["cartesian"]:
             flags.append("CARTESIAN")
@@ -192,7 +231,14 @@ def main() -> int:
         f"| Arrow-batched boundaries (whitelisted kernels) | {len(totals['arrow_boundary_queries'])} |",
         f"| BNLJ occurrences (all 1-row-broadcast justified) | {sum(v['bnlj'] for v in rows.values())} |",
         f"| zero-shuffle (map-only) queries | {totals['zero_shuffle_queries']} |",
-        f"| max shuffle exchanges in any plan | {totals['max_shuffles']} |",
+        f"| max shuffle exchanges computed in any plan | {totals['max_shuffles']} |",
+        f"| exchanges saved by AQE reuse (total) | {sum(v.get('reused_exchanges', 0) for v in rows.values())} |",
+        "",
+        "Shuffle counts are from the FINALIZED adaptive plan, net of",
+        "`ReusedExchange`: a staging relation shared by k consumers is",
+        "counted once (it is computed once), not k times as in the raw",
+        "plan string (`shuffles_plan_refs` in the JSON keeps the",
+        "per-occurrence count).",
         "",
         "## Shuffle-heaviest plans",
         "",
@@ -200,11 +246,14 @@ def main() -> int:
         "multi-level-aggregate shapes — but they are where a 100 TB run",
         "spends its network budget, so each is annotated in PLANS.md.",
         "",
-        "| query | shuffles | broadcast joins | sort-merge joins |",
-        "|---|---|---|---|",
+        "| query | shuffles computed | reused refs | broadcast joins | sort-merge joins |",
+        "|---|---|---|---|---|",
     ]
     for k, v in heavy:
-        md.append(f"| {k} | {v['shuffles']} | {v['broadcast_joins']} | {v['sort_merge_joins']} |")
+        md.append(
+            f"| {k} | {v['shuffles']} | {v.get('reused_exchanges', 0)} "
+            f"| {v['broadcast_joins']} | {v['sort_merge_joins']} |"
+        )
     md += [
         "",
         "## BroadcastNestedLoopJoin justifications",
