@@ -533,6 +533,10 @@ def test_dedup_family_reuses_staging_exchange(spark, sf_dir):
         ("dedup_jaccard_prefix_join", 3),  # prefix b-side + ha + hb
         ("dedup_containment", 3),          # super side + ha + hb
         ("dedup_incremental_minhash", 1),  # batch probe side
+        ("dedup_ladder_report", 8),        # rungs 2+3 share one ranked
+                                           # exchange (11 reuses at
+                                           # sf0.001; floor leaves AQE
+                                           # broadcast-conversion slack)
     ]:
         df = REGISTRY[q].build(spark, sf_dir)
         df.collect()
