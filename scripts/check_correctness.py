@@ -126,6 +126,44 @@ def normalize_result(col_names, rows):
     return cols, data
 
 
+_NONSCALAR_PREFIXES = ("array<", "map<", "struct<")
+
+
+def nonscalar_columns(spark_dtypes):
+    """Columns whose Spark dtype the grading driver cannot
+    canonicalize.
+
+    The driver sorts the collected result with a pandas
+    ``sort_values`` over every RAW column; a Python-list/dict cell is
+    unhashable in pandas' factorize, so an array/map/struct output
+    column ERRORS the gate before any value comparison (r5:
+    embedding_power_iteration).  The local checker used to tuple-ize
+    list cells and pass — more permissive than the gate it predicts.
+    Registered queries must emit scalar columns only (explode arrays
+    to rows); this rejects offenders up front."""
+    return [
+        name for name, dt in spark_dtypes if dt.startswith(_NONSCALAR_PREFIXES)
+    ]
+
+
+def driver_canon_errors(col_names, rows):
+    """Emulate the driver's canonicalization (pandas ``sort_values``
+    over all raw columns) and return the error string if it crashes,
+    else None.  Belt over the dtype check above: catches unhashable
+    cells that hide behind an opaque dtype."""
+    import pandas as pd
+
+    if not col_names:
+        return None
+    try:
+        pd.DataFrame(rows, columns=list(col_names)).sort_values(
+            by=sorted(col_names)
+        )
+    except Exception as e:  # the driver records the same as err
+        return f"{type(e).__name__}: {e}"
+    return None
+
+
 def main():
     import duckdb
 
@@ -177,6 +215,17 @@ def main():
             continue
         sdf = fn(spark, SF_DIR)
         srows = sdf.collect()
+        bad_cols = nonscalar_columns(sdf.dtypes)
+        canon_err = driver_canon_errors(sdf.columns, [tuple(r) for r in srows])
+        if bad_cols or canon_err:
+            failures.append(name)
+            msg = []
+            if bad_cols:
+                msg.append(f"NONSCALAR output columns {bad_cols}")
+            if canon_err:
+                msg.append(f"DRIVER_CANON {canon_err}")
+            print(f"FAIL {name}: " + " | ".join(msg))
+            continue
         scols, sdata = normalize_result(sdf.columns, [tuple(r) for r in srows])
         if name not in oracles:
             print(f"  {name:32s} rows-only: {len(srows)} rows")

@@ -2178,7 +2178,11 @@ WHERE rk <= 10""",
 
 
 REGISTRY["embedding_label_centroids"] = QuerySpec(
-    _t(S.embedding_label_centroids),
+    # Registered as the exploded (label, pos, value, n_vectors) scalar
+    # shape: the driver's pandas canon cannot sort a list column (the
+    # r5 gate error class).  S.embedding_label_centroids keeps the
+    # array-assembling API for Python callers.
+    _t(S.embedding_label_centroid_dims),
     """WITH ex AS (
   SELECT label, vec_id, i AS pos, cast(embedding[i] AS DOUBLE) AS val
   FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
@@ -2188,8 +2192,9 @@ per_dim AS (
       / (count(*) * 1e9) AS mv,
     count(*) AS cnt
   FROM ex GROUP BY label, pos)
-SELECT label, list(mv ORDER BY pos) AS centroid, max(cnt) AS n_vectors
-FROM per_dim GROUP BY label ORDER BY label""",
+SELECT label, cast(pos - 1 AS INTEGER) AS pos, mv AS value,
+  cnt AS n_vectors
+FROM per_dim""",
     ("similarity", "centroid"),
 )
 
@@ -2841,13 +2846,20 @@ def _power_iteration_oracle() -> str:
     return (
         "WITH "
         + ",\n".join(ctes)
-        + f"\nSELECT {prev}.l AS eigenvector, n{POWER_ITERS}.nrm AS eigenvalue"
-        + f"\nFROM {prev}, n{POWER_ITERS}"
+        + f"""
+SELECT cast(u.i - 1 AS INTEGER) AS pos, {prev}.l[u.i] AS value,
+  n{POWER_ITERS}.nrm AS eigenvalue
+FROM {prev}, n{POWER_ITERS}, unnest(generate_series(1, {n})) AS u(i)"""
     )
 
 
 REGISTRY["embedding_power_iteration"] = QuerySpec(
-    _t(S.embedding_power_iteration),
+    # Registered as the exploded (pos, value, eigenvalue) scalar shape
+    # — EMBEDDING_DIM rows — after the r5 driver gate errored hashing
+    # the array column in its pandas canon.  Same unrolled fixed-point
+    # rounds on both sides; S.embedding_power_iteration keeps the
+    # array-returning API.
+    _t(S.embedding_power_iteration_dims),
     _power_iteration_oracle(),
     ("similarity", "pca", "iterative"),
 )
@@ -4195,48 +4207,46 @@ SELECT source, sample_rank, doc_id FROM ranked WHERE sample_rank <= 10""",
 # --------------------------------------------------------------------------
 
 _PRIORITY_WINDOW = [
-    # --- round-5 rotation: the r4 verdict asked for a window drawn
-    # from the entries never driver-gated in r1-r4; ALL 50 below have
-    # no row in any CORRECTNESS_r0{1..4}.json (never-checked count
-    # 109 → 59).  ann_lsh_search — whose registered form changed this
-    # round (auto-width promotion) — is NOT re-gated here because a
-    # holdover would cost a rotation slot; its never-gated twin
-    # ann_lsh_buckets (same auto-width derivation) IS in the set, and
-    # the changed form is value-checked at sf0.01 AND sf0.1 by
-    # CORRECTNESS_FULL.  Everything rotated out stays swept by
-    # CORRECTNESS_FULL at 4 configs + 3 SFs. ---
-    # the auto-width ANN family (buckets twin + new K ∝ n IVF form)
-    "ann_lsh_buckets", "ann_ivf_auto", "ann_cosine_topk",
-    # the TPC-H analytical suite (every member never driver-gated)
-    "tpch_q4_priority_semijoin", "tpch_q5_regional_revenue",
-    "tpch_q6_forecast_revenue", "tpch_q6_shared_sql",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q9_product_type_profit", "tpch_q10_returned_items",
-    "tpch_q11_important_values", "tpch_q12_priority_by_linestatus",
-    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue", "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_filter", "tpch_q20_excess_shippers",
-    "tpch_q22_idle_customers",
-    # embedding family
-    "embedding_near_dup", "embedding_quantize_int8",
-    "embedding_power_iteration", "nearest_centroid_accuracy",
-    # text-analysis suite
-    "text_stats", "text_token_count", "text_lang_id", "text_fingerprint",
-    "tfidf_top_terms", "bm25_doc_ranking", "bigram_surprisal_scores",
-    "heavy_hitter_bigrams", "cms_token_frequencies", "pii_incidence_report",
-    # dedup rungs without a prior gate row
-    "dedup_containment", "dedup_exact_normalized", "dedup_ngram_jaccard",
-    "duplicated_span_report",
-    # graph: the recursive-SQL components twin
-    "neardup_components_sql",
-    # analytics
-    "weekly_active_users", "cohort_retention", "revenue_pareto_curve",
-    "mad_outlier_stats", "equi_depth_histogram",
-    # training layout / curation
-    "sequence_pack_assign", "per_source_cap_sample",
-    # multimodal + pipe-SQL dialect representatives
-    "video_frame_sample", "q1_group_count_pipe_sql",
+    # --- round-6 rotation (r5 verdict task 3): 48 of the 59 entries
+    # never driver-gated in r1-r5 (never-checked count 59 → 11), plus
+    # the two mandated re-checks: embedding_power_iteration — the r5
+    # gate ERR, re-registered this round with an exploded scalar
+    # output shape — and ann_lsh_search, whose auto-width form
+    # post-dates its r01–r03 gate rows.  The 11 deferred analytics
+    # entries (moving_avg_events, balance_deciles, ratio_to_report,
+    # revenue_mom_growth, grouped_top1_spender, weekly_churn_rate,
+    # segmented_running_total, rfm_segment_counts, seasonality_profile,
+    # hourly_autocorrelation, gini_by_source) stay swept by
+    # CORRECTNESS_FULL at 4 configs + 3 SFs and rotate in next round. ---
+    # this round's two contract fixes / re-registrations first
+    "embedding_power_iteration", "embedding_label_centroids",
+    "ann_lsh_search", "centroid_similarity_matrix",
+    # analytics: windows, sequences, sessions
+    "user_gap_stats", "event_transition_matrix", "linear_interpolate",
+    "correlation_stats", "window_topk_leaderboard",
+    "event_cooccurrence_support", "conversion_latency_quantiles",
+    "markov_prediction_accuracy", "seasonal_anomaly_hours",
+    "cep_click_error_pattern", "user_resequence_pandas",
+    "type_weekday_mutual_information",
+    # scale-pattern operators (skew, merge, layout, estimation)
+    "salted_skew_join", "incremental_agg_merge", "zorder_cluster",
+    "join_skew_report", "join_size_estimate", "approx_quantile_summary",
+    "full_outer_reconcile", "profile_table_stats",
+    "daily_user_sketch_rollup", "jackknife_mean_ci",
+    "distribution_drift_chi2",
+    # text / curation suite
+    "text_repetition_stats", "rare_token_share", "vocab_top_tokens",
+    "boilerplate_prefix_report", "langid_confusion_report",
+    "label_top_terms", "source_token_entropy", "vocab_growth_curve",
+    "tokenizer_fertility_by_lang", "corpus_dataset_card",
+    "doc_chunk_windows", "source_blocklist_filter",
+    "curation_attrition_report", "source_mixture_weights",
+    "eval_decontamination", "minhash_accuracy_report",
+    "label_separability_report",
+    # multimodal / variant / UDTF representatives
+    "media_manifest_report", "props_extract_variant", "token_spans_udtf",
+    # reference-domain + remaining analytics
+    "storm_stats_report", "geo_neighbor_search", "part_affinity_topk",
 ]
 assert len(_PRIORITY_WINDOW) == 50, len(_PRIORITY_WINDOW)
 _missing = [n for n in _PRIORITY_WINDOW if n not in REGISTRY]

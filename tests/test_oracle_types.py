@@ -82,3 +82,56 @@ def test_checker_type_canonicalization():
     ]
     mm = cc.type_mismatches(spark_dtypes, list(rel.columns), list(rel.types))
     assert mm == [("s", "i", "hugeint")]
+
+
+def _load_checker():
+    _cspec = importlib.util.spec_from_file_location(
+        "check_correctness", REPO / "scripts" / "check_correctness.py"
+    )
+    cc = importlib.util.module_from_spec(_cspec)
+    _cspec.loader.exec_module(cc)
+    return cc
+
+
+def test_checker_rejects_nonscalar_output_columns():
+    """The grading driver canonicalizes results with a pandas
+    ``sort_values`` over every raw column; a list cell is unhashable
+    there, so an array-output query ERRORS the gate (r5:
+    embedding_power_iteration).  The local checker must be at least
+    as strict: a synthetic array-output schema is rejected by the
+    dtype guard AND the raw pandas canon emulation crashes on the
+    same rows the tuple-izing norm() used to wave through."""
+    cc = _load_checker()
+    # dtype guard: array/map/struct columns are flagged by name
+    dtypes = [
+        ("pos", "int"),
+        ("eigenvector", "array<double>"),
+        ("meta", "map<string,string>"),
+        ("pair", "struct<a:int,b:int>"),
+        ("val", "double"),
+    ]
+    assert cc.nonscalar_columns(dtypes) == ["eigenvector", "meta", "pair"]
+    assert cc.nonscalar_columns([("a", "bigint"), ("b", "string")]) == []
+    # canon emulation: the driver's sort crashes on list cells
+    rows = [([0.1, 0.2], 1.0), ([0.3, 0.4], 2.0)]
+    err = cc.driver_canon_errors(["eigenvector", "eigenvalue"], rows)
+    assert err is not None and "TypeError" in err
+    # and passes on scalar rows (None/NaN included)
+    ok_rows = [(1, "a", None), (2, "b", 0.5), (3, None, float("nan"))]
+    assert cc.driver_canon_errors(["x", "y", "z"], ok_rows) is None
+
+
+def test_registry_output_schemas_are_all_scalar(spark, sf_dir):
+    """Registration-time closure of the r5 gate-error class: no
+    registered query may emit an array/map/struct output column.
+    Schema-only — each build is planned, never executed."""
+    cc = _load_checker()
+    import __spark_entry__ as entrymod
+
+    bad = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        cols = cc.nonscalar_columns(df.dtypes)
+        if cols:
+            bad[name] = cols
+    assert not bad, f"non-scalar output columns (driver canon will err): {bad}"

@@ -267,15 +267,34 @@ def test_full_outer_reconcile_partitions_keyspace(spark, sf_dir):
 
 
 def test_embedding_label_centroids_shape(spark, sf_dir):
+    """Registered form is the driver-canonical exploded shape:
+    (label, pos, value, n_vectors) scalar rows, one per label×dim,
+    consistent with the array-assembling Python API."""
+    from storm_data_etl_service_spark.operators import similarity as S
+
     rows = REGISTRY["embedding_label_centroids"].build(spark, sf_dir).collect()
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     n_labels = emb.select("label").distinct().count()
     dim = len(emb.select("embedding").first()["embedding"])
-    assert len(rows) == n_labels
-    assert all(len(r["centroid"]) == dim for r in rows)
-    assert sum(r["n_vectors"] for r in rows) == emb.count()
-    # centroid magnitudes are bounded by the data range
-    assert all(all(abs(x) < 1.0 for x in r["centroid"]) for r in rows)
+    assert len(rows) == n_labels * dim
+    # every output column is scalar (the driver's pandas canon crashes
+    # on list cells — the r5 gate error class)
+    assert all(not isinstance(v, (list, dict)) for r in rows for v in r)
+    per_label = {}
+    for r in rows:
+        per_label.setdefault(r["label"], {})[r["pos"]] = r
+        assert abs(r["value"]) < 1.0
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    api = {r["label"]: r for r in S.embedding_label_centroids(t).collect()}
+    assert set(per_label) == set(api)
+    for label, dims in per_label.items():
+        assert sorted(dims) == list(range(dim))
+        # exploded values == the array API's centroid, elementwise
+        assert [dims[p]["value"] for p in range(dim)] == list(
+            api[label]["centroid"]
+        )
+        assert all(d["n_vectors"] == api[label]["n_vectors"] for d in dims.values())
+    assert sum(v["n_vectors"] for v in api.values()) == emb.count()
 
 
 def test_bm25_ranking_invariants(spark, sf_dir):
