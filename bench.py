@@ -160,6 +160,21 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
         "max_query": max(timings, key=timings.get) if timings else None,
+        # Run protocol, recorded IN the artifact so cross-session
+        # diffs aren't misread (r5: driver 40.79 s vs local best-of-3
+        # 33.23 s vs a second local run's 39.57 s — host/session
+        # variance, not a regression).  Headline value = sum of
+        # per-query MINIMA over n_samples runs after a full sf0.001
+        # codegen warmup; [min, med, max] per query in the spread
+        # sidecar.  Compare artifacts min-AND-median (bench_diff.py),
+        # never across hosts/sessions by headline alone.
+        "protocol": {
+            "samples_per_query": 3,
+            "statistic": "min",
+            "warmup": "all plans once at sf0.001",
+            "timed_action": "noop write (no driver collect)",
+            "caveat": "cross-session totals drift 1.2-1.7x with host load; same-session diffs only",
+        },
     }
     # The full per-query [min, med, max] spread goes to a sidecar file
     # only: inlining it in the stdout line once outgrew the grading

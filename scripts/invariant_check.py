@@ -1,5 +1,7 @@
 #!/usr/bin/env python
-"""Exact sf1.6 oracle replay for the recursion-excluded graph entries.
+"""Exact sf1.6 oracle replay for entries whose one-query oracle SQL is
+infeasible (recursive graph fixpoints, the composed ladder) or
+cold-cache fragile (the PPJoin candidate pipeline) at that density.
 
 The registry oracles for ``neardup_components``, ``pagerank_neardup``
 and ``neardup_cluster_representative`` are exact but expressed with
@@ -65,6 +67,38 @@ ENTRIES = (
     "pagerank_neardup",
     "neardup_cluster_representative",
     "dedup_ladder_report",
+    # r6: the two r5 sweep chunk-timeouts.  Their registry oracles are
+    # exact and feasible (~8 min warm in r4) but inline the whole
+    # prefix-filter candidate pipeline per query; on a cold-cache host
+    # each blew the 2100 s chunk.  Staged here, the shingle ranking /
+    # candidate join / verify steps materialize ONCE into temp tables
+    # and both entries read the shared verified-pair table.
+    "dedup_ngram_jaccard",
+    "fuzzy_neardup_distance",
+)
+
+_GRAPH_ENTRIES = frozenset(
+    (
+        "neardup_components",
+        "pagerank_neardup",
+        "neardup_cluster_representative",
+        "dedup_ladder_report",
+    )
+)
+_PPJOIN_ENTRIES = frozenset(("dedup_ngram_jaccard", "fuzzy_neardup_distance"))
+
+#: r6: triangle-census entries are output-bound at sf1.6's full
+#: 13.9M-pair density (wedge enumeration, measured >50 GB oracle
+#: spill) — so they replay on the deterministic induced subgraph
+#: ``doc_id % SUBGRAPH_MOD == 0`` (~1/64 of the pair graph), which
+#: keeps the DuckDB census feasible while the SPARK side runs the
+#: exact same registered plan (same code path, same dispatcher) over
+#: sf1.6-scale input.  Exact value-equality compare, not an invariant.
+SUBGRAPH_MOD = 8
+SUBGRAPH_ENTRIES = (
+    "neardup_triangle_count",
+    "neardup_triangle_estimate",
+    "triangle_stats",
 )
 
 #: matches graph.connected_components(max_rounds=25): the replay must
@@ -128,6 +162,21 @@ SELECT '1_exact_normalized' AS rung, n AS n_docs_flagged FROM norm
 UNION ALL SELECT '2_ngram_jaccard', n FROM jd
 UNION ALL SELECT '3_minhash_lsh', n FROM md
 UNION ALL SELECT '4_semdedup_cosine', n FROM ed""",
+    # the registry oracles' own J >= 0.8 verify/threshold tails, over
+    # the staged pp_v table (same integer common/na/nb columns the
+    # inline oracle computes in its `v` CTE — identical IEEE division)
+    "dedup_ngram_jaccard": """SELECT doc_a, doc_b,
+  CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+FROM pp_v
+WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.8""",
+    "fuzzy_neardup_distance": """WITH pairs AS (
+  SELECT doc_a, doc_b FROM pp_v
+  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.8),
+p40 AS (SELECT doc_id, substr(text, 1, 40) AS p FROM documents)
+SELECT doc_a, doc_b, levenshtein(da.p, db.p) AS prefix_edit_distance
+FROM pairs
+JOIN p40 da ON da.doc_id = doc_a
+JOIN p40 db ON db.doc_id = doc_b""",
 }
 
 
@@ -194,6 +243,48 @@ def _stage_ladder_rungs(con) -> None:
     con.execute("CREATE TEMP TABLE lad_ep AS " + _semdedup_pairs_oracle())
 
 
+def _stage_ppjoin_pairs(con) -> None:
+    """The _NGRAM_JACCARD_ORACLE pipeline staged CTE-by-CTE: shingle
+    sets, rarest-first ranking, prefix-filter candidates, and the
+    verified (doc_a, doc_b, common, na, nb) table — each its own
+    ``CREATE TEMP TABLE`` pass so the ranking and candidate join are
+    paid once (not once per consuming query) and the working set stays
+    bounded on cold-cache hosts.  The SQL text of each step is lifted
+    from registry._TOKS_CTE / _PPJOIN_RANK_CTES / _NGRAM_JACCARD_ORACLE
+    so the arithmetic (integer-exact prefix length, 4·max <= 5·min size
+    gate, BIGINT common/na/nb) is the gate-proven form."""
+    from storm_data_etl_service_spark.operators.registry import _TOKS_CTE
+
+    con.execute(f"CREATE TEMP TABLE pp_shf AS WITH {_TOKS_CTE} SELECT doc_id, shingles FROM shf")
+    con.execute(
+        """CREATE TEMP TABLE pp_ranked AS
+  WITH ex AS (SELECT doc_id, unnest(shingles) AS s FROM pp_shf),
+  dfq AS (SELECT s, count(*) AS df FROM ex GROUP BY s)
+  SELECT doc_id, list(s ORDER BY df, s) AS ordered
+  FROM ex JOIN dfq USING (s) GROUP BY doc_id"""
+    )
+    con.execute(
+        """CREATE TEMP TABLE pp_cand AS
+  WITH pre AS (
+    SELECT doc_id, len(ordered) AS ns,
+      unnest(ordered[1 : len(ordered) - (4 * len(ordered) + 4) // 5 + 1]) AS s
+    FROM pp_ranked)
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pre a JOIN pre b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+   AND 4 * greatest(a.ns, b.ns) <= 5 * least(a.ns, b.ns)"""
+    )
+    con.execute(
+        """CREATE TEMP TABLE pp_v AS
+  SELECT doc_a, doc_b,
+    len(list_intersect(sa.shingles, sb.shingles)) AS common,
+    len(sa.shingles) AS na, len(sb.shingles) AS nb
+  FROM pp_cand
+  JOIN pp_shf sa ON sa.doc_id = doc_a
+  JOIN pp_shf sb ON sb.doc_id = doc_b"""
+    )
+
+
 def _replay_pagerank(con) -> None:
     con.execute(
         """CREATE TEMP TABLE r0 AS
@@ -210,17 +301,38 @@ def main() -> int:
     from storm_data_etl_service_spark.operators.registry import REGISTRY
     from storm_data_etl_service_spark.session import get_spark
 
-    only = [n for n in sys.argv[1:] if n in ENTRIES] or list(ENTRIES)
+    known = (*ENTRIES, *SUBGRAPH_ENTRIES)
+    only = [n for n in sys.argv[1:] if n in known] or list(known)
     cc = _load_cc_module()
 
-    # --- Spark phase: collect the three outputs, then free the JVM ---
+    # --- Spark phase: collect the outputs, then free the JVM ---
     spark = get_spark(
         app_name="invariant_check",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark_out = {}
+    sub_tables = None
     for name in only:
-        df = REGISTRY[name].build(spark, SF_DIR)
+        if name in SUBGRAPH_ENTRIES:
+            from storm_data_etl_service_spark.operators import graph as G
+
+            if sub_tables is None:
+                from pyspark.sql import functions as F
+
+                from storm_data_etl_service_spark.schemas import load_tables
+
+                t = load_tables(spark, SF_DIR)
+                sub_tables = {
+                    **t,
+                    "documents": t["documents"].filter(
+                        F.col("doc_id") % SUBGRAPH_MOD == 0
+                    ),
+                }
+            # the registered builders' own functions, same code path —
+            # only the documents relation is the induced subgraph
+            df = getattr(G, name)(sub_tables)
+        else:
+            df = REGISTRY[name].build(spark, SF_DIR)
         spark_out[name] = (df.columns, df.dtypes, [tuple(r) for r in df.collect()])
     spark.stop()
 
@@ -235,19 +347,42 @@ def main() -> int:
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
-    _build_graph_tables(con)
+    if _GRAPH_ENTRIES & set(only):
+        _build_graph_tables(con)
     if {"neardup_components", "neardup_cluster_representative"} & set(only):
         _replay_components(con)
     if "pagerank_neardup" in only:
         _replay_pagerank(con)
     if "dedup_ladder_report" in only:
         _stage_ladder_rungs(con)
+    if _PPJOIN_ENTRIES & set(only):
+        _stage_ppjoin_pairs(con)
+
+    con_sub = None
+    if set(SUBGRAPH_ENTRIES) & set(only):
+        # second connection whose documents view IS the induced
+        # subgraph; the registry oracles then run VERBATIM against it
+        con_sub = duckdb.connect()
+        con_sub.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+        con_sub.execute(f"SET memory_limit='{mem_gb}GB'")
+        for t in TABLES:
+            p = f"{SF_DIR}/{t}.parquet"
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            where = (
+                f" WHERE doc_id % {SUBGRAPH_MOD} = 0" if t == "documents" else ""
+            )
+            con_sub.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}'){where}"
+            )
 
     failures = []
     for name in only:
         scols_raw, sdtypes, srows = spark_out[name]
         scols, sdata = cc.normalize_result(scols_raw, srows)
-        rel = con.sql(_REPLAY_SELECT[name])
+        if name in SUBGRAPH_ENTRIES:
+            rel = con_sub.sql(REGISTRY[name].oracle)
+        else:
+            rel = con.sql(_REPLAY_SELECT[name])
         dcols_raw, dtypes_raw = list(rel.columns), list(rel.types)
         dcols, ddata = cc.normalize_result(dcols_raw, rel.fetchall())
         status = []
@@ -261,11 +396,16 @@ def main() -> int:
             ndiff = sum(1 for a, b in zip(sdata, ddata) if a != b)
             first = next((a, b) for a, b in zip(sdata, ddata) if a != b)
             status.append(f"VALUES {ndiff}/{len(sdata)} differ; first: {first}")
+        mode = (
+            f"exact mod-{SUBGRAPH_MOD} induced-subgraph replay"
+            if name in SUBGRAPH_ENTRIES
+            else "exact replay"
+        )
         if status:
             failures.append(name)
             print(f"FAIL {name}: " + " | ".join(status))
         else:
-            print(f"  ok {name:32s} ({len(sdata)} rows, exact replay)")
+            print(f"  ok {name:32s} ({len(sdata)} rows, {mode})")
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}")
         return 1

@@ -111,7 +111,14 @@ def final_shuffles(df) -> dict:
     once and wires the other k-1 in as ReusedExchange.  Executing the
     query and counting net-of-reuse is the honest network-cost metric;
     the string count stays in the profile as `shuffles_plan_refs`."""
-    df.collect()
+    # Drain WITHOUT materializing on the driver: the near-dup pair
+    # queries return millions of rows at larger audit SFs and a
+    # collect() would OOM the audit process.  toLocalIterator keeps
+    # the SAME QueryExecution (a noop write would create a fresh one
+    # and never finalize THIS df's adaptive plan), and consuming it to
+    # exhaustion runs every stage, so the plan finalizes identically.
+    for _ in df.toLocalIterator():
+        pass
     plan = df._jdf.queryExecution().executedPlan().toString()
     # an executed AdaptiveSparkPlan prints BOTH "== Final Plan ==" and
     # "== Initial Plan ==" sections — keep only the final one, or every
@@ -128,7 +135,12 @@ def final_shuffles(df) -> dict:
     reused_all = plan.count("ReusedExchange")
     return {
         "shuffles": total - reused_shuffle,
-        "reused_exchanges": reused_all,
+        # split by kind: `shuffles` above subtracts only shuffle-kind
+        # reuses, so the reuse counters must distinguish kinds too or
+        # the "saved by reuse" rollup overstates shuffle savings with
+        # broadcast reuses.
+        "reused_shuffle_exchanges": reused_shuffle,
+        "reused_broadcast_exchanges": reused_all - reused_shuffle,
         # join operators the finalized plan actually ran (AQE converts
         # SMJ→BHJ at runtime when a side turns out small, so the
         # pre-execution counts overstate sort-merge work)
@@ -232,7 +244,8 @@ def main() -> int:
         f"| BNLJ occurrences (all 1-row-broadcast justified) | {sum(v['bnlj'] for v in rows.values())} |",
         f"| zero-shuffle (map-only) queries | {totals['zero_shuffle_queries']} |",
         f"| max shuffle exchanges computed in any plan | {totals['max_shuffles']} |",
-        f"| exchanges saved by AQE reuse (total) | {sum(v.get('reused_exchanges', 0) for v in rows.values())} |",
+        f"| shuffle exchanges saved by AQE reuse | {sum(v.get('reused_shuffle_exchanges', 0) for v in rows.values())} |",
+        f"| broadcast exchanges saved by AQE reuse | {sum(v.get('reused_broadcast_exchanges', 0) for v in rows.values())} |",
         "",
         "Shuffle counts are from the FINALIZED adaptive plan, net of",
         "`ReusedExchange`: a staging relation shared by k consumers is",
@@ -246,12 +259,13 @@ def main() -> int:
         "multi-level-aggregate shapes — but they are where a 100 TB run",
         "spends its network budget, so each is annotated in PLANS.md.",
         "",
-        "| query | shuffles computed | reused refs | broadcast joins | sort-merge joins |",
-        "|---|---|---|---|---|",
+        "| query | shuffles computed | reused shuffle refs | reused broadcast refs | broadcast joins | sort-merge joins |",
+        "|---|---|---|---|---|---|",
     ]
     for k, v in heavy:
         md.append(
-            f"| {k} | {v['shuffles']} | {v.get('reused_exchanges', 0)} "
+            f"| {k} | {v['shuffles']} | {v.get('reused_shuffle_exchanges', 0)} "
+            f"| {v.get('reused_broadcast_exchanges', 0)} "
             f"| {v['broadcast_joins']} | {v['sort_merge_joins']} |"
         )
     md += [
