@@ -110,23 +110,26 @@ def main() -> int:
         and n not in SUBGRAPH
     ]
     heavy = [n for n in REGISTRY if n in HEAVY]
-    chunks = [("check_correctness.py", light[i : i + 18]) for i in range(0, len(light), 18)]
-    chunks += [("check_correctness.py", [n]) for n in heavy]
     # the staged-fixpoint replay entries share one Spark/pair build:
     # the graph trio shares one pair-graph build; the ladder's rung
     # staging (~12 min of DuckDB alone) gets its own chunk so a shared
     # timeout cannot starve either; the two PPJoin-tail entries share
-    # one staged candidate pipeline (r5's pair of chunk timeouts)
+    # one staged candidate pipeline (r5's pair of chunk timeouts).
+    # Replay/subgraph chunks run FIRST: they carry the newest oracle
+    # machinery, so a sweep cut short by the session clock still
+    # records them.
     graph_trio = ("neardup_components", "pagerank_neardup",
                   "neardup_cluster_representative")
-    chunks += [
-        ("invariant_check.py", [n for n in REPLAY if n in graph_trio]),
-        ("invariant_check.py", ["dedup_ladder_report"]),
+    chunks = [
         ("invariant_check.py", ["dedup_ngram_jaccard", "fuzzy_neardup_distance"]),
         # triangle trio: exact induced-subgraph replay (shares one
         # filtered pair-graph build inside invariant_check)
         ("invariant_check.py", SUBGRAPH),
+        ("invariant_check.py", [n for n in REPLAY if n in graph_trio]),
+        ("invariant_check.py", ["dedup_ladder_report"]),
     ]
+    chunks += [("check_correctness.py", light[i : i + 18]) for i in range(0, len(light), 18)]
+    chunks += [("check_correctness.py", [n]) for n in heavy]
     ok, fail, timed_out = [], [], []
     for ci, (script, chunk) in enumerate(chunks):
         print(f"chunk {ci + 1}/{len(chunks)}: {chunk[0]}..{chunk[-1]}", flush=True)
