@@ -4195,6 +4195,99 @@ SELECT source, sample_rank, doc_id FROM ranked WHERE sample_rank <= 10""",
 )
 
 
+REGISTRY["gopher_quality_flags"] = QuerySpec(
+    _t(X.gopher_quality_flags),
+    r"""WITH d AS (
+  SELECT source,
+    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ts,
+    length(text) - length(replace(text, '#', '')) AS hash_chars,
+    (length(text) - length(replace(text, '...', ''))) // 3 AS ell
+  FROM documents),
+per_doc AS (
+  SELECT source, len(ts) AS n,
+    coalesce(list_sum(list_transform(ts, x -> length(x))), 0) AS sum_len,
+    len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+    len(list_intersect(ts,
+        ['the','be','to','of','and','that','have','with'])) AS n_stop,
+    hash_chars + ell AS n_sym
+  FROM d),
+flags AS (
+  SELECT source,
+    NOT (n BETWEEN 50 AND 100000) AS f_words,
+    (n > 0 AND NOT (sum_len BETWEEN 3 * n AND 10 * n)) AS f_mean,
+    (n_sym * 10 > n) AS f_sym,
+    (n_alpha * 5 < n * 4) AS f_alpha,
+    (n_stop < 2) AS f_stop
+  FROM per_doc)
+SELECT source, count(*) AS n_docs,
+  cast(sum(CASE WHEN f_words THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
+  cast(sum(CASE WHEN f_mean THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mean,
+  cast(sum(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_sym,
+  cast(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+  cast(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+  cast(sum(CASE WHEN NOT (f_words OR f_mean OR f_sym OR f_alpha OR f_stop)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+  cast(sum(CASE WHEN NOT (f_words OR f_mean OR f_sym OR f_alpha OR f_stop)
+           THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS keep_rate
+FROM flags GROUP BY source""",
+    ("text", "quality", "curation", "gopher"),
+)
+
+_CCNET_DOC_SURPRISAL = r"""tl AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ts
+  FROM documents),
+pairs AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(ts) - 1),
+                          i -> {'w1': ts[i], 'w2': ts[i+1]})) AS p
+  FROM tl WHERE len(ts) >= 2),
+tf AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS c
+       FROM pairs GROUP BY doc_id, p.w1, p.w2),
+bg AS (SELECT w1, w2, cast(sum(c) AS BIGINT) AS c_bigram
+       FROM tf GROUP BY w1, w2),
+starts AS (SELECT w1, cast(sum(c_bigram) AS BIGINT) AS c_start
+           FROM bg GROUP BY w1),
+vocab AS (
+  SELECT count(DISTINCT token) AS v FROM (
+    SELECT unnest(ts) AS token FROM tl)),
+scored AS (
+  SELECT tf.doc_id, tf.c,
+    -cast(floor(ln(cast(c_bigram + 1 AS DOUBLE) / (c_start + v)) * 1e6)
+          AS BIGINT) AS s_q
+  FROM tf JOIN bg USING (w1, w2) JOIN starts USING (w1), vocab),
+doc AS (
+  SELECT doc_id,
+    cast(sum(c * s_q) AS DOUBLE) / (1e6 * sum(c)) AS avg_surprisal
+  FROM scored GROUP BY doc_id)"""
+
+REGISTRY["ccnet_perplexity_buckets"] = QuerySpec(
+    _t(X.ccnet_perplexity_buckets),
+    f"""WITH {_CCNET_DOC_SURPRISAL},
+sd AS (
+  SELECT d.doc_id, lang,
+    cast(floor(avg_surprisal * 100) AS BIGINT) AS ppl_bin
+  FROM doc d JOIN documents USING (doc_id)),
+hist AS (SELECT lang, ppl_bin, count(*) AS n FROM sd GROUP BY 1, 2),
+cum AS (
+  SELECT lang, ppl_bin,
+    sum(n) OVER (PARTITION BY lang ORDER BY ppl_bin) AS cum,
+    sum(n) OVER (PARTITION BY lang) AS n_lang
+  FROM hist),
+cuts AS (
+  SELECT lang,
+    min(CASE WHEN cum * 3 >= n_lang THEN ppl_bin END) AS t1,
+    min(CASE WHEN cum * 3 >= 2 * n_lang THEN ppl_bin END) AS t2
+  FROM cum GROUP BY lang)
+SELECT doc_id, lang, ppl_bin,
+  CASE WHEN ppl_bin <= t1 THEN 'head'
+       WHEN ppl_bin <= t2 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM sd JOIN cuts USING (lang)""",
+    ("text", "quality", "language-model", "ccnet", "histogram-quantile"),
+)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST
 # 50 ``queries()`` entries each round, so the window is curated to cover

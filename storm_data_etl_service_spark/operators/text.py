@@ -1046,3 +1046,156 @@ def quality_linear_score(t) -> DataFrame:
         .otherwise(F.lit("review"))
         .alias("verdict"),
     )
+
+
+# --- Gopher/MassiveText heuristic quality filters (Rae et al. 2021,
+# "Scaling Language Models: Methods, Analysis & Insights from Training
+# Gopher", table A1) — the published rule set real curation stacks run
+# before any learned filter.  Bounds are the paper's.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3   # mean word length in [3, 10]
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_SYMBOL_RATIO_X10 = 1   # symbol-to-word ratio <= 0.1
+GOPHER_ALPHA_SHARE = (4, 5)   # >= 80% of words contain a letter
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2      # doc must contain >= 2 distinct ones
+
+
+def gopher_quality_flags(t) -> DataFrame:
+    """Per-source report of the Gopher heuristic quality rules: how
+    many documents fail each rule, how many pass all of them, and the
+    keep rate.  Rules (paper bounds, integer-exact comparisons):
+
+    * word count in [50, 100000]
+    * mean word length in [3, 10]      (3n <= sum_len <= 10n)
+    * symbol-to-word ratio <= 0.1      (10 * (#'#' + #'...') <= n)
+    * >= 80% of words contain a letter (5 * n_alpha >= 4 * n)
+    * >= 2 distinct stopwords from the paper's 8-word probe set
+
+    The line-granular bullet/ellipsis rules are omitted: the corpus
+    is single-line, so they are identically true and would pad the
+    report.  (The reference's only quality gating is the event-type
+    whitelist + unit domain, transform.go:166–173 — this generalizes
+    that idea to corpus curation.)
+
+    Scale: per-document evaluation is 100% map-only — token array
+    folds (``F.size``/``F.filter``/``F.aggregate``/
+    ``F.array_intersect``), no explode, no per-doc shuffle — followed
+    by ONE partial-aggregated shuffle of |sources| rows.  At 100 TB
+    this pipelines with the scan; every comparison is integer so the
+    flags (and the oracle hash) are engine-exact.
+    """
+    toks = tokens_col(F.col("text"))
+    n = F.size("_toks").cast("long")
+    sum_len = F.aggregate(
+        F.col("_toks"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    n_alpha = F.size(F.filter(F.col("_toks"), lambda x: x.rlike("[A-Za-z]"))).cast(
+        "long"
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.col("_toks"), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    ).cast("long")
+    hash_chars = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    ellipses = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / 3
+    n_sym = (hash_chars + ellipses).cast("long")
+
+    f_words = ~n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    f_mean = (n > 0) & ~sum_len.between(
+        GOPHER_MIN_MEAN_LEN * n, GOPHER_MAX_MEAN_LEN * n
+    )
+    f_sym = n_sym * 10 > n * GOPHER_SYMBOL_RATIO_X10
+    lo, hi = GOPHER_ALPHA_SHARE
+    f_alpha = n_alpha * hi < n * lo
+    f_stop = n_stop < GOPHER_MIN_STOPWORDS
+    keep = ~(f_words | f_mean | f_sym | f_alpha | f_stop)
+
+    flagged = t["documents"].withColumn("_toks", toks).select(
+        "source",
+        f_words.alias("f_words"),
+        f_mean.alias("f_mean"),
+        f_sym.alias("f_sym"),
+        f_alpha.alias("f_alpha"),
+        f_stop.alias("f_stop"),
+        keep.alias("keep"),
+    )
+    cnt = lambda c: F.sum(F.col(c).cast("long")).alias("n_fail_" + c[2:])
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        cnt("f_words"),
+        cnt("f_mean"),
+        cnt("f_sym"),
+        cnt("f_alpha"),
+        cnt("f_stop"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        (F.sum(F.col("keep").cast("long")).cast("double") / F.count("*")).alias(
+            "keep_rate"
+        ),
+    )
+
+
+#: CCNet (Wenzek et al. 2020) splits each language's corpus into
+#: head/middle/tail perplexity terciles.  Bins quantize avg bigram
+#: surprisal to centi-nats so the cutoff search runs over a bounded
+#: histogram instead of a per-language global sort.
+CCNET_BIN_SCALE = 100
+
+
+def ccnet_perplexity_buckets(t) -> DataFrame:
+    """CCNet-style head/middle/tail assignment: per language, rank
+    documents by LM perplexity (here: the corpus's own add-one bigram
+    surprisal, ``bigram_surprisal_scores``) and cut the distribution
+    into terciles — head = most fluent third, tail = least.
+
+    Tercile semantics are histogram-exact: a document's bucket is
+    determined by its quantized surprisal BIN, with cutoff bins
+    t1 = min bin with 3*cum >= N and t2 = min bin with 3*cum >= 2N
+    (ties at bin granularity share a bucket, so the result is
+    deterministic with no doc-order dependence).
+
+    Scale: this is the histogram-quantile pattern — per-(lang, bin)
+    counts (ONE partial-agg'd shuffle, |langs|x|bins| rows), a
+    cumulative window over that aggregate-sized table, and a
+    broadcast join of |langs| cutoff rows back onto the scored docs.
+    No per-language global sort: a lang-partitioned ranking window
+    would funnel each language's entire corpus (25% of rows here,
+    100% single-language at the limit) through single partitions —
+    exactly the skew CCNet's own sample-based cutoffs avoid.
+    Documents with < 2 tokens have no bigram model score and are
+    excluded, as in CCNet.
+    """
+    scored = (
+        bigram_surprisal_scores(t)
+        .join(t["documents"].select("doc_id", "lang"), "doc_id")
+        .withColumn(
+            "ppl_bin",
+            F.floor(F.col("avg_surprisal") * CCNET_BIN_SCALE).cast("long"),
+        )
+    )
+    hist = scored.groupBy("lang", "ppl_bin").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy("ppl_bin")
+    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "n_lang", F.sum("n").over(Window.partitionBy("lang"))
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("n_lang"), F.col("ppl_bin"))).alias(
+            "t1"
+        ),
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("n_lang"), F.col("ppl_bin"))
+        ).alias("t2"),
+    )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "ppl_bin",
+        F.when(F.col("ppl_bin") <= F.col("t1"), F.lit("head"))
+        .when(F.col("ppl_bin") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -1796,3 +1796,61 @@ def test_epoch_stream_order_expands_upsampled_copies(spark):
     # be adjacent in the epoch (independent keys per copy)
     pos = sorted(r["epoch_pos"] for r in out if r["doc_id"] == 100)
     assert max(b - a for a, b in zip(pos, pos[1:])) > 1
+
+
+def test_gopher_flags_each_rule_isolated(spark):
+    """Six synthetic documents, each violating exactly one Gopher rule
+    (or none): the per-source fail counts must attribute each failure
+    to its rule, and only the clean document may pass."""
+    ok_words = " ".join(["the of and that have with word also"] * 8)  # 64 words
+    docs = [
+        (1, "gA", ok_words),                                # passes all
+        (2, "gB", "the of too short"),                      # word count only? also stopwords ok (the, of)
+        (3, "gC", " ".join(["the", "of"] + ["ab"] * 62)),   # mean len < 3
+        (4, "gD", ok_words + " " + "#" * 80),               # symbol ratio
+        (5, "gE", " ".join(["the", "of"] + ["1234"] * 62)), # alpha share
+        (6, "gF", " ".join(["word"] * 64)),                 # stopwords
+    ]
+    sdf = spark.createDataFrame(
+        [(i, s, t) for i, s, t in docs], "doc_id long, source string, text string"
+    )
+    from storm_data_etl_service_spark.operators.text import gopher_quality_flags
+
+    out = {
+        r["source"]: r
+        for r in gopher_quality_flags({"documents": sdf}).collect()
+    }
+    assert out["gA"]["n_keep"] == 1 and out["gA"]["keep_rate"] == 1.0
+    assert out["gB"]["n_fail_words"] == 1 and out["gB"]["n_keep"] == 0
+    assert out["gC"]["n_fail_mean"] == 1 and out["gC"]["n_fail_words"] == 0
+    assert out["gD"]["n_fail_sym"] == 1 and out["gD"]["n_fail_words"] == 0
+    assert out["gE"]["n_fail_alpha"] == 1 and out["gE"]["n_fail_mean"] == 0
+    assert out["gF"]["n_fail_stop"] == 1 and out["gF"]["n_fail_words"] == 0
+
+
+def test_ccnet_buckets_are_ordered_terciles(spark, sf_dir):
+    """Per language: the three buckets partition every scored doc,
+    their sizes are tercile-balanced up to bin-tie granularity, and
+    the perplexity bins are totally ordered head <= middle <= tail."""
+    rows = run("ccnet_perplexity_buckets", spark, sf_dir).collect()
+    assert rows
+    langs = {r["lang"] for r in rows}
+    for lang in langs:
+        sub = [r for r in rows if r["lang"] == lang]
+        n = len(sub)
+        by = {
+            b: [r["ppl_bin"] for r in sub if r["bucket"] == b]
+            for b in ("head", "middle", "tail")
+        }
+        assert sum(len(v) for v in by.values()) == n
+        assert by["head"], lang
+        # cutoff semantics: head holds >= ceil(n/3) docs (bin ties can
+        # only grow it), and head+middle >= 2n/3
+        assert 3 * len(by["head"]) >= n
+        assert 3 * (len(by["head"]) + len(by["middle"])) >= 2 * n
+        if by["middle"]:
+            assert max(by["head"]) <= min(by["middle"])
+            if by["tail"]:
+                assert max(by["middle"]) < min(by["tail"])
+        elif by["tail"]:
+            assert max(by["head"]) < min(by["tail"])
