@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     # round-3 session-4 additions
     "bloom_dedup_report",       # mergeable Bloom bit-set probe + exact audit
     "quality_linear_score",     # zero-shuffle hashed-feature linear gate
+    "gopher_quality_flags",     # map-only Gopher rule suite + 1 source agg
+    "ccnet_perplexity_buckets",  # per-lang perplexity terciles, histogram cutoffs
     "knn_graph_lsh",            # bucketed Arrow top-k kNN graph build
     # round-3 session-5 additions
     "global_shuffle_order",     # two-level deterministic global ordering

@@ -45,6 +45,8 @@ BNLJ_JUSTIFIED = {
     "dispatched estimate rung; the wedge probe itself is join-free)",
     "tfidf_top_terms": "1-row corpus-size scalar",
     "bigram_surprisal_scores": "1-row vocab-size scalar",
+    "ccnet_perplexity_buckets": "1-row vocab-size scalar (inherited from the "
+    "surprisal model; appears on both the histogram and probe sides)",
     "tpch_q22_idle_customers": "1-row average-balance scalar",
     "tpch_q11_important_values": "1-row total-value threshold scalar",
     "tpch_q15_top_supplier": "1-row max-revenue scalar",

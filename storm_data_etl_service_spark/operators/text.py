@@ -689,9 +689,17 @@ def bigram_surprisal_scores(t) -> DataFrame:
         )
         * F.lit(1e6)
     ).cast("long")
+    # no broadcast HINT on the model tables: they are vocabulary-sized,
+    # and a synthetic corpus whose vocabulary grows WITH the corpus
+    # (the scaling sweep's renamed-replica modes — and any real corpus
+    # at the trillion-token scale) outgrows an executor's memory; AQE
+    # broadcasts them while they measure small and flips to a shuffle
+    # join on the bigram key when they don't (measured: removing the
+    # hints cut the sf0.1→sf1.6 exponent on the 16x-vocab corpus).
+    # The 1-row vocab scalar keeps its hint.
     scored = (
-        tf.join(F.broadcast(bg), ["w1", "w2"])
-        .join(F.broadcast(starts), "w1")
+        tf.join(bg, ["w1", "w2"])
+        .join(starts, "w1")
         .crossJoin(F.broadcast(vocab))
         .withColumn("s_q", surprisal_q)
     )
@@ -1169,6 +1177,16 @@ def ccnet_perplexity_buckets(t) -> DataFrame:
     Documents with < 2 tokens have no bigram model score and are
     excluded, as in CCNet.
     """
+    # The scored frame feeds BOTH the histogram side and the final
+    # probe side.  An explicit staging exchange does NOT get reused
+    # here: column pruning projects each consumer's column set below
+    # the exchange (histogram keeps (lang, bin), probe keeps doc_id
+    # too), so the two plan instances differ and AQE recomputes the
+    # whole bigram model — its (doc, w1, w2) aggregation, the
+    # dominant shuffle — twice.  A lazy localCheckpoint (the
+    # global_row_number pattern, analytics.py) materializes the
+    # doc-level scores ONCE (one row per document, tiny vs the token
+    # stream) and both consumers read that.
     scored = (
         bigram_surprisal_scores(t)
         .join(t["documents"].select("doc_id", "lang"), "doc_id")
@@ -1176,6 +1194,7 @@ def ccnet_perplexity_buckets(t) -> DataFrame:
             "ppl_bin",
             F.floor(F.col("avg_surprisal") * CCNET_BIN_SCALE).cast("long"),
         )
+        .localCheckpoint(eager=False)
     )
     hist = scored.groupBy("lang", "ppl_bin").agg(F.count("*").alias("n"))
     w = Window.partitionBy("lang").orderBy("ppl_bin")

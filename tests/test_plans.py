@@ -584,3 +584,21 @@ def test_dedup_family_reuses_staging_exchange(spark, sf_dir):
                 f"{q}: no exchange is reused by >=2 consumers — the "
                 f"ranked-shingles staging share is gone:\n{plan[:3000]}"
             )
+
+
+def test_ccnet_surprisal_model_computed_once(spark, sf_dir):
+    """The CCNet bucket assignment consumes its doc-level surprisal
+    scores TWICE (histogram side + probe side).  A staging exchange
+    can't be shared here — column pruning projects each consumer's
+    column set below the exchange, so the plan instances differ —
+    hence the scored frame is materialized via lazy localCheckpoint
+    (the global_row_number pattern).  After execution, the finalized
+    plan must read the checkpointed RDD on both sides and contain
+    ZERO instances of the bigram-model pipeline (its tokenizing
+    split() would otherwise appear — recomputing the dominant
+    (doc, w1, w2) aggregation twice)."""
+    df = REGISTRY["ccnet_perplexity_buckets"].build(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") >= 2, plan[:1500]
+    assert "split(" not in plan, plan[:1500]
