@@ -4338,8 +4338,13 @@ _PRIORITY_WINDOW = [
     "label_separability_report",
     # multimodal / variant / UDTF representatives
     "media_manifest_report", "props_extract_variant", "token_spans_udtf",
-    # reference-domain + remaining analytics
-    "storm_stats_report", "geo_neighbor_search", "part_affinity_topk",
+    # reference-domain representative
+    "storm_stats_report",
+    # round-6 NEW entries — gate the newest code while it's freshest
+    # (geo_neighbor_search / part_affinity_topk move to the r7
+    # rotation with the 11 deferred analytics entries; both stay
+    # full-sweep green at 2 SFs meanwhile)
+    "gopher_quality_flags", "ccnet_perplexity_buckets",
 ]
 assert len(_PRIORITY_WINDOW) == 50, len(_PRIORITY_WINDOW)
 _missing = [n for n in _PRIORITY_WINDOW if n not in REGISTRY]
