@@ -971,3 +971,108 @@ def epoch_stream_order(t, n_shards: int = 16) -> DataFrame:
         "shard",
         F.col("_gpos").alias("epoch_pos"),
     )
+
+
+# --- Token-budget waterfilling: split a fixed training-token budget
+# across sources so every source gets an equal share L, except sources
+# whose epoch cap (policy: at most cap_mult epochs over their corpus)
+# saturates first — the allocator behind "data-constrained scaling"
+# mixes (Muennighoff et al. 2023).
+WATERFILL_BUDGET_NUM = 3  # budget = floor(3/2 * total corpus tokens)
+WATERFILL_BUDGET_DEN = 2
+
+
+def token_budget_waterfill(t) -> DataFrame:
+    """Exact-integer waterfill of a training-token budget across
+    sources.  Each source i holds ``n_i`` corpus tokens and may
+    contribute at most ``cap_i = cap_mult_i * n_i`` tokens (its epoch
+    cap; the multiplier 1-3 stands in for a per-source licensing /
+    quality policy lookup, derived here deterministically from the
+    source name).  The budget ``B = floor(1.5 * total)`` is spread at
+    a common level L with small sources saturating at their cap:
+    sorting sources by cap ascending, source k saturates iff
+    ``cap_k * (K - k + 1) + prefix_caps_{k-1} <= B``; unsaturated
+    sources split the remainder evenly, with the integer leftover
+    going one token each to the first sources in cap order.  The
+    allocations sum to B exactly — all arithmetic is int64.
+
+    Scale: one map-side-combined token-count shuffle; everything else
+    is windows over the |sources|-row aggregate (the documented
+    agg-cardinality exception).
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        t["documents"]
+        .withColumn("_toks", tokens_col(F.col("text")))
+        .groupBy("source")
+        .agg(F.sum(F.size("_toks").cast("long")).alias("n_tokens"))
+    )
+    cap_mult = (
+        F.conv(F.substring(F.sha2(F.col("source"), 256), 1, 8), 16, 10).cast("long")
+        % 3
+        + 1
+    )
+    capped = counts.select(
+        "source",
+        "n_tokens",
+        cap_mult.alias("cap_mult"),
+        (cap_mult * F.col("n_tokens")).alias("cap_tokens"),
+    )
+    glob = Window.partitionBy()
+    asc = Window.orderBy(F.asc("cap_tokens"), F.asc("source"))
+    staged = (
+        capped.withColumn("_total", F.sum("n_tokens").over(glob))
+        .withColumn(
+            "_budget",
+            F.expr(
+                f"_total * {WATERFILL_BUDGET_NUM} div {WATERFILL_BUDGET_DEN}"
+            ),
+        )
+        .withColumn("_k", F.count("*").over(glob))
+        .withColumn("_i", F.row_number().over(asc).cast("long"))
+        .withColumn(
+            "_prefix",
+            F.coalesce(
+                F.sum("cap_tokens").over(
+                    asc.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    sat = F.col("cap_tokens") * (F.col("_k") - F.col("_i") + 1) + F.col(
+        "_prefix"
+    ) <= F.col("_budget")
+    staged = staged.withColumn("saturated", sat)
+    # prefix over SATURATED caps only, and the count of saturated rows
+    staged = staged.withColumn(
+        "_sat_prefix",
+        F.coalesce(
+            F.sum(F.when(sat, F.col("cap_tokens"))).over(glob), F.lit(0)
+        ).cast("long"),
+    ).withColumn("_n_sat", F.sum(sat.cast("long")).over(glob))
+    staged = staged.withColumn(
+        "_rem", F.col("_budget") - F.col("_sat_prefix")
+    ).withColumn("_n_unsat", F.col("_k") - F.col("_n_sat"))
+    level = F.expr("_rem div _n_unsat")
+    leftover = F.col("_rem") - level * F.col("_n_unsat")
+    # unsaturated rank in cap order: _i minus saturated rows before it
+    unsat_rank = F.col("_i") - F.coalesce(
+        F.sum(sat.cast("long")).over(
+            asc.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    alloc = F.when(sat, F.col("cap_tokens")).otherwise(
+        level + (unsat_rank <= leftover).cast("long")
+    )
+    return staged.select(
+        "source",
+        "n_tokens",
+        "cap_mult",
+        "cap_tokens",
+        "saturated",
+        alloc.alias("alloc_tokens"),
+        (alloc.cast("double") / F.col("n_tokens")).alias("epochs"),
+    )

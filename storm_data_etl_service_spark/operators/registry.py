@@ -4287,6 +4287,154 @@ FROM sd JOIN cuts USING (lang)""",
     ("text", "quality", "language-model", "ccnet", "histogram-quantile"),
 )
 
+_TOKENS_CTE = r"""tl AS (
+  SELECT doc_id, lang, source,
+    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ts
+  FROM documents)"""
+
+REGISTRY["dsir_importance_weights"] = QuerySpec(
+    _t(X.dsir_importance_weights),
+    f"""WITH {_TOKENS_CTE},
+bigrams AS (
+  SELECT doc_id, lang,
+    unnest(list_transform(generate_series(1, len(ts) - 1),
+                          i -> ts[i] || ' ' || ts[i+1])) AS bigram
+  FROM tl WHERE len(ts) >= 2),
+dc AS (
+  SELECT doc_id,
+    ('0x' || substr(sha256(bigram), 1, 8))::BIGINT % 4096 AS bucket,
+    count(*) AS c, max(lang) AS lang
+  FROM bigrams GROUP BY 1, 2),
+raw AS (SELECT bucket, cast(sum(c) AS BIGINT) AS c_raw FROM dc GROUP BY bucket),
+tgt AS (SELECT bucket, cast(sum(c) AS BIGINT) AS c_tgt
+        FROM dc WHERE lang = 'en' GROUP BY bucket),
+nr AS (SELECT cast(sum(c_raw) AS BIGINT) AS n_raw FROM raw),
+nt AS (SELECT cast(coalesce(sum(c_tgt), 0) AS BIGINT) AS n_tgt FROM tgt),
+model AS (
+  SELECT r.bucket,
+    cast(floor(ln(
+      (cast(coalesce(c_tgt, 0) + 1 AS DOUBLE) * cast(n_raw + 4096 AS DOUBLE))
+      / (cast(c_raw + 1 AS DOUBLE) * cast(n_tgt + 4096 AS DOUBLE))
+    ) * 1e6) AS BIGINT) AS lr_q
+  FROM raw r LEFT JOIN tgt USING (bucket), nr, nt)
+SELECT doc_id, cast(sum(c) AS BIGINT) AS n_feats,
+  cast(sum(c * lr_q) AS DOUBLE) / (1e6 * sum(c)) AS avg_log_ratio
+FROM dc JOIN model USING (bucket)
+GROUP BY doc_id""",
+    ("text", "curation", "dsir", "importance-sampling"),
+)
+
+REGISTRY["zipf_slope_fit"] = QuerySpec(
+    _t(X.zipf_slope_fit),
+    r"""WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x != '')) AS token
+  FROM documents),
+counts AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+  FROM counts QUALIFY rank <= 100),
+pts AS (
+  SELECT cast(floor(ln(cast(rank AS DOUBLE)) * 1e6) AS BIGINT) AS xq,
+         cast(floor(ln(cast(freq AS DOUBLE)) * 1e6) AS BIGINT) AS yq
+  FROM ranked),
+sums AS (
+  SELECT count(*) AS n,
+    cast(sum(xq) AS BIGINT) AS sx, cast(sum(yq) AS BIGINT) AS sy,
+    cast(sum(xq * xq) AS BIGINT) AS sxx,
+    cast(sum(yq * yq) AS BIGINT) AS syy,
+    cast(sum(xq * yq) AS BIGINT) AS sxy
+  FROM pts)
+SELECT cast(n AS BIGINT) AS n_points,
+  (cast(n AS DOUBLE) * cast(sxy AS DOUBLE) - cast(sx AS DOUBLE) * cast(sy AS DOUBLE))
+    / (cast(n AS DOUBLE) * cast(sxx AS DOUBLE) - cast(sx AS DOUBLE) * cast(sx AS DOUBLE))
+    AS slope,
+  (cast(sy AS DOUBLE)
+   - (cast(n AS DOUBLE) * cast(sxy AS DOUBLE) - cast(sx AS DOUBLE) * cast(sy AS DOUBLE))
+     / (cast(n AS DOUBLE) * cast(sxx AS DOUBLE) - cast(sx AS DOUBLE) * cast(sx AS DOUBLE))
+     * cast(sx AS DOUBLE))
+    / (cast(n AS DOUBLE) * 1e6) AS intercept,
+  ((cast(n AS DOUBLE) * cast(sxy AS DOUBLE) - cast(sx AS DOUBLE) * cast(sy AS DOUBLE))
+   * (cast(n AS DOUBLE) * cast(sxy AS DOUBLE) - cast(sx AS DOUBLE) * cast(sy AS DOUBLE)))
+    / ((cast(n AS DOUBLE) * cast(sxx AS DOUBLE) - cast(sx AS DOUBLE) * cast(sx AS DOUBLE))
+       * (cast(n AS DOUBLE) * cast(syy AS DOUBLE) - cast(sy AS DOUBLE) * cast(sy AS DOUBLE)))
+    AS r2
+FROM sums""",
+    ("text", "statistics", "zipf", "regression"),
+)
+
+REGISTRY["bpe_first_merges"] = QuerySpec(
+    _t(X.bpe_first_merges),
+    r"""WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x != '')) AS word
+  FROM documents),
+words AS (SELECT word, count(*) AS wc FROM tok GROUP BY word),
+pairs AS (
+  SELECT wc, unnest(list_transform(generate_series(1, length(word) - 1),
+                                   i -> substr(word, i, 2))) AS pair
+  FROM words WHERE length(word) >= 2),
+counts AS (SELECT pair, cast(sum(wc) AS BIGINT) AS n FROM pairs GROUP BY pair),
+ranked AS (
+  SELECT pair, n,
+    cast(row_number() OVER (ORDER BY n DESC, pair ASC) AS INTEGER) AS rank
+  FROM counts)
+SELECT pair, n, rank FROM ranked WHERE rank <= 20""",
+    ("text", "tokenizer", "bpe"),
+)
+
+REGISTRY["token_budget_waterfill"] = QuerySpec(
+    _t(P.token_budget_waterfill),
+    f"""WITH {_TOKENS_CTE},
+counts AS (
+  SELECT source, cast(sum(len(ts)) AS BIGINT) AS n_tokens
+  FROM tl GROUP BY source),
+capped AS (
+  SELECT source, n_tokens,
+    ('0x' || substr(sha256(source), 1, 8))::BIGINT % 3 + 1 AS cap_mult,
+    (('0x' || substr(sha256(source), 1, 8))::BIGINT % 3 + 1) * n_tokens
+      AS cap_tokens
+  FROM counts),
+staged AS (
+  SELECT *,
+    cast(sum(n_tokens) OVER () * 3 // 2 AS BIGINT) AS budget,
+    count(*) OVER () AS k,
+    row_number() OVER (ORDER BY cap_tokens ASC, source ASC) AS i,
+    cast(coalesce(sum(cap_tokens) OVER (
+      ORDER BY cap_tokens ASC, source ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx
+  FROM capped),
+s2 AS (
+  SELECT *, cap_tokens * (k - i + 1) + pfx <= budget AS saturated
+  FROM staged),
+s3 AS (
+  SELECT *,
+    cast(coalesce(sum(CASE WHEN saturated THEN cap_tokens END) OVER (), 0)
+         AS BIGINT) AS sat_prefix,
+    cast(sum(CASE WHEN saturated THEN 1 ELSE 0 END) OVER () AS BIGINT)
+      AS n_sat,
+    cast(coalesce(sum(CASE WHEN saturated THEN 1 ELSE 0 END) OVER (
+      ORDER BY cap_tokens ASC, source ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS sat_before
+  FROM s2),
+s4 AS (
+  SELECT *, budget - sat_prefix AS rem, k - n_sat AS n_unsat FROM s3),
+alloc AS (
+  SELECT source, n_tokens, cap_mult, cap_tokens, saturated,
+    CASE WHEN saturated THEN cap_tokens
+         ELSE rem // n_unsat
+              + CASE WHEN i - sat_before <= rem - rem // n_unsat * n_unsat
+                     THEN 1 ELSE 0 END
+    END AS a
+  FROM s4)
+SELECT source, n_tokens, cap_mult, cap_tokens, saturated,
+  cast(a AS BIGINT) AS alloc_tokens,
+  cast(a AS DOUBLE) / n_tokens AS epochs
+FROM alloc""",
+    ("pipeline", "curation", "waterfill", "budget"),
+)
+
 
 # --------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST

@@ -1218,3 +1218,218 @@ def ccnet_perplexity_buckets(t) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+# --- DSIR (Xie et al. 2023, "Data Selection for Language Models via
+# Importance Resampling") — per-document importance weights from two
+# hashed-bigram unigram models: a TARGET domain model and the RAW
+# corpus model.  log w(x) = sum_f c_x(f) * [ln p_target(f) - ln
+# p_raw(f)]; documents resembling the target domain score > 0.
+DSIR_BUCKETS = 4096
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance_weights(t) -> DataFrame:
+    """DSIR importance weight per document against an ``lang = 'en'``
+    target slice: hashed bigram features (sha2-prefix mod
+    ``DSIR_BUCKETS``), add-one-smoothed feature distributions for the
+    target slice and the whole corpus, and the per-doc average
+    log-likelihood ratio (the resampling logit).
+
+    Beyond-reference curation surface (the reference's only scoring
+    is the severity ladder, transform.go:218–262); this is the
+    published importance-resampling selector real pretraining stacks
+    run ahead of sampling.
+
+    Determinism: the only libm call (ln of a ratio of exact BIGINT
+    counts) is floor-quantized to 1e-6 per BUCKET and summed as exact
+    int64 weighted by exact counts — partition-order independent, the
+    bigram_surprisal_scores contract.
+
+    Scale: feature extraction is the same zip-of-slices bigram
+    explode as the surprisal model; the two models are
+    ``DSIR_BUCKETS``-row aggregates (map-side combined), joined back
+    onto per-doc bucket counts — AQE broadcasts the 4096-row model
+    table at any corpus size, so the probe side never shuffles on the
+    model key.  Total: one (doc, bucket) shuffle, one bucket-model
+    shuffle of 4096 rows, one per-doc agg.
+    """
+    docs = t["documents"].withColumn("_toks", tokens_col(F.col("text")))
+    m = F.size("_toks") - 1
+    pairs = docs.select(
+        "doc_id",
+        F.col("lang"),
+        F.explode(
+            F.when(
+                F.size("_toks") >= 2,
+                F.zip_with(
+                    F.slice(F.col("_toks"), 1, m),
+                    F.slice(F.col("_toks"), 2, m),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    bucket = F.conv(F.substring(F.sha2(F.col("bigram"), 256), 1, 8), 16, 10).cast(
+        "long"
+    ) % F.lit(DSIR_BUCKETS)
+    feats = pairs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+    )
+    # the (doc, bucket) count table feeds THREE consumers (raw model,
+    # target model, probe); column pruning projects different column
+    # sets below the exchange so AQE would recompute the bigram
+    # explode+agg — the dominant work — per consumer.  The lazy
+    # localCheckpoint (the ccnet_perplexity_buckets pattern)
+    # materializes it once; it is doc×bucket-sized, tiny vs the token
+    # stream.
+    doc_counts = (
+        feats.groupBy("doc_id", "bucket")
+        .agg(
+            F.count("*").alias("c"),
+            # every row of a doc shares one lang; max() keeps it through the agg
+            F.max("lang").alias("lang"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    raw_model = doc_counts.groupBy("bucket").agg(F.sum("c").alias("c_raw"))
+    tgt_model = (
+        doc_counts.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("c_tgt"))
+    )
+    n_raw = raw_model.agg(F.sum("c_raw").alias("n_raw"))
+    n_tgt = tgt_model.agg(F.sum("c_tgt").alias("n_tgt"))
+    model = (
+        raw_model.join(tgt_model, "bucket", "left")
+        .na.fill({"c_tgt": 0})
+        .crossJoin(F.broadcast(n_raw))
+        .crossJoin(F.broadcast(n_tgt))
+    )
+    # ln( p_tgt / p_raw ) with add-one smoothing over DSIR_BUCKETS
+    # cells, as ONE ln of an exact-integer ratio, floor-quantized
+    ratio = (
+        (F.col("c_tgt") + 1).cast("double")
+        * (F.col("n_raw") + DSIR_BUCKETS).cast("double")
+    ) / (
+        (F.col("c_raw") + 1).cast("double")
+        * (F.col("n_tgt") + DSIR_BUCKETS).cast("double")
+    )
+    scored_model = model.select(
+        "bucket", F.floor(F.log(ratio) * F.lit(1e6)).cast("long").alias("lr_q")
+    )
+    probe = doc_counts.join(scored_model, "bucket")
+    return probe.groupBy("doc_id").agg(
+        F.sum("c").alias("n_feats"),
+        (
+            F.sum(F.col("c") * F.col("lr_q")).cast("double")
+            / (F.lit(1e6) * F.sum("c"))
+        ).alias("avg_log_ratio"),
+    )
+
+
+# --- Zipf rank-frequency fit: OLS slope of ln(freq) on ln(rank) over
+# the top-K vocabulary.  Natural corpora sit near slope -1 (Zipf's
+# law); synthetic/templated text flattens toward 0 — a corpus-level
+# quality fingerprint.
+ZIPF_TOP_K = 100
+
+
+def zipf_slope_fit(t) -> DataFrame:
+    """Corpus Zipf fit: rank tokens by global frequency (tiebreak:
+    token asc), take the top ``ZIPF_TOP_K``, and OLS-fit
+    ln(freq) ~ ln(rank).  Returns one row: n_points, slope, intercept,
+    r2.
+
+    Determinism: ln(rank) and ln(freq) are floor-quantized to 1e-6
+    integer units per POINT; the five OLS sums are exact int64 over
+    <= K rows (|x_q| <= ~1.2e7, so the worst product sum is ~1.4e16 —
+    inside int64), and the slope/intercept/r² divisions happen once in
+    double at the end.
+
+    Scale: token counting is the classic map-side-combined word-count
+    shuffle; everything after runs on a vocabulary-sized aggregate,
+    with the ranking window over the top-K subset only (limit pushes
+    into a TakeOrdered, no global sort of the vocabulary).
+    """
+    counts = (
+        t["documents"]
+        .select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    topk = counts.orderBy(F.desc("freq"), F.asc("token")).limit(ZIPF_TOP_K)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    ranked = topk.withColumn("rank", F.row_number().over(w).cast("long"))
+    x_q = F.floor(F.log(F.col("rank").cast("double")) * F.lit(1e6)).cast("long")
+    y_q = F.floor(F.log(F.col("freq").cast("double")) * F.lit(1e6)).cast("long")
+    pts = ranked.select(x_q.alias("xq"), y_q.alias("yq"))
+    sums = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    varx = n * F.col("sxx").cast("double") - sx * sx
+    vary = n * F.col("syy").cast("double") - sy * sy
+    slope = cov / varx
+    return sums.select(
+        F.col("n").cast("long").alias("n_points"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / (n * F.lit(1e6))).alias("intercept"),
+        (cov * cov / (varx * vary)).alias("r2"),
+    )
+
+
+# --- BPE seed statistics: corpus-weighted adjacent character-pair
+# frequencies (the counts the FIRST byte-pair-encoding merge is chosen
+# from, Sennrich et al. 2016).  Real tokenizer training loops this to
+# convergence; the first iteration is the Spark-shaped part — the rest
+# is a driver loop over a vocabulary-sized table.
+BPE_TOP_PAIRS = 20
+
+
+def bpe_first_merges(t) -> DataFrame:
+    """Top ``BPE_TOP_PAIRS`` adjacent character pairs by
+    corpus-weighted frequency (rank tiebreak: pair asc) — the
+    candidate set for the first BPE merge.
+
+    Pair extraction runs over the WORD TABLE, not the token stream:
+    words are counted first (map-side-combined word-count shuffle, the
+    token stream never materializes pairs), then each distinct word
+    expands to ``length - 1`` two-char substrings weighted by the
+    word's corpus count — at trillion-token scale the expensive
+    explode is proportional to |vocab|, not corpus size.
+    """
+    words = (
+        t["documents"]
+        .select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.when(
+                F.length("word") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("wc").alias("n"))
+    topk = counts.orderBy(F.desc("n"), F.asc("pair")).limit(BPE_TOP_PAIRS)
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return topk.select(
+        "pair", "n", F.row_number().over(w).cast("integer").alias("rank")
+    )

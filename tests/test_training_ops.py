@@ -1854,3 +1854,75 @@ def test_ccnet_buckets_are_ordered_terciles(spark, sf_dir):
                 assert max(by["middle"]) < min(by["tail"])
         elif by["tail"]:
             assert max(by["head"]) < min(by["tail"])
+
+
+def test_dsir_weights_favor_target_lang(spark, sf_dir):
+    """Documents in the DSIR target slice (lang='en') must average a
+    HIGHER importance logit than the rest of the corpus — that is the
+    whole point of the likelihood-ratio selector — and every doc with
+    >= 2 tokens must be scored."""
+    tables = load_tables(spark, sf_dir)
+    out = run("dsir_importance_weights", spark, sf_dir)
+    joined = out.join(tables["documents"].select("doc_id", "lang"), "doc_id")
+    rows = joined.collect()
+    n_scorable = (
+        tables["documents"]
+        .filter(F.size(F.split(F.trim("text"), r"\s+")) >= 2)
+        .count()
+    )
+    assert len(rows) == n_scorable
+    en = [r["avg_log_ratio"] for r in rows if r["lang"] == "en"]
+    other = [r["avg_log_ratio"] for r in rows if r["lang"] != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_zipf_fit_is_decreasing_log_log_line(spark, sf_dir):
+    """The Zipf OLS must produce a negative slope (frequency falls
+    with rank by construction of the ranking) with r² in (0, 1]."""
+    r = run("zipf_slope_fit", spark, sf_dir).collect()[0]
+    assert r["n_points"] >= 10
+    assert r["slope"] < 0
+    assert 0.0 < r["r2"] <= 1.0
+    # intercept anchors the fitted top-rank frequency near the
+    # actual max token count (same log-domain order of magnitude)
+    import math
+
+    top_freq_fitted = math.exp(r["intercept"])
+    assert top_freq_fitted > 1
+
+
+def test_bpe_pairs_hand_counted(spark):
+    """Corpus-weighted pair counts on a 3-word corpus, hand-checked:
+    'aba' x2 contributes ab x2, ba x2; 'ab' x1 contributes ab x1;
+    'x' contributes nothing (length 1)."""
+    from storm_data_etl_service_spark.operators.text import bpe_first_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aba ab aba"), (2, "x")], "doc_id long, text string"
+    )
+    rows = bpe_first_merges({"documents": docs}).collect()
+    got = {r["pair"]: (r["n"], r["rank"]) for r in rows}
+    assert got == {"ab": (3, 1), "ba": (2, 2)}
+
+
+def test_waterfill_sums_to_budget_and_saturates_small_caps(spark, sf_dir):
+    """Allocations must sum exactly to the integer budget; saturated
+    sources get exactly their cap; unsaturated allocations differ by
+    at most one token and all exceed every saturated cap."""
+    rows = run("token_budget_waterfill", spark, sf_dir).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    budget = total * 3 // 2
+    assert sum(r["alloc_tokens"] for r in rows) == budget
+    sat = [r for r in rows if r["saturated"]]
+    unsat = [r for r in rows if not r["saturated"]]
+    for r in sat:
+        assert r["alloc_tokens"] == r["cap_tokens"]
+        assert abs(r["epochs"] - r["cap_mult"]) < 1e-12
+    if unsat:
+        allocs = sorted(r["alloc_tokens"] for r in unsat)
+        assert allocs[-1] - allocs[0] <= 1
+        for r in unsat:
+            assert r["alloc_tokens"] <= r["cap_tokens"]
+        if sat:
+            assert min(allocs) >= max(r["cap_tokens"] for r in sat)
