@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     "ann_lsh_search",           # auto-width multi-probe bucketed ANN
     "neardup_triangle_estimate",  # DOULION branch alone (same-branch scaling pair)
     "ann_ivf_auto",             # K ∝ n IVF coarse quantizer (production knob)
+    # round-6 additions
+    "dsir_importance_weights",  # hashed-bigram DSIR logits, staged model
+    "bpe_first_merges",         # vocab-table char-pair merge statistics
 ]
 
 

@@ -4458,7 +4458,10 @@ _PRIORITY_WINDOW = [
     # revenue_mom_growth, grouped_top1_spender, weekly_churn_rate,
     # segmented_running_total, rfm_segment_counts, seasonality_profile,
     # hourly_autocorrelation, gini_by_source) stay swept by
-    # CORRECTNESS_FULL at 4 configs + 3 SFs and rotate in next round. ---
+    # CORRECTNESS_FULL at 4 configs + 3 SFs and rotate in next round,
+    # together with the four operators ADDED this round
+    # (dsir_importance_weights, zipf_slope_fit, bpe_first_merges,
+    # token_budget_waterfill — never-checked count after r6: 15). ---
     # this round's two contract fixes / re-registrations first
     "embedding_power_iteration", "embedding_label_centroids",
     "ann_lsh_search", "centroid_similarity_matrix",
