@@ -602,3 +602,18 @@ def test_ccnet_surprisal_model_computed_once(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") >= 2, plan[:1500]
     assert "split(" not in plan, plan[:1500]
+
+
+def test_dsir_doc_bucket_table_computed_once(spark, sf_dir):
+    """DSIR's (doc, bucket) count table feeds THREE consumers (raw
+    model, target model, probe); like the CCNet scored frame, column
+    pruning below an exchange would make the plan instances differ
+    and recompute the bigram explode+agg per consumer — hence the
+    lazy localCheckpoint.  The finalized plan must read the
+    checkpointed RDD on every side and contain ZERO instances of the
+    tokenizing pipeline (its split() would betray a recompute)."""
+    df = REGISTRY["dsir_importance_weights"].build(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") >= 3, plan[:1500]
+    assert "split(" not in plan, plan[:1500]
