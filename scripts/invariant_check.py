@@ -75,6 +75,10 @@ ENTRIES = (
     # and both entries read the shared verified-pair table.
     "dedup_ngram_jaccard",
     "fuzzy_neardup_distance",
+    # r6: consumes the same staged PPJoin pipeline — its registry
+    # oracle inlines the candidate SQL verbatim, so it inherits the
+    # same cold-cache fragility; the replay tail reads pp_v.
+    "minhash_band_calibration",
 )
 
 _GRAPH_ENTRIES = frozenset(
@@ -85,7 +89,9 @@ _GRAPH_ENTRIES = frozenset(
         "dedup_ladder_report",
     )
 )
-_PPJOIN_ENTRIES = frozenset(("dedup_ngram_jaccard", "fuzzy_neardup_distance"))
+_PPJOIN_ENTRIES = frozenset(
+    ("dedup_ngram_jaccard", "fuzzy_neardup_distance", "minhash_band_calibration")
+)
 
 #: r6: triangle-census entries are output-bound at sf1.6's full
 #: 13.9M-pair density (wedge enumeration, measured >50 GB oracle
@@ -177,7 +183,42 @@ SELECT doc_a, doc_b, levenshtein(da.p, db.p) AS prefix_edit_distance
 FROM pairs
 JOIN p40 da ON da.doc_id = doc_a
 JOIN p40 db ON db.doc_id = doc_b""",
+    # the registry oracle's banding tail over the staged verified
+    # pairs; {sr}/{miss} are registry._BAND_SR_SQL/_BAND_MISS_SQL so
+    # the IEEE multiply chains are the gate-proven text (filled in by
+    # _replay_sql at run time, keeping this module import-light)
+    "minhash_band_calibration": """WITH jp AS (
+  SELECT CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+  FROM pp_v
+  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.8),
+cfg AS (SELECT * FROM (VALUES (1, 12), (2, 6), (3, 4), (4, 3), (6, 2),
+                              (12, 1)) AS c(r_rows, n_bands)),
+e AS (
+  SELECT cast(r_rows AS INTEGER) AS r_rows,
+         cast(n_bands AS INTEGER) AS n_bands,
+         floor(jaccard * 20) / 20.0 AS jaccard_bucket,
+         cast(floor((1.0 - {miss}) * 1e9) AS BIGINT) AS pq
+  FROM (
+    SELECT r_rows, n_bands, jaccard, 1.0 - {sr} AS m
+    FROM jp CROSS JOIN cfg))
+SELECT r_rows, n_bands, jaccard_bucket,
+  count(*) AS n_pairs,
+  cast(sum(pq) AS DOUBLE) / 1e9 AS expected_detected,
+  cast(sum(pq) AS DOUBLE) / (1e9 * count(*)) AS detect_rate
+FROM e GROUP BY 1, 2, 3""",
 }
+
+
+def _replay_sql(name: str) -> str:
+    sql = _REPLAY_SELECT[name]
+    if name == "minhash_band_calibration":
+        from storm_data_etl_service_spark.operators.registry import (
+            _BAND_MISS_SQL,
+            _BAND_SR_SQL,
+        )
+
+        sql = sql.format(sr=_BAND_SR_SQL, miss=_BAND_MISS_SQL)
+    return sql
 
 
 def _load_cc_module():
@@ -382,7 +423,7 @@ def main() -> int:
         if name in SUBGRAPH_ENTRIES:
             rel = con_sub.sql(REGISTRY[name].oracle)
         else:
-            rel = con.sql(_REPLAY_SELECT[name])
+            rel = con.sql(_replay_sql(name))
         dcols_raw, dtypes_raw = list(rel.columns), list(rel.types)
         dcols, ddata = cc.normalize_result(dcols_raw, rel.fetchall())
         status = []

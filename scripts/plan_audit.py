@@ -100,6 +100,8 @@ BNLJ_JUSTIFIED = {
     "embedding_near_dup": "all-pairs cosine baseline, documented n^2/2 oracle anchor; dedup_minhash_lsh is the scale path",
     "semdedup_pairs": "K-row k-means centroid table (fixed K) + 1-row scalars",
     "crossmodal_dedup_agreement": "K-row centroid broadcast (semdedup side) + 1-row scalars",
+    "source_divergence_matrix": "S²/2-row source-pair grid broadcast (S = "
+    "#sources, single digits) + 1-row joint-vocab scalar",
 }
 
 

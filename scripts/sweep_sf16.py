@@ -78,6 +78,10 @@ REPLAY = [
     # tails — exact oracles, paid once.
     "dedup_ngram_jaccard",
     "fuzzy_neardup_distance",
+    # r6: same staged PPJoin pipeline (its oracle inlines the candidate
+    # SQL verbatim — one more inline run per chunk is exactly the
+    # cold-cache cost the staging exists to avoid)
+    "minhash_band_calibration",
 ]
 
 #: feasible but minutes-long oracles (measured at sf1.6: prefix-Jaccard

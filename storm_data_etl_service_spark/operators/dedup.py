@@ -921,3 +921,76 @@ def bloom_dedup_report(t, m: int | None = None) -> DataFrame:
             (bloom_hit | ~exact_hit).alias("no_false_negative"),
         )
     )
+
+
+def minhash_band_calibration(t) -> DataFrame:
+    """MinHash banding S-curve calibration against EXACT Jaccard ground
+    truth — the "which (bands, rows-per-band) config catches our actual
+    near-dup population?" readout run before trusting an LSH index at
+    corpus scale (Leskovec/Rajaraman/Ullman, MMDS ch. 3).
+
+    For every factorization r·b = MINHASH_SEEDS (12) and every 0.05
+    Jaccard bucket of the exact near-dup pairs (PPJoin prefix-filtered,
+    J ≥ 0.8 — the same shared-exchange pipeline as
+    ``dedup_jaccard_prefix_join``), the expected detection probability
+    1 − (1 − s^r)^b is evaluated per pair and aggregated.  A config
+    whose detect_rate sags in the buckets the corpus actually occupies
+    needs more bands (or fewer rows) BEFORE the index is built — this
+    table prices that trade without re-hashing anything.
+
+    Determinism: s^r and (1−s^r)^b are expanded as explicit IEEE
+    multiply chains (never ``pow``, whose libm vs JVM results differ in
+    ulps), each pair's probability floor-quantized to 1e-9 and summed
+    as BIGINT — partition-order exact, oracle-bit-identical.
+
+    Scale: cost is the prefix-join pair table (the exact-at-scale
+    path) × 6 config rows — output is ≤ 6 configs · 5 buckets rows.
+    """
+    pairs = _jaccard_pairs_from_ranked(_ranked_shingles(_doc_shingles(t)))
+    s = F.col("jaccard")
+    s2, s3 = s * s, s * s * s
+    s4, s6 = (s * s) * (s * s), (s * s * s) * (s * s * s)
+    s12 = ((s * s * s) * (s * s * s)) * ((s * s * s) * (s * s * s))
+
+    def miss_pow(sr, b: int):
+        m = F.lit(1.0) - sr
+        if b == 1:
+            return m
+        if b == 2:
+            return m * m
+        if b == 3:
+            return m * m * m
+        if b == 4:
+            return (m * m) * (m * m)
+        if b == 6:
+            return (m * m * m) * (m * m * m)
+        if b == 12:
+            return ((m * m * m) * (m * m * m)) * ((m * m * m) * (m * m * m))
+        raise ValueError(b)
+
+    configs = [(1, 12, s), (2, 6, s2), (3, 4, s3), (4, 3, s4), (6, 2, s6), (12, 1, s12)]
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("integer").alias("r_rows"),
+                F.lit(b).cast("integer").alias("n_bands"),
+                F.floor((F.lit(1.0) - miss_pow(sr, b)) * 1e9)
+                .cast("long")
+                .alias("pq"),
+            )
+            for r, b, sr in configs
+        ]
+    )
+    exploded = pairs.select(
+        (F.floor(s * 20) / 20.0).alias("jaccard_bucket"), F.inline(entries)
+    )
+    return (
+        exploded.groupBy("r_rows", "n_bands", "jaccard_bucket")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            (F.sum("pq").cast("double") / 1e9).alias("expected_detected"),
+            (F.sum("pq").cast("double") / (F.lit(1e9) * F.count("*"))).alias(
+                "detect_rate"
+            ),
+        )
+    )

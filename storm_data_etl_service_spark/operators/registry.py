@@ -4436,6 +4436,103 @@ FROM alloc""",
 )
 
 
+REGISTRY["source_divergence_matrix"] = QuerySpec(
+    _t(X.source_divergence_matrix),
+    r"""WITH tl AS (
+  SELECT source,
+    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       x -> x != '')) AS token
+  FROM documents),
+tc AS (SELECT source, token, count(*) AS n FROM tl GROUP BY 1, 2),
+totals AS (
+  SELECT source, cast(sum(n) AS BIGINT) AS n_tok, count(*) AS v_src
+  FROM tc GROUP BY source),
+voc AS (SELECT count(DISTINCT token) AS v FROM tc),
+pairs AS (
+  SELECT a.source AS s1, b.source AS s2,
+         a.n_tok + v AS den1, b.n_tok + v AS den2,
+         a.v_src AS v1, b.v_src AS v2, v
+  FROM totals a, totals b, voc WHERE a.source < b.source),
+toks AS (SELECT DISTINCT token FROM tc),
+grid AS (
+  SELECT p.s1, p.s2, p.den1, p.den2, p.v1, p.v2, p.v,
+         coalesce(a.n, 0) AS na, coalesce(b.n, 0) AS nb
+  FROM pairs p
+  CROSS JOIN toks t
+  LEFT JOIN tc a ON a.token = t.token AND a.source = p.s1
+  LEFT JOIN tc b ON b.token = t.token AND b.source = p.s2
+  WHERE coalesce(a.n, 0) > 0 OR coalesce(b.n, 0) > 0),
+terms AS (
+  SELECT s1, s2, den1, den2, v1, v2, v, na, nb,
+    (na + 1) * den2 + (nb + 1) * den1 AS dd
+  FROM grid),
+agg AS (
+  SELECT s1, s2, max(den1) AS den1, max(den2) AS den2,
+    max(v1) AS v1, max(v2) AS v2, max(v) AS v,
+    cast(sum((na + 1) * cast(floor(ln(
+      cast(2 * (na + 1) * den2 AS DOUBLE) / cast(dd AS DOUBLE)) * 1e6)
+      AS BIGINT)) AS BIGINT) AS sp,
+    cast(sum((nb + 1) * cast(floor(ln(
+      cast(2 * (nb + 1) * den1 AS DOUBLE) / cast(dd AS DOUBLE)) * 1e6)
+      AS BIGINT)) AS BIGINT) AS sq,
+    count(*) AS n_union,
+    cast(sum(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_overlap
+  FROM terms GROUP BY s1, s2)
+SELECT s1 AS source_a, s2 AS source_b,
+  v1 AS vocab_a, v2 AS vocab_b,
+  n_overlap AS vocab_overlap, n_union AS vocab_union,
+  cast(n_overlap AS DOUBLE) / n_union AS vocab_jaccard,
+  cast(sp + (v - n_union) * cast(floor(ln(
+      cast(2 * den2 AS DOUBLE) / cast(den1 + den2 AS DOUBLE)) * 1e6)
+      AS BIGINT) AS DOUBLE) / (cast(den1 AS DOUBLE) * 2e6)
+  + cast(sq + (v - n_union) * cast(floor(ln(
+      cast(2 * den1 AS DOUBLE) / cast(den1 + den2 AS DOUBLE)) * 1e6)
+      AS BIGINT) AS DOUBLE) / (cast(den2 AS DOUBLE) * 2e6)
+    AS js_divergence_nats
+FROM agg""",
+    ("text", "curation", "divergence", "mixture"),
+)
+
+
+_BAND_SR_SQL = """CASE r_rows
+  WHEN 1 THEN jaccard WHEN 2 THEN jaccard * jaccard
+  WHEN 3 THEN jaccard * jaccard * jaccard
+  WHEN 4 THEN (jaccard * jaccard) * (jaccard * jaccard)
+  WHEN 6 THEN (jaccard * jaccard * jaccard) * (jaccard * jaccard * jaccard)
+  ELSE ((jaccard * jaccard * jaccard) * (jaccard * jaccard * jaccard))
+     * ((jaccard * jaccard * jaccard) * (jaccard * jaccard * jaccard))
+  END"""
+
+_BAND_MISS_SQL = """CASE n_bands
+  WHEN 1 THEN m WHEN 2 THEN m * m WHEN 3 THEN m * m * m
+  WHEN 4 THEN (m * m) * (m * m)
+  WHEN 6 THEN (m * m * m) * (m * m * m)
+  ELSE ((m * m * m) * (m * m * m)) * ((m * m * m) * (m * m * m))
+  END"""
+
+REGISTRY["minhash_band_calibration"] = QuerySpec(
+    _t(D.minhash_band_calibration),
+    f"""WITH jp AS ({_NGRAM_JACCARD_ORACLE}),
+cfg AS (SELECT * FROM (VALUES (1, 12), (2, 6), (3, 4), (4, 3), (6, 2),
+                              (12, 1)) AS c(r_rows, n_bands)),
+e AS (
+  SELECT cast(r_rows AS INTEGER) AS r_rows,
+         cast(n_bands AS INTEGER) AS n_bands,
+         floor(jaccard * 20) / 20.0 AS jaccard_bucket,
+         cast(floor((1.0 - {_BAND_MISS_SQL}) * 1e9) AS BIGINT) AS pq
+  FROM (
+    SELECT r_rows, n_bands, jaccard, 1.0 - {_BAND_SR_SQL} AS m
+    FROM jp CROSS JOIN cfg))
+SELECT r_rows, n_bands, jaccard_bucket,
+  count(*) AS n_pairs,
+  cast(sum(pq) AS DOUBLE) / 1e9 AS expected_detected,
+  cast(sum(pq) AS DOUBLE) / (1e9 * count(*)) AS detect_rate
+FROM e GROUP BY 1, 2, 3""",
+    ("dedup", "minhash", "lsh", "calibration"),
+)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST
 # 50 ``queries()`` entries each round, so the window is curated to cover
@@ -4459,9 +4556,10 @@ _PRIORITY_WINDOW = [
     # segmented_running_total, rfm_segment_counts, seasonality_profile,
     # hourly_autocorrelation, gini_by_source) stay swept by
     # CORRECTNESS_FULL at 4 configs + 3 SFs and rotate in next round,
-    # together with the four operators ADDED this round
+    # together with the six operators ADDED this round
     # (dsir_importance_weights, zipf_slope_fit, bpe_first_merges,
-    # token_budget_waterfill — never-checked count after r6: 15). ---
+    # token_budget_waterfill, source_divergence_matrix,
+    # minhash_band_calibration — never-checked count after r6: 17). ---
     # this round's two contract fixes / re-registrations first
     "embedding_power_iteration", "embedding_label_centroids",
     "ann_lsh_search", "centroid_similarity_matrix",

@@ -1433,3 +1433,114 @@ def bpe_first_merges(t) -> DataFrame:
     return topk.select(
         "pair", "n", F.row_number().over(w).cast("integer").alias("rank")
     )
+
+
+def source_divergence_matrix(t) -> DataFrame:
+    """Pairwise source-distribution comparison: Jensen-Shannon
+    divergence between per-source unigram distributions plus vocabulary
+    overlap — the "is source B statistically redundant with source A?"
+    readout that drives mixture-weight and per-source-cap decisions
+    before committing a 100 TB training mix.
+
+    Distributions are add-one smoothed over the JOINT corpus vocabulary
+    (so absent tokens carry probability mass and the divergence is
+    finite and symmetric); JSD = Σ p/2·ln(p/m) + q/2·ln(q/m) with
+    m = (p+q)/2.  Every ln argument is a ratio of exact BIGINT
+    products, the ln itself floor-quantized at 1e-6 (the portable-ln
+    contract), and the per-token terms summed as BIGINT — so the
+    aggregation is partition-order exact.
+
+    Scale: ONE (source, token) count aggregation (map-side combined),
+    collapsed to a vocab-sized per-token source map; the pair grid is
+    |vocab| × S²/2 rows with S = #sources (single digits), and the
+    tokens absent from BOTH sources of a pair — the bulk of the joint
+    vocabulary at scale — contribute through one CLOSED-FORM term per
+    pair instead of a row apiece.  Nothing after the first aggregation
+    is corpus-sized.
+    """
+    # the (source, token) count table feeds THREE consumers (per-token
+    # source map, per-source totals, joint-vocab count); staged once
+    # (lazy localCheckpoint, the dsir_importance_weights pattern) so
+    # the corpus-sized explode+agg runs once — everything after it is
+    # vocab-sized.
+    tf = (
+        t["documents"]
+        .select("source", F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tok_map = tf.groupBy("token").agg(
+        F.map_from_entries(F.collect_list(F.struct("source", "n"))).alias("m")
+    )
+    totals = tf.groupBy("source").agg(
+        F.sum("n").alias("n_tok"), F.count("*").alias("v_src")
+    )
+    vocab = tf.agg(F.count_distinct("token").alias("v"))
+    pairs = (
+        totals.alias("a")
+        .crossJoin(totals.alias("b"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .crossJoin(vocab)
+        .select(
+            F.col("a.source").alias("s1"),
+            F.col("b.source").alias("s2"),
+            (F.col("a.n_tok") + F.col("v")).alias("den1"),
+            (F.col("b.n_tok") + F.col("v")).alias("den2"),
+            F.col("a.v_src").alias("v1"),
+            F.col("b.v_src").alias("v2"),
+            F.col("v"),
+        )
+    )
+
+    na = F.coalesce(F.element_at("m", F.col("s1")), F.lit(0)).cast("long")
+    nb = F.coalesce(F.element_at("m", F.col("s2")), F.lit(0)).cast("long")
+    grid = (
+        tok_map.crossJoin(F.broadcast(pairs))
+        .withColumn("na", na)
+        .withColumn("nb", nb)
+        .filter((F.col("na") > 0) | (F.col("nb") > 0))
+    )
+    # p/m and q/m as exact-integer ratios: p = (na+1)/den1,
+    # q = (nb+1)/den2, m = (p+q)/2 ⇒ p/m = 2(na+1)·den2 / D with
+    # D = (na+1)·den2 + (nb+1)·den1 (all BIGINT; ≤ ~1e13 at sf1.6).
+    big_d = (F.col("na") + 1) * F.col("den2") + (F.col("nb") + 1) * F.col("den1")
+    qln_p = F.floor(
+        F.log((2 * (F.col("na") + 1) * F.col("den2")).cast("double") / big_d.cast("double")) * 1e6
+    ).cast("long")
+    qln_q = F.floor(
+        F.log((2 * (F.col("nb") + 1) * F.col("den1")).cast("double") / big_d.cast("double")) * 1e6
+    ).cast("long")
+    agg = grid.groupBy("s1", "s2").agg(
+        F.max("den1").alias("den1"),
+        F.max("den2").alias("den2"),
+        F.max("v1").alias("v1"),
+        F.max("v2").alias("v2"),
+        F.max("v").alias("v"),
+        F.sum((F.col("na") + 1) * qln_p).alias("sp"),
+        F.sum((F.col("nb") + 1) * qln_q).alias("sq"),
+        F.count("*").alias("n_union"),
+        F.sum(((F.col("na") > 0) & (F.col("nb") > 0)).cast("long")).alias("n_overlap"),
+    )
+    # tokens in NEITHER source: na = nb = 0 ⇒ one closed-form term,
+    # (v - n_union) of them per pair.
+    n0 = F.col("v") - F.col("n_union")
+    qln_p0 = F.floor(
+        F.log((2 * F.col("den2")).cast("double") / (F.col("den1") + F.col("den2")).cast("double")) * 1e6
+    ).cast("long")
+    qln_q0 = F.floor(
+        F.log((2 * F.col("den1")).cast("double") / (F.col("den1") + F.col("den2")).cast("double")) * 1e6
+    ).cast("long")
+    jsd = (F.col("sp") + n0 * qln_p0).cast("double") / (
+        F.col("den1").cast("double") * 2e6
+    ) + (F.col("sq") + n0 * qln_q0).cast("double") / (F.col("den2").cast("double") * 2e6)
+    return agg.select(
+        F.col("s1").alias("source_a"),
+        F.col("s2").alias("source_b"),
+        F.col("v1").alias("vocab_a"),
+        F.col("v2").alias("vocab_b"),
+        F.col("n_overlap").alias("vocab_overlap"),
+        F.col("n_union").alias("vocab_union"),
+        (F.col("n_overlap").cast("double") / F.col("n_union")).alias("vocab_jaccard"),
+        jsd.alias("js_divergence_nats"),
+    )

@@ -1926,3 +1926,125 @@ def test_waterfill_sums_to_budget_and_saturates_small_caps(spark, sf_dir):
             assert r["alloc_tokens"] <= r["cap_tokens"]
         if sat:
             assert min(allocs) >= max(r["cap_tokens"] for r in sat)
+
+
+def test_source_divergence_identical_vs_disjoint(spark):
+    """Two sources with identical token multisets must sit at exactly
+    JSD = 0 / vocab-Jaccard = 1; two sources with disjoint vocabularies
+    must land near the ln 2 ceiling with zero overlap."""
+    import math
+
+    from storm_data_etl_service_spark.operators.text import (
+        source_divergence_matrix,
+    )
+
+    docs = [
+        (1, "sA", "alpha beta gamma alpha"),
+        (2, "sB", "beta alpha alpha gamma"),
+        (3, "sC", "delta epsilon zeta delta epsilon"),
+        (4, "sD", "eta theta iota kappa eta"),
+    ]
+    sdf = spark.createDataFrame(
+        docs, "doc_id long, source string, text string"
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_divergence_matrix({"documents": sdf}).collect()
+    }
+    same = out[("sA", "sB")]
+    assert same["js_divergence_nats"] == 0.0
+    assert same["vocab_jaccard"] == 1.0
+    disjoint = out[("sC", "sD")]
+    assert disjoint["vocab_overlap"] == 0
+    # add-one smoothing over the joint vocabulary flattens tiny
+    # corpora hard (each source holds 5 of 12+v smoothed cells), so
+    # assert the ordering invariants, not a magnitude: disjoint > 0,
+    # bounded by the ln 2 JSD ceiling
+    assert 0.0 < disjoint["js_divergence_nats"] <= math.log(2.0)
+    # all 4C2 = 6 unordered pairs present, each exactly once
+    assert len(out) == 6
+
+
+def test_source_divergence_python_model(spark):
+    """Exact equality against an independent pure-Python JSD with the
+    same add-one smoothing and floor-1e-6 ln quantization."""
+    import math
+    from collections import Counter
+
+    from storm_data_etl_service_spark.operators.text import (
+        source_divergence_matrix,
+    )
+
+    docs = [
+        (1, "p", "x y z x y x w"),
+        (2, "p", "y y v"),
+        (3, "q", "x q q z"),
+        (4, "q", "r r r y x"),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    row = source_divergence_matrix({"documents": sdf}).collect()[0]
+
+    counts = {"p": Counter(), "q": Counter()}
+    for _, src, text in docs:
+        counts[src].update(text.split())
+    vocab = set(counts["p"]) | set(counts["q"])
+    v = len(vocab)
+    den1 = sum(counts["p"].values()) + v
+    den2 = sum(counts["q"].values()) + v
+    sp = sq = 0
+    for tok in vocab:
+        na, nb = counts["p"][tok], counts["q"][tok]
+        dd = (na + 1) * den2 + (nb + 1) * den1
+        sp += (na + 1) * math.floor(math.log(2 * (na + 1) * den2 / dd) * 1e6)
+        sq += (nb + 1) * math.floor(math.log(2 * (nb + 1) * den1 / dd) * 1e6)
+    expected = sp / (den1 * 2e6) + sq / (den2 * 2e6)
+    assert abs(row["js_divergence_nats"] - expected) < 1e-12
+    assert row["vocab_union"] == v  # every token occurs in p or q here
+    assert row["vocab_overlap"] == len(set(counts["p"]) & set(counts["q"]))
+
+
+def test_band_calibration_python_model(spark):
+    """The banding S-curve table must equal a pure-Python evaluation of
+    1-(1-s^r)^b over the exact >= 0.8 Jaccard pairs, and more bands
+    must never lower the detection rate at equal signature budget."""
+    import math
+
+    from storm_data_etl_service_spark.operators.dedup import (
+        minhash_band_calibration,
+    )
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    docs = [
+        (1, "s", base),
+        (2, "s", base + " w13"),          # J = 10/11 ~ 0.909
+        (3, "s", base),                   # J = 1.0 with doc 1
+        (4, "s", "a b c d e f g h i j"),  # unrelated
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    out = minhash_band_calibration({"documents": sdf}).collect()
+    got = {
+        (r["r_rows"], r["n_bands"], r["jaccard_bucket"]): r for r in out
+    }
+
+    # ground-truth pairs: (1,3) J=1.0; (1,2) and (2,3) share 10 of the
+    # 11 union 3-gram shingles
+    pair_j = [1.0, 10 / 11, 10 / 11]
+    expected = {}
+    for r_rows, n_bands in [(1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1)]:
+        for j in pair_j:
+            bucket = math.floor(j * 20) / 20.0
+            p = 1.0 - (1.0 - j**r_rows) ** n_bands
+            key = (r_rows, n_bands, bucket)
+            n, s = expected.get(key, (0, 0))
+            expected[key] = (n + 1, s + math.floor(p * 1e9))
+    assert set(got) == set(expected)
+    for key, (n, s) in expected.items():
+        assert got[key]["n_pairs"] == n
+        assert abs(got[key]["expected_detected"] - s / 1e9) < 1e-12
+    # equal budget, finer banding detects at least as well at J=0.909
+    b05 = math.floor((10 / 11) * 20) / 20.0
+    assert (
+        got[(1, 12, b05)]["detect_rate"]
+        >= got[(6, 2, b05)]["detect_rate"]
+        >= got[(12, 1, b05)]["detect_rate"]
+    )
