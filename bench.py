@@ -95,6 +95,9 @@ BENCH_QUERIES = [
     # round-6 additions
     "dsir_importance_weights",  # hashed-bigram DSIR logits, staged model
     "bpe_first_merges",         # vocab-table char-pair merge statistics
+    "source_divergence_matrix",  # staged (source,token) counts → vocab-sized JSD grid
+    "minhash_band_calibration",  # banding S-curve over the shared PPJoin pairs
+    "quality_gate_agreement",   # CCNet × Gopher × linear-gate calibration cells
 ]
 
 

@@ -102,6 +102,8 @@ BNLJ_JUSTIFIED = {
     "crossmodal_dedup_agreement": "K-row centroid broadcast (semdedup side) + 1-row scalars",
     "source_divergence_matrix": "S²/2-row source-pair grid broadcast (S = "
     "#sources, single digits) + 1-row joint-vocab scalar",
+    "dsir_importance_weights": "1-row raw/target model-total scalars crossed "
+    "onto the fixed 4096-row bucket model table",
 }
 
 

@@ -125,7 +125,8 @@ def main() -> int:
     graph_trio = ("neardup_components", "pagerank_neardup",
                   "neardup_cluster_representative")
     chunks = [
-        ("invariant_check.py", ["dedup_ngram_jaccard", "fuzzy_neardup_distance"]),
+        ("invariant_check.py", ["dedup_ngram_jaccard", "fuzzy_neardup_distance",
+                                "minhash_band_calibration"]),
         # triangle trio: exact induced-subgraph replay (shares one
         # filtered pair-graph build inside invariant_check)
         ("invariant_check.py", SUBGRAPH),
@@ -134,6 +135,13 @@ def main() -> int:
     ]
     chunks += [("check_correctness.py", light[i : i + 18]) for i in range(0, len(light), 18)]
     chunks += [("check_correctness.py", [n]) for n in heavy]
+    # every non-excluded entry must be scheduled exactly once — a
+    # REPLAY/SUBGRAPH name missing from the hand-built chunks above
+    # would otherwise be silently skipped (not even a no-result row)
+    covered = [n for _, chunk in chunks for n in chunk]
+    missing = [n for n in REGISTRY if n not in EXCLUDE and n not in covered]
+    assert not missing, f"entries not scheduled in any chunk: {missing}"
+    assert len(covered) == len(set(covered)), "entry scheduled twice"
     ok, fail, timed_out = [], [], []
     for ci, (script, chunk) in enumerate(chunks):
         print(f"chunk {ci + 1}/{len(chunks)}: {chunk[0]}..{chunk[-1]}", flush=True)

@@ -4533,6 +4533,49 @@ FROM e GROUP BY 1, 2, 3""",
 )
 
 
+REGISTRY["quality_gate_agreement"] = QuerySpec(
+    # Composes the CCNet and linear-score oracles verbatim (nested-CTE
+    # subqueries, the dedup_ladder pattern) plus a doc-granular lift
+    # of gopher_quality_flags' rule CTEs.
+    _t(X.quality_gate_agreement),
+    f"""WITH cc AS ({REGISTRY["ccnet_perplexity_buckets"].oracle}),
+qs AS ({REGISTRY["quality_linear_score"].oracle}),
+gdoc AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS ts,
+    length(text) - length(replace(text, '#', '')) AS hash_chars,
+    (length(text) - length(replace(text, '...', ''))) // 3 AS ell
+  FROM documents),
+gperdoc AS (
+  SELECT doc_id, len(ts) AS n,
+    coalesce(list_sum(list_transform(ts, x -> length(x))), 0) AS sum_len,
+    len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+    len(list_intersect(ts,
+        ['the','be','to','of','and','that','have','with'])) AS n_stop,
+    hash_chars + ell AS n_sym
+  FROM gdoc),
+gd AS (
+  SELECT doc_id,
+    NOT ((NOT (n BETWEEN 50 AND 100000))
+      OR (n > 0 AND NOT (sum_len BETWEEN 3 * n AND 10 * n))
+      OR (n_sym * 10 > n)
+      OR (n_alpha * 5 < n * 4)
+      OR (n_stop < 2)) AS gopher_keep
+  FROM gperdoc)
+SELECT cc.bucket AS ppl_bucket, gd.gopher_keep,
+  count(*) AS n_docs,
+  cast(sum(cc.ppl_bin) AS DOUBLE) / count(*) AS avg_ppl_bin,
+  cast(sum(qs.logit) AS BIGINT) AS sum_logit,
+  cast(sum(qs.logit) AS DOUBLE) / cast(sum(qs.n_feats) AS BIGINT)
+    AS avg_feat_score,
+  cast(sum(CASE WHEN qs.verdict = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_verdict_keep
+FROM cc JOIN gd USING (doc_id) JOIN qs USING (doc_id)
+GROUP BY 1, 2""",
+    ("text", "quality", "curation", "calibration"),
+)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST
 # 50 ``queries()`` entries each round, so the window is curated to cover
@@ -4556,10 +4599,11 @@ _PRIORITY_WINDOW = [
     # segmented_running_total, rfm_segment_counts, seasonality_profile,
     # hourly_autocorrelation, gini_by_source) stay swept by
     # CORRECTNESS_FULL at 4 configs + 3 SFs and rotate in next round,
-    # together with the six operators ADDED this round
+    # together with the seven operators ADDED this round
     # (dsir_importance_weights, zipf_slope_fit, bpe_first_merges,
     # token_budget_waterfill, source_divergence_matrix,
-    # minhash_band_calibration — never-checked count after r6: 17). ---
+    # minhash_band_calibration, quality_gate_agreement —
+    # never-checked count after r6: 18). ---
     # this round's two contract fixes / re-registrations first
     "embedding_power_iteration", "embedding_label_centroids",
     "ann_lsh_search", "centroid_similarity_matrix",

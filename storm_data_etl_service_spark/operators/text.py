@@ -1094,6 +1094,26 @@ def gopher_quality_flags(t) -> DataFrame:
     this pipelines with the scan; every comparison is integer so the
     flags (and the oracle hash) are engine-exact.
     """
+    flagged = gopher_doc_flags(t).drop("doc_id")
+    cnt = lambda c: F.sum(F.col(c).cast("long")).alias("n_fail_" + c[2:])
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        cnt("f_words"),
+        cnt("f_mean"),
+        cnt("f_sym"),
+        cnt("f_alpha"),
+        cnt("f_stop"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        (F.sum(F.col("keep").cast("long")).cast("double") / F.count("*")).alias(
+            "keep_rate"
+        ),
+    )
+
+
+def gopher_doc_flags(t) -> DataFrame:
+    """Per-document Gopher rule flags — the map-only evaluation stage
+    shared by ``gopher_quality_flags`` (per-source aggregate) and
+    ``quality_gate_agreement`` (cross-gate calibration)."""
     toks = tokens_col(F.col("text"))
     n = F.size("_toks").cast("long")
     sum_len = F.aggregate(
@@ -1123,7 +1143,8 @@ def gopher_quality_flags(t) -> DataFrame:
     f_stop = n_stop < GOPHER_MIN_STOPWORDS
     keep = ~(f_words | f_mean | f_sym | f_alpha | f_stop)
 
-    flagged = t["documents"].withColumn("_toks", toks).select(
+    return t["documents"].withColumn("_toks", toks).select(
+        "doc_id",
         "source",
         f_words.alias("f_words"),
         f_mean.alias("f_mean"),
@@ -1131,19 +1152,6 @@ def gopher_quality_flags(t) -> DataFrame:
         f_alpha.alias("f_alpha"),
         f_stop.alias("f_stop"),
         keep.alias("keep"),
-    )
-    cnt = lambda c: F.sum(F.col(c).cast("long")).alias("n_fail_" + c[2:])
-    return flagged.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        cnt("f_words"),
-        cnt("f_mean"),
-        cnt("f_sym"),
-        cnt("f_alpha"),
-        cnt("f_stop"),
-        F.sum(F.col("keep").cast("long")).alias("n_keep"),
-        (F.sum(F.col("keep").cast("long")).cast("double") / F.count("*")).alias(
-            "keep_rate"
-        ),
     )
 
 
@@ -1543,4 +1551,41 @@ def source_divergence_matrix(t) -> DataFrame:
         F.col("n_union").alias("vocab_union"),
         (F.col("n_overlap").cast("double") / F.col("n_union")).alias("vocab_jaccard"),
         jsd.alias("js_divergence_nats"),
+    )
+
+
+def quality_gate_agreement(t) -> DataFrame:
+    """Cross-gate calibration: do the three independent published
+    quality gates — CCNet perplexity terciles, the Gopher heuristic
+    rule suite, and the hashed-feature linear classifier — select the
+    same documents?  One row per (perplexity bucket × Gopher keep)
+    cell with the cell's population, mean perplexity bin, and the
+    linear gate's aggregate score / keep count.
+
+    A cell like (tail, keep=true, high linear score) flags documents
+    the perplexity gate would discard but both other gates endorse —
+    exactly the disagreement surface a curation owner reviews before
+    committing thresholds for a 100 TB run.
+
+    Determinism: every aggregated quantity is an exact integer
+    (ppl_bin, logit, n_feats are BIGINT) with the double ratios taken
+    once after the sums — partition-order exact.
+
+    Scale: the Gopher and linear-score inputs are map-only per-doc
+    projections; the CCNet input is the bigram-surprisal pipeline
+    (aggregate-sized model + histogram cutoffs).  The two joins are
+    doc-keyed equi-joins feeding ONE final aggregation of ≤ 6 cells.
+    """
+    cc = ccnet_perplexity_buckets(t).select(
+        "doc_id", "ppl_bin", F.col("bucket").alias("ppl_bucket")
+    )
+    gd = gopher_doc_flags(t).select("doc_id", F.col("keep").alias("gopher_keep"))
+    qs = quality_linear_score(t).select("doc_id", "n_feats", "logit", "verdict")
+    j = cc.join(gd, "doc_id").join(qs, "doc_id")
+    return j.groupBy("ppl_bucket", "gopher_keep").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("ppl_bin").cast("double") / F.count("*")).alias("avg_ppl_bin"),
+        F.sum("logit").alias("sum_logit"),
+        (F.sum("logit").cast("double") / F.sum("n_feats")).alias("avg_feat_score"),
+        F.sum((F.col("verdict") == "keep").cast("long")).alias("n_verdict_keep"),
     )

@@ -2048,3 +2048,55 @@ def test_band_calibration_python_model(spark):
         >= got[(6, 2, b05)]["detect_rate"]
         >= got[(12, 1, b05)]["detect_rate"]
     )
+
+
+def test_quality_gate_agreement_partitions_and_consistency(spark, sf_dir):
+    """The agreement cells must partition the >= 2-token corpus (the
+    CCNet join boundary), stay within the tercile vocabulary, and the
+    verdict-keep tally must reconcile with quality_linear_score."""
+    from storm_data_etl_service_spark.operators.text import (
+        ccnet_perplexity_buckets,
+        quality_linear_score,
+    )
+    from storm_data_etl_service_spark.schemas import load_tables
+
+    rows = run("quality_gate_agreement", spark, sf_dir).collect()
+    assert rows, "no cells"
+    assert {r["ppl_bucket"] for r in rows} <= {"head", "middle", "tail"}
+    t = load_tables(spark, sf_dir)
+    scored = ccnet_perplexity_buckets(t).count()
+    assert sum(r["n_docs"] for r in rows) == scored
+    # verdict keeps across cells == linear-score keeps on the same
+    # >= 2-token population
+    qs = quality_linear_score(t).join(
+        ccnet_perplexity_buckets(t).select("doc_id"), "doc_id"
+    )
+    n_keep = qs.filter(F.col("verdict") == "keep").count()
+    assert sum(r["n_verdict_keep"] for r in rows) == n_keep
+
+
+def test_quality_gate_agreement_synthetic_cells(spark):
+    """Synthetic corpus exercising BOTH gopher_keep values: fluent
+    long docs with stopwords (keep=true) vs stopword-free word soup
+    (keep=false); every doc must land in exactly one cell."""
+    from storm_data_etl_service_spark.operators.text import (
+        quality_gate_agreement,
+    )
+
+    fluent = " ".join(["the cat sat of the mat and that dog have fun with it"] * 6)
+    soup = " ".join(["zxq wvu tsr qpo nml"] * 16)
+    docs = [
+        (1, "en", "sA", fluent),
+        (2, "en", "sA", fluent + " extra tail words here"),
+        (3, "en", "sB", soup),
+        (4, "en", "sB", soup + " jkl hgf"),
+    ]
+    sdf = spark.createDataFrame(
+        docs, "doc_id long, lang string, source string, text string"
+    )
+    out = quality_gate_agreement({"documents": sdf}).collect()
+    assert sum(r["n_docs"] for r in out) == 4
+    by_keep = {}
+    for r in out:
+        by_keep[r["gopher_keep"]] = by_keep.get(r["gopher_keep"], 0) + r["n_docs"]
+    assert by_keep == {True: 2, False: 2}
