@@ -244,6 +244,12 @@ FLAG_NOTES = {
         "output-bound on the shuffled corpus for the same reason as the "
         "prefix join; see the natural-density corpus exponent below."
     ),
+    "minhash_band_calibration": (
+        "consumes the prefix join's pair table (then a fixed ×6 config "
+        "fan-out), so it inherits the shuffled corpus's inflated pair "
+        "OUTPUT one-for-one; the natural-density corpus exponent below "
+        "({nat_exp}) measures the plan itself."
+    ),
     "dedup_ladder_report": (
         "inherits rung 2's output-bound growth on the shuffled corpus "
         "(the PPJoin prefix join above).  All four rungs are the "
@@ -298,6 +304,9 @@ DEDUP_FAMILY = [
     # under WEDGE_CUTOVER (census) at both natural points, the two
     # entries give a SAME-BRANCH exponent for each dispatcher arm
     "neardup_triangle_estimate",
+    # r6: consumes the prefix-join pair table, so it inherits the
+    # shuffled corpus's inflated pair OUTPUT exactly like the rungs
+    "minhash_band_calibration",
 ]
 
 
