@@ -4463,18 +4463,23 @@ grid AS (
   LEFT JOIN tc b ON b.token = t.token AND b.source = p.s2
   WHERE coalesce(a.n, 0) > 0 OR coalesce(b.n, 0) > 0),
 terms AS (
+  -- ln-argument products in DOUBLE with the same association order as
+  -- the Spark side ((2·x)·y; x·y + x·y): BIGINT products are O(n_tok²)
+  -- and overflow past ~3e9 tokens/source.  Term products + sums in
+  -- HUGEINT = the Spark side's DECIMAL(38,0), integer-for-integer.
   SELECT s1, s2, den1, den2, v1, v2, v, na, nb,
-    (na + 1) * den2 + (nb + 1) * den1 AS dd
+    cast(na + 1 AS DOUBLE) * cast(den2 AS DOUBLE)
+      + cast(nb + 1 AS DOUBLE) * cast(den1 AS DOUBLE) AS dd
   FROM grid),
 agg AS (
   SELECT s1, s2, max(den1) AS den1, max(den2) AS den2,
     max(v1) AS v1, max(v2) AS v2, max(v) AS v,
-    cast(sum((na + 1) * cast(floor(ln(
-      cast(2 * (na + 1) * den2 AS DOUBLE) / cast(dd AS DOUBLE)) * 1e6)
-      AS BIGINT)) AS BIGINT) AS sp,
-    cast(sum((nb + 1) * cast(floor(ln(
-      cast(2 * (nb + 1) * den1 AS DOUBLE) / cast(dd AS DOUBLE)) * 1e6)
-      AS BIGINT)) AS BIGINT) AS sq,
+    sum(cast(na + 1 AS HUGEINT) * cast(floor(ln(
+      2.0 * cast(na + 1 AS DOUBLE) * cast(den2 AS DOUBLE) / dd) * 1e6)
+      AS BIGINT)) AS sp,
+    sum(cast(nb + 1 AS HUGEINT) * cast(floor(ln(
+      2.0 * cast(nb + 1 AS DOUBLE) * cast(den1 AS DOUBLE) / dd) * 1e6)
+      AS BIGINT)) AS sq,
     count(*) AS n_union,
     cast(sum(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END) AS BIGINT)
       AS n_overlap
@@ -4483,13 +4488,14 @@ SELECT s1 AS source_a, s2 AS source_b,
   v1 AS vocab_a, v2 AS vocab_b,
   n_overlap AS vocab_overlap, n_union AS vocab_union,
   cast(n_overlap AS DOUBLE) / n_union AS vocab_jaccard,
+  greatest(
   cast(sp + (v - n_union) * cast(floor(ln(
       cast(2 * den2 AS DOUBLE) / cast(den1 + den2 AS DOUBLE)) * 1e6)
       AS BIGINT) AS DOUBLE) / (cast(den1 AS DOUBLE) * 2e6)
   + cast(sq + (v - n_union) * cast(floor(ln(
       cast(2 * den1 AS DOUBLE) / cast(den1 + den2 AS DOUBLE)) * 1e6)
-      AS BIGINT) AS DOUBLE) / (cast(den2 AS DOUBLE) * 2e6)
-    AS js_divergence_nats
+      AS BIGINT) AS DOUBLE) / (cast(den2 AS DOUBLE) * 2e6),
+  0.0) AS js_divergence_nats
 FROM agg""",
     ("text", "curation", "divergence", "mixture"),
 )
@@ -4588,56 +4594,45 @@ GROUP BY 1, 2""",
 # --------------------------------------------------------------------------
 
 _PRIORITY_WINDOW = [
-    # --- round-6 rotation (r5 verdict task 3): 48 of the 59 entries
-    # never driver-gated in r1-r5 (never-checked count 59 → 11), plus
-    # the two mandated re-checks: embedding_power_iteration — the r5
-    # gate ERR, re-registered this round with an exploded scalar
-    # output shape — and ann_lsh_search, whose auto-width form
-    # post-dates its r01–r03 gate rows.  The 11 deferred analytics
-    # entries (moving_avg_events, balance_deciles, ratio_to_report,
-    # revenue_mom_growth, grouped_top1_spender, weekly_churn_rate,
-    # segmented_running_total, rfm_segment_counts, seasonality_profile,
-    # hourly_autocorrelation, gini_by_source) stay swept by
-    # CORRECTNESS_FULL at 4 configs + 3 SFs and rotate in next round,
-    # together with the seven operators ADDED this round
-    # (dsir_importance_weights, zipf_slope_fit, bpe_first_merges,
-    # token_budget_waterfill, source_divergence_matrix,
-    # minhash_band_calibration, quality_gate_agreement —
-    # never-checked count after r6: 18). ---
-    # this round's two contract fixes / re-registrations first
-    "embedding_power_iteration", "embedding_label_centroids",
-    "ann_lsh_search", "centroid_similarity_matrix",
-    # analytics: windows, sequences, sessions
-    "user_gap_stats", "event_transition_matrix", "linear_interpolate",
-    "correlation_stats", "window_topk_leaderboard",
-    "event_cooccurrence_support", "conversion_latency_quantiles",
-    "markov_prediction_accuracy", "seasonal_anomaly_hours",
-    "cep_click_error_pattern", "user_resequence_pandas",
-    "type_weekday_mutual_information",
-    # scale-pattern operators (skew, merge, layout, estimation)
-    "salted_skew_join", "incremental_agg_merge", "zorder_cluster",
-    "join_skew_report", "join_size_estimate", "approx_quantile_summary",
-    "full_outer_reconcile", "profile_table_stats",
-    "daily_user_sketch_rollup", "jackknife_mean_ci",
-    "distribution_drift_chi2",
-    # text / curation suite
-    "text_repetition_stats", "rare_token_share", "vocab_top_tokens",
-    "boilerplate_prefix_report", "langid_confusion_report",
-    "label_top_terms", "source_token_entropy", "vocab_growth_curve",
-    "tokenizer_fertility_by_lang", "corpus_dataset_card",
-    "doc_chunk_windows", "source_blocklist_filter",
-    "curation_attrition_report", "source_mixture_weights",
-    "eval_decontamination", "minhash_accuracy_report",
-    "label_separability_report",
-    # multimodal / variant / UDTF representatives
-    "media_manifest_report", "props_extract_variant", "token_spans_udtf",
-    # reference-domain representative
-    "storm_stats_report",
-    # round-6 NEW entries — gate the newest code while it's freshest
-    # (geo_neighbor_search / part_affinity_topk move to the r7
-    # rotation with the 11 deferred analytics entries; both stay
-    # full-sweep green at 2 SFs meanwhile)
-    "gopher_quality_flags", "ccnet_perplexity_buckets",
+    # --- round-7 rotation (r6 verdict task 2): ALL 20 entries never
+    # driver-gated in r1-r6 go first — after this window every one of
+    # the 205 registry entries has at least one green driver-gate row.
+    # The 20 = the 13 analytics/geo leftovers deferred from the r6
+    # window + the 7 round-6 operators that missed that window.  The
+    # remaining 30 slots are re-checks: entries whose code changes this
+    # round (source_divergence_matrix carries the JSD >= 0 clamp; its
+    # oracle changed too), plus one representative per operator family
+    # (SURVEY §2 enrichment/relational core, TPC-H joins, dedup ladder,
+    # ANN, text/curation, training layout, graph, multimodal,
+    # streaming-window semantics). ---
+    # the 20 never-driver-checked entries (r6 verdict "What's wrong" #2)
+    "moving_avg_events", "balance_deciles", "ratio_to_report",
+    "revenue_mom_growth", "grouped_top1_spender", "rfm_segment_counts",
+    "weekly_churn_rate", "segmented_running_total", "part_affinity_topk",
+    "seasonality_profile", "hourly_autocorrelation", "gini_by_source",
+    "geo_neighbor_search",
+    "dsir_importance_weights", "zipf_slope_fit", "bpe_first_merges",
+    "token_budget_waterfill", "source_divergence_matrix",
+    "minhash_band_calibration", "quality_gate_agreement",
+    # re-checks: SURVEY §2 core (enrichment chain + relational)
+    "storm_enrich", "enrich_events", "q1_group_count",
+    "q9_grouped_topk", "q12_dedup_first_wins", "q13_anti_join",
+    "p13_hourly_rollup",
+    # re-checks: TPC-H join shapes
+    "tpch_q1_pricing_summary", "tpch_q5_regional_revenue",
+    "tpch_q8_market_share", "tpch_q21_waiting_suppliers",
+    # re-checks: dedup ladder
+    "dedup_minhash_lsh", "dedup_jaccard_prefix_join",
+    "dedup_containment", "dedup_ladder_report", "semdedup_auto",
+    "duplicated_span_report", "bloom_dedup_report",
+    # re-checks: ANN / embeddings
+    "ann_cosine_topk", "ann_ivf_auto", "knn_graph_lsh",
+    "embedding_power_iteration", "eval_semantic_contamination",
+    # re-checks: text / curation / layout
+    "tfidf_top_terms", "bm25_doc_ranking", "heavy_hitter_bigrams",
+    "corpus_curation_pipeline", "global_shuffle_order",
+    # re-checks: graph + multimodal representatives
+    "triangle_stats", "multimodal_decode_stats",
 ]
 assert len(_PRIORITY_WINDOW) == 50, len(_PRIORITY_WINDOW)
 _missing = [n for n in _PRIORITY_WINDOW if n not in REGISTRY]

@@ -1453,10 +1453,19 @@ def source_divergence_matrix(t) -> DataFrame:
     Distributions are add-one smoothed over the JOINT corpus vocabulary
     (so absent tokens carry probability mass and the divergence is
     finite and symmetric); JSD = Σ p/2·ln(p/m) + q/2·ln(q/m) with
-    m = (p+q)/2.  Every ln argument is a ratio of exact BIGINT
-    products, the ln itself floor-quantized at 1e-6 (the portable-ln
-    contract), and the per-token terms summed as BIGINT — so the
-    aggregation is partition-order exact.
+    m = (p+q)/2.  Every ln argument is a ratio of IEEE-double products
+    in a FIXED association order (overflow-free to ~1e308 — BIGINT
+    products would wrap silently past n_tok ≈ 3e9 per source, far
+    below the 100 TB target; double multiply/divide round identically
+    in Spark and DuckDB, so cross-engine parity holds), the ln itself
+    floor-quantized at 1e-6 (the portable-ln contract), and the
+    per-token terms summed as DECIMAL(38,0) (HUGEINT on the oracle
+    side) — partition-order exact, valid while
+    n_tok · ln(n_tok) · 1e6 < 1e38, i.e. far past any physical corpus.
+    Floor-quantizing each ln term biases every contribution ≤1e-6
+    downward, so near-identical (but not identical) distributions can
+    sum fractionally below zero; the final value is clamped at 0.0 on
+    BOTH engines to restore the JSD ≥ 0 property.
 
     Scale: ONE (source, token) count aggregation (map-side combined),
     collapsed to a vocab-sized per-token source map; the pair grid is
@@ -1509,24 +1518,34 @@ def source_divergence_matrix(t) -> DataFrame:
         .withColumn("nb", nb)
         .filter((F.col("na") > 0) | (F.col("nb") > 0))
     )
-    # p/m and q/m as exact-integer ratios: p = (na+1)/den1,
-    # q = (nb+1)/den2, m = (p+q)/2 ⇒ p/m = 2(na+1)·den2 / D with
-    # D = (na+1)·den2 + (nb+1)·den1 (all BIGINT; ≤ ~1e13 at sf1.6).
-    big_d = (F.col("na") + 1) * F.col("den2") + (F.col("nb") + 1) * F.col("den1")
-    qln_p = F.floor(
-        F.log((2 * (F.col("na") + 1) * F.col("den2")).cast("double") / big_d.cast("double")) * 1e6
-    ).cast("long")
-    qln_q = F.floor(
-        F.log((2 * (F.col("nb") + 1) * F.col("den1")).cast("double") / big_d.cast("double")) * 1e6
-    ).cast("long")
+    # p/m and q/m ratios: p = (na+1)/den1, q = (nb+1)/den2,
+    # m = (p+q)/2 ⇒ p/m = 2(na+1)·den2 / D with
+    # D = (na+1)·den2 + (nb+1)·den1.  The products are O(n_tok²), which
+    # exceeds int64 past n_tok ≈ 3e9/source — computed in DOUBLE with a
+    # fixed association order ((2·x)·y, x·y + x·y) mirrored verbatim in
+    # the oracle SQL, so both engines round identically.
+    na1d = (F.col("na") + 1).cast("double")
+    nb1d = (F.col("nb") + 1).cast("double")
+    den1d = F.col("den1").cast("double")
+    den2d = F.col("den2").cast("double")
+    big_dd = na1d * den2d + nb1d * den1d
+    qln_p = F.floor(F.log(F.lit(2.0) * na1d * den2d / big_dd) * 1e6).cast("long")
+    qln_q = F.floor(F.log(F.lit(2.0) * nb1d * den1d / big_dd) * 1e6).cast("long")
+    # term products and sums in DECIMAL(38,0): (na+1) ≤ n_tok needs
+    # ≤19 digits at any physical scale, |qln| ≤ ln(n_tok)·1e6 needs
+    # ≤18, so each product is exact at precision 38 and the sum stays
+    # ≤1e38 while n_tok·ln(n_tok)·1e6 < 1e38.  DuckDB's sum(HUGEINT)
+    # matches integer-for-integer.
+    sp_term = (F.col("na") + 1).cast("decimal(19,0)") * qln_p.cast("decimal(18,0)")
+    sq_term = (F.col("nb") + 1).cast("decimal(19,0)") * qln_q.cast("decimal(18,0)")
     agg = grid.groupBy("s1", "s2").agg(
         F.max("den1").alias("den1"),
         F.max("den2").alias("den2"),
         F.max("v1").alias("v1"),
         F.max("v2").alias("v2"),
         F.max("v").alias("v"),
-        F.sum((F.col("na") + 1) * qln_p).alias("sp"),
-        F.sum((F.col("nb") + 1) * qln_q).alias("sq"),
+        F.sum(sp_term).alias("sp"),
+        F.sum(sq_term).alias("sq"),
         F.count("*").alias("n_union"),
         F.sum(((F.col("na") > 0) & (F.col("nb") > 0)).cast("long")).alias("n_overlap"),
     )
@@ -1539,9 +1558,11 @@ def source_divergence_matrix(t) -> DataFrame:
     qln_q0 = F.floor(
         F.log((2 * F.col("den1")).cast("double") / (F.col("den1") + F.col("den2")).cast("double")) * 1e6
     ).cast("long")
-    jsd = (F.col("sp") + n0 * qln_p0).cast("double") / (
+    jsd = (F.col("sp") + (n0 * qln_p0).cast("decimal(38,0)")).cast("double") / (
         F.col("den1").cast("double") * 2e6
-    ) + (F.col("sq") + n0 * qln_q0).cast("double") / (F.col("den2").cast("double") * 2e6)
+    ) + (F.col("sq") + (n0 * qln_q0).cast("decimal(38,0)")).cast("double") / (
+        F.col("den2").cast("double") * 2e6
+    )
     return agg.select(
         F.col("s1").alias("source_a"),
         F.col("s2").alias("source_b"),
@@ -1550,7 +1571,7 @@ def source_divergence_matrix(t) -> DataFrame:
         F.col("n_overlap").alias("vocab_overlap"),
         F.col("n_union").alias("vocab_union"),
         (F.col("n_overlap").cast("double") / F.col("n_union")).alias("vocab_jaccard"),
-        jsd.alias("js_divergence_nats"),
+        F.greatest(jsd, F.lit(0.0)).alias("js_divergence_nats"),
     )
 
 

@@ -1967,7 +1967,10 @@ def test_source_divergence_identical_vs_disjoint(spark):
 
 def test_source_divergence_python_model(spark):
     """Exact equality against an independent pure-Python JSD with the
-    same add-one smoothing and floor-1e-6 ln quantization."""
+    same add-one smoothing and floor-1e-6 ln quantization — THREE
+    sources, so for every pair some joint-vocab tokens are absent from
+    BOTH sides and the operator's closed-form (v - n_union) absent-token
+    term is value-checked, not just bounded (round-6 ADVICE)."""
     import math
     from collections import Counter
 
@@ -1980,27 +1983,46 @@ def test_source_divergence_python_model(spark):
         (2, "p", "y y v"),
         (3, "q", "x q q z"),
         (4, "q", "r r r y x"),
+        # source "m" holds tokens unseen in p/q (and shares "x"), so
+        # e.g. the (p, q) pair has m-only tokens absent from both sides
+        (5, "m", "mm nn oo mm x pp"),
     ]
     sdf = spark.createDataFrame(docs, "doc_id long, source string, text string")
-    row = source_divergence_matrix({"documents": sdf}).collect()[0]
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_divergence_matrix({"documents": sdf}).collect()
+    }
+    assert len(rows) == 3  # 3C2 pairs
 
-    counts = {"p": Counter(), "q": Counter()}
+    counts = {"p": Counter(), "q": Counter(), "m": Counter()}
     for _, src, text in docs:
         counts[src].update(text.split())
-    vocab = set(counts["p"]) | set(counts["q"])
+    vocab = set().union(*counts.values())
     v = len(vocab)
-    den1 = sum(counts["p"].values()) + v
-    den2 = sum(counts["q"].values()) + v
-    sp = sq = 0
-    for tok in vocab:
-        na, nb = counts["p"][tok], counts["q"][tok]
-        dd = (na + 1) * den2 + (nb + 1) * den1
-        sp += (na + 1) * math.floor(math.log(2 * (na + 1) * den2 / dd) * 1e6)
-        sq += (nb + 1) * math.floor(math.log(2 * (nb + 1) * den1 / dd) * 1e6)
-    expected = sp / (den1 * 2e6) + sq / (den2 * 2e6)
-    assert abs(row["js_divergence_nats"] - expected) < 1e-12
-    assert row["vocab_union"] == v  # every token occurs in p or q here
-    assert row["vocab_overlap"] == len(set(counts["p"]) & set(counts["q"]))
+
+    for s1, s2 in [("m", "p"), ("m", "q"), ("p", "q")]:
+        ca, cb = counts[s1], counts[s2]
+        den1 = sum(ca.values()) + v
+        den2 = sum(cb.values()) + v
+        union = {t for t in vocab if ca[t] or cb[t]}
+        assert len(union) < v, "closed-form term must be exercised"
+        sp = sq = 0
+        for tok in union:
+            na, nb = ca[tok], cb[tok]
+            dd = (na + 1) * den2 + (nb + 1) * den1
+            sp += (na + 1) * math.floor(math.log(2 * (na + 1) * den2 / dd) * 1e6)
+            sq += (nb + 1) * math.floor(math.log(2 * (nb + 1) * den1 / dd) * 1e6)
+        # absent-from-both tokens, one closed-form term apiece
+        n0 = v - len(union)
+        sp += n0 * math.floor(math.log(2 * den2 / (den1 + den2)) * 1e6)
+        sq += n0 * math.floor(math.log(2 * den1 / (den1 + den2)) * 1e6)
+        expected = max(0.0, sp / (den1 * 2e6) + sq / (den2 * 2e6))
+        row = rows[(s1, s2)]
+        assert abs(row["js_divergence_nats"] - expected) < 1e-12, (s1, s2)
+        assert row["vocab_union"] == len(union)
+        assert row["vocab_overlap"] == len(
+            {t for t in vocab if ca[t] and cb[t]}
+        )
 
 
 def test_band_calibration_python_model(spark):
