@@ -193,7 +193,17 @@ def main():
         str(Path(__file__).resolve().parent / "BENCH_SPREAD.json"),
     )
     Path(spread_file).write_text(json.dumps({**doc, "spread": samples}, indent=1))
-    print(json.dumps(doc))
+    # The grading driver captures only the LAST 2000 stdout chars; the
+    # full 60+-entry per-query map outgrew that window in r6 (BENCH_r06
+    # "parsed": null, tail started mid-JSON).  The stdout line therefore
+    # carries only the headline + the top-8 slowest queries; the full
+    # map and [min, med, max] spread live in the sidecar above and in
+    # the committed BENCH_local_rN.json artifacts.
+    top8 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
+    compact = {**doc, "queries": top8, "queries_note": "top-8 of n_queries; full map in BENCH_SPREAD.json"}
+    line = json.dumps(compact)
+    assert len(line) < 1800, f"stdout bench line too long for driver tail capture: {len(line)}"
+    print(line)
     spark.stop()
 
 

@@ -182,6 +182,11 @@ def run_bench(sf_dir: str, queries: list[str] | None = None) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     if queries:
         env["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(queries)
+    # the stdout line is the driver's COMPACT contract (top-8 queries
+    # only, to fit the 2000-char tail capture); the full per-query map
+    # lives in the spread sidecar, so read that.
+    spread_file = Path("/tmp/spark_graft_scaling_spread.json")
+    env["SPARK_GRAFT_BENCH_SPREAD_FILE"] = str(spread_file)
     last_err = None
     for attempt in range(2):
         out = subprocess.run(
@@ -192,8 +197,7 @@ def run_bench(sf_dir: str, queries: list[str] | None = None) -> dict:
             cwd=str(REPO),
         )
         if out.returncode == 0:
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            return json.loads(line)
+            return json.loads(spread_file.read_text())
         last_err = out.stderr[-4000:]
         print(f"bench failed (attempt {attempt + 1}):\n{last_err}", flush=True)
     raise RuntimeError(f"bench.py failed twice at {sf_dir}:\n{last_err}")
