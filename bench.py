@@ -98,6 +98,10 @@ BENCH_QUERIES = [
     "source_divergence_matrix",  # staged (source,token) counts → vocab-sized JSD grid
     "minhash_band_calibration",  # banding S-curve over the shared PPJoin pairs
     "quality_gate_agreement",   # CCNet × Gopher × linear-gate calibration cells
+    # round-7 additions
+    "matryoshka_truncation_audit",  # bucketed pair set × 4 prefix-width cosines
+    "label_embedding_fid",      # dimension-exploded diagonal-Fréchet label grid
+    "context_fill_efficiency",  # doc token counts × 3 context-length layouts
 ]
 
 

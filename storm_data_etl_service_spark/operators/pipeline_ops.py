@@ -1076,3 +1076,78 @@ def token_budget_waterfill(t) -> DataFrame:
         alloc.alias("alloc_tokens"),
         (alloc.cast("double") / F.col("n_tokens")).alias("epochs"),
     )
+
+
+#: Candidate training context windows (tokens) audited by
+#: ``context_fill_efficiency``.
+CONTEXT_LENGTHS = (512, 2048, 8192)
+
+
+def context_fill_efficiency(t) -> DataFrame:
+    """Context-window sizing readout: for each candidate sequence
+    length L, how efficiently the corpus fills L-token training rows
+    under the three standard layouts — clip (truncate each doc to L),
+    chunk (split each doc into ⌈len/L⌉ rows, padding only the last),
+    and perfect packing (the ⌈Σlen/L⌉ lower bound that cross-doc
+    packing approaches).  The chunk-vs-perfect padding gap is exactly
+    what a packing stage (``pack_sequences``) can recover; the clip
+    column is the tokens a no-packing pipeline silently discards.
+
+    Per L: doc count, share of docs longer than L, total corpus
+    tokens, clipped tokens lost, chunk rows + their padding + fill
+    ratio, and the perfect-packing row count + fill ratio.
+
+    Scale: one doc-level token count (map-only), one |L|-row
+    aggregate — every sum is an exact BIGINT (counts, ceilings, and
+    padding are integers; the two fill ratios are single double
+    divisions of exact integers at the very end), so output is
+    partition-order exact at any corpus size.  The |L|-row cross join
+    is a 3-row broadcast BNLJ (the band-calibration pattern).
+    """
+    spark = t["documents"].sparkSession
+    lens = spark.createDataFrame([(L,) for L in CONTEXT_LENGTHS], "context_len int")
+    ntok = t["documents"].select(
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tok")
+    )
+    L = F.col("context_len").cast("long")
+    chunks = F.floor((F.col("n_tok") + L - 1) / L).cast("long")
+    graded = ntok.crossJoin(F.broadcast(lens)).select(
+        "context_len",
+        "n_tok",
+        chunks.alias("chunks"),
+        F.greatest(F.col("n_tok") - L, F.lit(0).cast("long")).alias("clipped"),
+        (chunks * L - F.col("n_tok")).alias("chunk_pad"),
+        (F.col("n_tok") > L).cast("long").alias("over"),
+    )
+    agg = graded.groupBy("context_len").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("over").alias("n_docs_over"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("clipped").alias("clip_lost_tokens"),
+        F.sum("chunks").alias("chunk_rows"),
+        F.sum("chunk_pad").alias("chunk_pad_tokens"),
+    )
+    Lc = F.col("context_len").cast("long")
+    perfect_rows = F.floor(
+        (F.col("total_tokens") + Lc - 1) / Lc
+    ).cast("long")
+    return agg.select(
+        "context_len",
+        "n_docs",
+        (F.col("n_docs_over").cast("double") / F.col("n_docs")).alias(
+            "doc_over_share"
+        ),
+        "total_tokens",
+        "clip_lost_tokens",
+        "chunk_rows",
+        "chunk_pad_tokens",
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("chunk_rows") * Lc).cast("double")
+        ).alias("chunk_fill_ratio"),
+        perfect_rows.alias("perfect_rows"),
+        (
+            F.col("total_tokens").cast("double")
+            / (perfect_rows * Lc).cast("double")
+        ).alias("perfect_fill_ratio"),
+    )

@@ -4582,6 +4582,113 @@ GROUP BY 1, 2""",
 )
 
 
+def _matryoshka_oracle() -> str:
+    """Same-bucket pair set via the auto-width LSH twin, then the
+    portable sequential-fold cosine over each prefix width; fixed-point
+    sums mirror similarity.matryoshka_truncation_audit."""
+    from storm_data_etl_service_spark.operators.similarity import (
+        MATRYOSHKA_TOL_Q,
+        MAX_LSH_PLANES,
+    )
+
+    cos_full = _COSINE_SQL.format(a="va", b="vb")
+    cos_d = _COSINE_SQL.format(
+        a="list_slice(va, 1, d)", b="list_slice(vb, 1, d)"
+    )
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_auto_bits_cte()},
+fb AS (SELECT vec_id, v, {_bucket_sql(MAX_LSH_PLANES)} AS fullpfx FROM e),
+bk AS (SELECT vec_id, v, substr(fullpfx, 1, bits) AS bucket FROM fb, nb),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+dims AS (SELECT * FROM (VALUES (8), (16), (32), (64)) AS dd(d)),
+graded AS (
+  SELECT d,
+    cast(floor(abs(({cos_d}) - ({cos_full})) * 1e9) AS BIGINT) AS absdelta_q,
+    cast(floor(({cos_d}) * 1e9) AS BIGINT) AS cos_q
+  FROM pairs CROSS JOIN dims)
+SELECT d, count(*) AS n_pairs,
+  cast(sum(absdelta_q) AS DOUBLE) / (count(*) * 1e9) AS mean_abs_delta,
+  cast(sum(CASE WHEN absdelta_q <= {MATRYOSHKA_TOL_Q} THEN 1 ELSE 0 END)
+       AS DOUBLE) / count(*) AS within_tol_share,
+  cast(sum(cos_q) AS DOUBLE) / (count(*) * 1e9) AS mean_cosine
+FROM graded GROUP BY d"""
+
+
+REGISTRY["matryoshka_truncation_audit"] = QuerySpec(
+    _t(S.matryoshka_truncation_audit),
+    _matryoshka_oracle(),
+    ("similarity", "embedding", "matryoshka", "ann"),
+)
+
+REGISTRY["label_embedding_fid"] = QuerySpec(
+    _t(S.label_embedding_fid),
+    """WITH ex AS (
+  SELECT label,
+    cast(floor(cast(embedding[i] AS DOUBLE) * 1e9) AS BIGINT) AS q, i
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+mom AS (
+  SELECT label, i AS pos, count(*) AS n,
+    sum(q) AS s1,
+    sum(cast(q AS HUGEINT) * cast(q AS HUGEINT)) AS s2
+  FROM ex GROUP BY label, i),
+stats AS (
+  SELECT label, pos, n,
+    cast(s1 AS DOUBLE) / cast(n AS DOUBLE) AS mu,
+    greatest(cast(s2 AS DOUBLE) / cast(n AS DOUBLE)
+      - (cast(s1 AS DOUBLE) / cast(n AS DOUBLE))
+        * (cast(s1 AS DOUBLE) / cast(n AS DOUBLE)), 0.0) AS var
+  FROM mom),
+terms AS (
+  SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+    cast(floor(((a.mu - b.mu) * (a.mu - b.mu) + a.var + b.var
+                - 2.0 * sqrt(a.var * b.var)) / 1e9) AS BIGINT) AS term_q
+  FROM stats a JOIN stats b
+    ON a.pos = b.pos AND a.label < b.label)
+SELECT label_a, label_b, max(n_a) AS n_a, max(n_b) AS n_b,
+  cast(sum(term_q) AS DOUBLE) / 1e9 AS fid_diag
+FROM terms GROUP BY label_a, label_b""",
+    ("similarity", "embedding", "drift", "frechet"),
+)
+
+REGISTRY["context_fill_efficiency"] = QuerySpec(
+    _t(P.context_fill_efficiency),
+    r"""WITH lens AS (
+  SELECT * FROM (VALUES (512), (2048), (8192)) AS l(context_len)),
+ntok AS (
+  SELECT cast(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x != '')) AS BIGINT) AS n_tok
+  FROM documents),
+graded AS (
+  SELECT context_len, n_tok,
+    cast(floor((n_tok + context_len - 1) / context_len) AS BIGINT) AS chunks,
+    greatest(n_tok - context_len, 0) AS clipped,
+    CASE WHEN n_tok > context_len THEN 1 ELSE 0 END AS over
+  FROM ntok CROSS JOIN lens),
+agg AS (
+  SELECT context_len, count(*) AS n_docs,
+    cast(sum(over) AS BIGINT) AS n_docs_over,
+    cast(sum(n_tok) AS BIGINT) AS total_tokens,
+    cast(sum(clipped) AS BIGINT) AS clip_lost_tokens,
+    cast(sum(chunks) AS BIGINT) AS chunk_rows,
+    cast(sum(chunks * context_len - n_tok) AS BIGINT) AS chunk_pad_tokens
+  FROM graded GROUP BY context_len)
+SELECT context_len, n_docs,
+  cast(n_docs_over AS DOUBLE) / n_docs AS doc_over_share,
+  total_tokens, clip_lost_tokens, chunk_rows, chunk_pad_tokens,
+  cast(total_tokens AS DOUBLE)
+    / cast(chunk_rows * context_len AS DOUBLE) AS chunk_fill_ratio,
+  cast(floor((total_tokens + context_len - 1) / context_len) AS BIGINT)
+    AS perfect_rows,
+  cast(total_tokens AS DOUBLE)
+    / cast(cast(floor((total_tokens + context_len - 1) / context_len)
+                AS BIGINT) * context_len AS DOUBLE) AS perfect_fill_ratio
+FROM agg""",
+    ("pipeline", "layout", "packing", "context"),
+)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver oracle-checks the FIRST
 # 50 ``queries()`` entries each round, so the window is curated to cover
@@ -4621,15 +4728,19 @@ _PRIORITY_WINDOW = [
     # re-checks: TPC-H join shapes
     "tpch_q1_pricing_summary", "tpch_q5_regional_revenue",
     "tpch_q8_market_share", "tpch_q21_waiting_suppliers",
+    # round-7 NEW operators — gated while freshest (they take three
+    # re-check slots; never-checked coverage stays complete)
+    "matryoshka_truncation_audit", "label_embedding_fid",
+    "context_fill_efficiency",
     # re-checks: dedup ladder
     "dedup_minhash_lsh", "dedup_jaccard_prefix_join",
     "dedup_containment", "dedup_ladder_report", "semdedup_auto",
-    "duplicated_span_report", "bloom_dedup_report",
+    "bloom_dedup_report",
     # re-checks: ANN / embeddings
-    "ann_cosine_topk", "ann_ivf_auto", "knn_graph_lsh",
+    "ann_cosine_topk", "ann_ivf_auto",
     "embedding_power_iteration", "eval_semantic_contamination",
     # re-checks: text / curation / layout
-    "tfidf_top_terms", "bm25_doc_ranking", "heavy_hitter_bigrams",
+    "tfidf_top_terms", "bm25_doc_ranking",
     "corpus_curation_pipeline", "global_shuffle_order",
     # re-checks: graph + multimodal representatives
     "triangle_stats", "multimodal_decode_stats",

@@ -1315,3 +1315,150 @@ def eval_semantic_contamination(t, bits: int | None = None) -> DataFrame:
             F.col("max_cosine") >= NEAR_DUP_COSINE, F.lit(False)
         ).alias("contaminated"),
     )
+
+
+#: Matryoshka prefix widths audited against the full 64-dim cosine.
+MATRYOSHKA_DIMS = (8, 16, 32, 64)
+
+#: |cos_prefix - cos_full| tolerance (in 1e-9 fixed-point units) under
+#: which a pair is counted as "preserved" at a truncated width.
+MATRYOSHKA_TOL_Q = 50_000_000  # 0.05
+
+
+def matryoshka_truncation_audit(t) -> DataFrame:
+    """How much neighbor structure survives truncating embeddings to a
+    prefix of their dimensions (the Matryoshka/MRL deployment
+    question: can the 100 TB ANN index store 16 of 64 dims)?  For
+    every same-LSH-bucket candidate pair — the scale path's own
+    neighbor candidates, NOT an all-pairs scan — the cosine is
+    recomputed at each prefix width and compared to the full-width
+    cosine.  Per width: pair count, mean |Δcos|, the share of pairs
+    within 0.05 of their full-dim cosine, and the mean prefix cosine.
+
+    Scale: ``ann_lsh_buckets`` auto-width keeps bucket population
+    ~constant in n, so the within-bucket self-join yields O(n) pairs;
+    the per-pair work is 4 fixed-width array folds (d ≤ 64).  One
+    bucket-keyed shuffle + one |widths|-row aggregate.  Mean/share
+    aggregates sum floor-1e-9 fixed-point BIGINTs (float addition is
+    not associative; the quantized sums are partition-order exact and
+    match DuckDB integer-for-integer); the per-pair cosine itself is
+    the portable sequential fold both engines evaluate identically.
+    """
+    emb = t["embeddings"].select("vec_id", _vec(F.col("embedding")).alias("v"))
+    # one (vec_id, bucket, v) table, self-joined on bucket — identical
+    # subplans on both sides, so the bucket-keyed exchange is computed
+    # once and reused (the shared-staging pattern test_plans asserts
+    # for the dedup rungs)
+    bv = ann_lsh_buckets(t).join(emb, "vec_id")
+    pairs = (
+        bv.select(
+            F.col("vec_id").alias("id_a"), "bucket", F.col("v").alias("va")
+        )
+        .join(
+            bv.select(
+                F.col("vec_id").alias("id_b"), "bucket", F.col("v").alias("vb")
+            ),
+            ["bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+    spark = t["embeddings"].sparkSession
+    dims = spark.createDataFrame([(d,) for d in MATRYOSHKA_DIMS], "d int")
+    cos_full = cosine(F.col("va"), F.col("vb"))
+    cos_d = cosine(
+        F.slice(F.col("va"), F.lit(1), F.col("d")),
+        F.slice(F.col("vb"), F.lit(1), F.col("d")),
+    )
+    graded = (
+        pairs.withColumn("cos_full", cos_full)
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "d",
+            F.floor(F.abs(cos_d - F.col("cos_full")) * 1e9)
+            .cast("long")
+            .alias("absdelta_q"),
+            F.floor(cos_d * 1e9).cast("long").alias("cos_q"),
+        )
+    )
+    n = F.count("*")
+    return graded.groupBy("d").agg(
+        n.alias("n_pairs"),
+        (F.sum("absdelta_q").cast("double") / (n * F.lit(1e9))).alias(
+            "mean_abs_delta"
+        ),
+        (
+            F.sum((F.col("absdelta_q") <= MATRYOSHKA_TOL_Q).cast("long")).cast(
+                "double"
+            )
+            / n
+        ).alias("within_tol_share"),
+        (F.sum("cos_q").cast("double") / (n * F.lit(1e9))).alias("mean_cosine"),
+    )
+
+
+def label_embedding_fid(t) -> DataFrame:
+    """Diagonal Fréchet distance between per-label embedding
+    distributions — the distribution-level drift readout that catches
+    what centroid cosine cannot: two label cohorts with identical
+    means but different spreads.  FID_diag(a, b) = Σ_pos ((μa - μb)² +
+    σ²a + σ²b − 2·√(σ²a·σ²b)) over per-dimension means/variances
+    (the standard diagonal-covariance Fréchet simplification).
+
+    Scale: posexplode fans vectors into (label, pos, val) rows once;
+    moments aggregate per (label, pos) with map-side combine
+    (labels × 64 rows); the pair grid aligns on pos with an equi-join
+    and reduces per label pair — K²/2 × 64 rows, never corpus-sized,
+    never a driver-side matrix.  Determinism: per-element values are
+    floor-1e-9 quantized BIGINTs, squares summed as DECIMAL(38,0)
+    (exact at any n), the per-pos term is a fixed-order double
+    expression over those exact integers, and the 64-term per-pair
+    reduction sums floor-1e-9 quantized terms — partition-order exact
+    on both engines (σ² is population variance, divide by n).
+    """
+    ex = t["embeddings"].select(
+        "label", F.posexplode(_vec(F.col("embedding"))).alias("pos", "val")
+    )
+    q = F.floor(F.col("val") * 1e9).cast("long")
+    # s1 as DECIMAL too: sum(q) wraps int64 past ~4.6e9 vectors/label
+    # (|q| ≤ 2e9); DuckDB's sum(BIGINT) is HUGEINT-exact already
+    mom = ex.groupBy("label", "pos").agg(
+        F.count("*").alias("n"),
+        F.sum(q.cast("decimal(38,0)")).alias("s1"),
+        F.sum((q * q).cast("decimal(38,0)")).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n").cast("double")
+    # clamp at 0.0: E[q²]−E[q]² can land ~−1e-16 under floating
+    # round-off for near-constant dimensions, and DuckDB's sqrt ERRORS
+    # on negatives (Spark would yield NaN) — both sides clamp
+    var = F.greatest(
+        F.col("s2").cast("double") / F.col("n").cast("double") - mu * mu,
+        F.lit(0.0),
+    )
+    stats = mom.select(
+        "label", "pos", F.col("n").alias("n"), mu.alias("mu"), var.alias("var")
+    )
+    a, b = stats.alias("a"), stats.alias("b")
+    # per-pos Fréchet term in q-units² (1e18 × actual); floor-quantize
+    # at 1e9 q-units² = 1e-9 actual before the cross-dim sum
+    term = (
+        (F.col("a.mu") - F.col("b.mu")) * (F.col("a.mu") - F.col("b.mu"))
+        + F.col("a.var")
+        + F.col("b.var")
+        - F.lit(2.0) * F.sqrt(F.col("a.var") * F.col("b.var"))
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.pos") == F.col("b.pos")) & (F.col("a.label") < F.col("b.label")),
+    ).select(
+        F.col("a.label").alias("label_a"),
+        F.col("b.label").alias("label_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.floor(term / F.lit(1e9)).cast("long").alias("term_q"),
+    )
+    return pairs.groupBy("label_a", "label_b").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        (F.sum("term_q").cast("double") / F.lit(1e9)).alias("fid_diag"),
+    )

@@ -2122,3 +2122,128 @@ def test_quality_gate_agreement_synthetic_cells(spark):
     for r in out:
         by_keep[r["gopher_keep"]] = by_keep.get(r["gopher_keep"], 0) + r["n_docs"]
     assert by_keep == {True: 2, False: 2}
+
+
+def test_context_fill_python_model(spark):
+    """Exact equality of every integer column and both fill ratios
+    against a direct Python evaluation on a handmade corpus."""
+    import math
+
+    from storm_data_etl_service_spark.operators.pipeline_ops import (
+        CONTEXT_LENGTHS,
+        context_fill_efficiency,
+    )
+
+    texts = [
+        " ".join(f"w{i}" for i in range(n))
+        for n in (1, 100, 511, 512, 513, 3000, 9000)
+    ]
+    sdf = spark.createDataFrame(
+        [(i, s, "en", "s", len(s)) for i, s in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {
+        r["context_len"]: r
+        for r in context_fill_efficiency({"documents": sdf}).collect()
+    }
+    lens = [len(t.split()) for t in texts]
+    for L in CONTEXT_LENGTHS:
+        r = rows[L]
+        chunks = sum(math.ceil(n / L) for n in lens)
+        total = sum(lens)
+        perfect = math.ceil(total / L)
+        assert r["n_docs"] == len(lens)
+        assert r["doc_over_share"] == sum(n > L for n in lens) / len(lens)
+        assert r["total_tokens"] == total
+        assert r["clip_lost_tokens"] == sum(max(n - L, 0) for n in lens)
+        assert r["chunk_rows"] == chunks
+        assert r["chunk_pad_tokens"] == chunks * L - total
+        assert r["chunk_fill_ratio"] == total / (chunks * L)
+        assert r["perfect_rows"] == perfect
+        assert r["perfect_fill_ratio"] == total / (perfect * L)
+        # perfect packing can never be worse than chunking
+        assert r["perfect_fill_ratio"] >= r["chunk_fill_ratio"]
+
+
+def test_matryoshka_full_width_is_reference(spark, sf_dir):
+    """The d=64 row compares the full vector against itself: zero
+    delta, 100% within tolerance; every width sees the same pairs."""
+    out = {r["d"]: r for r in run("matryoshka_truncation_audit", spark, sf_dir).collect()}
+    assert set(out) == {8, 16, 32, 64}
+    full = out[64]
+    assert full["mean_abs_delta"] == 0.0
+    assert full["within_tol_share"] == 1.0
+    n_pairs = {r["n_pairs"] for r in out.values()}
+    assert len(n_pairs) == 1 and n_pairs.pop() > 0
+    for r in out.values():
+        assert r["mean_abs_delta"] >= 0.0
+        assert 0.0 <= r["within_tol_share"] <= 1.0
+        assert -1.0 <= r["mean_cosine"] <= 1.0
+
+
+def test_label_fid_python_model(spark):
+    """Exact equality against an independent Python evaluation of the
+    quantized diagonal-Fréchet pipeline, on vectors engineered so two
+    labels share a mean but differ in spread (the case centroid cosine
+    cannot see)."""
+    import math
+
+    from storm_data_etl_service_spark.operators.similarity import (
+        label_embedding_fid,
+    )
+
+    vecs = [
+        # label 0: tight around (1, 0, .5, -.5)
+        (0, 0, [1.0, 0.0, 0.5, -0.5]),
+        (1, 0, [1.02, -0.02, 0.52, -0.48]),
+        (2, 0, [0.98, 0.02, 0.48, -0.52]),
+        # label 1: same mean as label 0, 10x the spread
+        (3, 1, [1.2, -0.2, 0.7, -0.3]),
+        (4, 1, [0.8, 0.2, 0.3, -0.7]),
+        (5, 1, [1.0, 0.0, 0.5, -0.5]),
+        # label 2: different mean entirely
+        (6, 2, [-1.0, 0.5, 0.0, 0.25]),
+        (7, 2, [-0.9, 0.55, 0.05, 0.2]),
+    ]
+    sdf = spark.createDataFrame(
+        [(i, v, lbl) for i, lbl, v in vecs],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        (r["label_a"], r["label_b"]): r
+        for r in label_embedding_fid({"embeddings": sdf}).collect()
+    }
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}
+
+    import numpy as np
+
+    by_label = {}
+    for _, lbl, v in vecs:
+        by_label.setdefault(lbl, []).append(
+            [float(np.float32(x)) for x in v]  # float32 storage round-trip
+        )
+    def moments(lbl):
+        rows = by_label[lbl]
+        out = []
+        for pos in range(4):
+            qs = [math.floor(r[pos] * 1e9) for r in rows]
+            n = len(qs)
+            mu = sum(qs) / n
+            var = max(sum(q * q for q in qs) / n - mu * mu, 0.0)
+            out.append((n, mu, var))
+        return out
+
+    for a, b in got:
+        ma, mb = moments(a), moments(b)
+        s = 0
+        for (na, mua, va), (nb, mub, vb) in zip(ma, mb):
+            term = (mua - mub) * (mua - mub) + va + vb - 2.0 * math.sqrt(va * vb)
+            s += math.floor(term / 1e9)
+        expected = s / 1e9
+        r = got[(a, b)]
+        assert abs(r["fid_diag"] - expected) < 1e-12, (a, b)
+        assert r["n_a"] == ma[0][0] and r["n_b"] == mb[0][0]
+    # same-mean / different-spread pair must register positive distance
+    assert got[(0, 1)]["fid_diag"] > 0.01
+    # and far-mean pairs must dominate it
+    assert got[(0, 2)]["fid_diag"] > got[(0, 1)]["fid_diag"]
