@@ -105,7 +105,46 @@ SUBGRAPH_ENTRIES = (
     "neardup_triangle_count",
     "neardup_triangle_estimate",
     "triangle_stats",
+    # r7: the final three sf1.6 exclusions, adjudicated onto the same
+    # exact induced-subgraph protocol.  ``embedding_near_dup`` filters
+    # vec_id % MOD (4k of 32k vectors → the n²/2 oracle drops 64×);
+    # ``minhash_accuracy_report`` and ``neardup_components_sql``
+    # filter doc_id % MOD (10k of 80k docs → per-doc signature cost
+    # drops 8×, pair-graph density ~64×, which also keeps the
+    # Spark-side UNION ALL recursion walk inside its row limit).  The
+    # Spark side runs each entry's own registered builder over
+    # sf1.6-scale input; the registry oracle runs VERBATIM on the
+    # filtered view; the compare is exact.
+    "minhash_accuracy_report",
+    "embedding_near_dup",
+    "neardup_components_sql",
 )
+
+#: Per-entry mod overrides.  ``neardup_components_sql`` replays at
+#: mod 16, not 8: its Spark-side UNION ALL recursion enumerates
+#: downhill label walks — 2^|clique| paths on near-clique components —
+#: and on the shuffled sf1.6 corpus the mod-8 subgraph's densest
+#: cluster still trips the 50M recursion row limit (measured r7; the
+#: documented engine boundary the operator's docstring prices).  At
+#: mod 16 the walk completes in ~2 min and the oracle compare is
+#: exact.  The other five entries stay at the shared mod 8.
+SUBGRAPH_MODS = {"neardup_components_sql": 16}
+
+
+def _subgraph_build(spark, name: str, sub: dict):
+    """Dispatch a SUBGRAPH entry to its own registered builder module
+    (the same code path the registry wires, minus load_tables)."""
+    from storm_data_etl_service_spark.operators import dedup as DD
+    from storm_data_etl_service_spark.operators import graph as G
+    from storm_data_etl_service_spark.operators import similarity as SI
+
+    if name == "neardup_components_sql":
+        return G.neardup_components_sql(spark, sub)
+    if name == "minhash_accuracy_report":
+        return DD.minhash_accuracy_report(sub)
+    if name == "embedding_near_dup":
+        return SI.embedding_near_dup(sub)
+    return getattr(G, name)(sub)
 
 #: matches graph.connected_components(max_rounds=25): the replay must
 #: reach the same fixpoint the Spark side reached (or failed loudly).
@@ -352,26 +391,31 @@ def main() -> int:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark_out = {}
-    sub_tables = None
+    sub_tables: dict[int, dict] = {}
+    base_tables = None
     for name in only:
         if name in SUBGRAPH_ENTRIES:
-            from storm_data_etl_service_spark.operators import graph as G
+            from pyspark.sql import functions as F
 
-            if sub_tables is None:
-                from pyspark.sql import functions as F
+            from storm_data_etl_service_spark.schemas import load_tables
 
-                from storm_data_etl_service_spark.schemas import load_tables
-
-                t = load_tables(spark, SF_DIR)
-                sub_tables = {
+            if base_tables is None:
+                base_tables = load_tables(spark, SF_DIR)
+            mod = SUBGRAPH_MODS.get(name, SUBGRAPH_MOD)
+            if mod not in sub_tables:
+                t = base_tables
+                sub_tables[mod] = {
                     **t,
                     "documents": t["documents"].filter(
-                        F.col("doc_id") % SUBGRAPH_MOD == 0
+                        F.col("doc_id") % mod == 0
+                    ),
+                    "embeddings": t["embeddings"].filter(
+                        F.col("vec_id") % mod == 0
                     ),
                 }
             # the registered builders' own functions, same code path —
-            # only the documents relation is the induced subgraph
-            df = getattr(G, name)(sub_tables)
+            # only the documents/embeddings relations are induced
+            df = _subgraph_build(spark, name, sub_tables[mod])
         else:
             df = REGISTRY[name].build(spark, SF_DIR)
         spark_out[name] = (df.columns, df.dtypes, [tuple(r) for r in df.collect()])
@@ -399,19 +443,23 @@ def main() -> int:
     if _PPJOIN_ENTRIES & set(only):
         _stage_ppjoin_pairs(con)
 
-    con_sub = None
-    if set(SUBGRAPH_ENTRIES) & set(only):
-        # second connection whose documents view IS the induced
-        # subgraph; the registry oracles then run VERBATIM against it
+    con_subs: dict[int, object] = {}
+    for mod in sorted(
+        {SUBGRAPH_MODS.get(n, SUBGRAPH_MOD) for n in only if n in SUBGRAPH_ENTRIES}
+    ):
+        # per-mod connection whose documents/embeddings views ARE the
+        # induced subgraph; the registry oracles run VERBATIM against it
         con_sub = duckdb.connect()
+        con_subs[mod] = con_sub
         con_sub.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
         con_sub.execute(f"SET memory_limit='{mem_gb}GB'")
         for t in TABLES:
             p = f"{SF_DIR}/{t}.parquet"
             src = f"{p}/*.parquet" if os.path.isdir(p) else p
-            where = (
-                f" WHERE doc_id % {SUBGRAPH_MOD} = 0" if t == "documents" else ""
-            )
+            where = {
+                "documents": f" WHERE doc_id % {mod} = 0",
+                "embeddings": f" WHERE vec_id % {mod} = 0",
+            }.get(t, "")
             con_sub.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}'){where}"
             )
@@ -421,7 +469,9 @@ def main() -> int:
         scols_raw, sdtypes, srows = spark_out[name]
         scols, sdata = cc.normalize_result(scols_raw, srows)
         if name in SUBGRAPH_ENTRIES:
-            rel = con_sub.sql(REGISTRY[name].oracle)
+            rel = con_subs[SUBGRAPH_MODS.get(name, SUBGRAPH_MOD)].sql(
+                REGISTRY[name].oracle
+            )
         else:
             rel = con.sql(_replay_sql(name))
         dcols_raw, dtypes_raw = list(rel.columns), list(rel.types)
@@ -438,7 +488,8 @@ def main() -> int:
             first = next((a, b) for a, b in zip(sdata, ddata) if a != b)
             status.append(f"VALUES {ndiff}/{len(sdata)} differ; first: {first}")
         mode = (
-            f"exact mod-{SUBGRAPH_MOD} induced-subgraph replay"
+            f"exact mod-{SUBGRAPH_MODS.get(name, SUBGRAPH_MOD)} "
+            "induced-subgraph replay"
             if name in SUBGRAPH_ENTRIES
             else "exact replay"
         )

@@ -104,6 +104,12 @@ BNLJ_JUSTIFIED = {
     "#sources, single digits) + 1-row joint-vocab scalar",
     "dsir_importance_weights": "1-row raw/target model-total scalars crossed "
     "onto the fixed 4096-row bucket model table",
+    # --- r7 additions: bounded literal config tables (the
+    #     minhash_band_calibration ×6 pattern)
+    "matryoshka_truncation_audit": "4-row literal prefix-width table "
+    "crossed onto the bucketed pair set",
+    "context_fill_efficiency": "3-row literal context-length table "
+    "crossed onto the doc token counts",
 }
 
 

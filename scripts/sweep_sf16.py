@@ -37,26 +37,36 @@ SF_DIR = "/tmp/spark_graft_scale/sf1.6"
 #: filtered PPJoin candidate SQL (provably identical output — pinned
 #: in tests/test_training_ops.py::test_fuzzy_oracle_prefix_matches_
 #: naive) so it rejoins as a HEAVY entry.  → 3 (r6): the triangle
-#: trio moved to SUBGRAPH (exact induced-subgraph replay below).
-#: What remains is quadratic by definition or a documented Spark-side
-#: recursion blocker with a replay-checked DataFrame twin.
-EXCLUDE = {
-    "neardup_components_sql": "SPARK-side UNION ALL walk explosion at this density (documented); the DataFrame twin is replay-checked below",
-    "minhash_accuracy_report": "exact pairwise Jaccard ground truth is df² BY DEFINITION",
-    "embedding_near_dup": "n²/2 cosine oracle, 0.5B pairs (labeled quadratic baseline)",
-}
+#: r7: EMPTY.  The last three exclusions moved to SUBGRAPH — the
+#: exclusion list's terminal state is zero entries.
+EXCLUDE: dict[str, str] = {}
 
 #: r6: the triangle-census trio left EXCLUDE — their full-density
 #: wedge-join oracles remain measured-infeasible (>50 GB spill at
-#: 13.9M pairs), but invariant_check now value-checks each on the
+#: 13.9M pairs), but invariant_check value-checks each on the
 #: deterministic induced subgraph doc_id % 8 = 0 (~1/64 of the pair
 #: graph): the SPARK side runs the identical registered plan over
 #: sf1.6-scale input, the registry oracle runs VERBATIM on the
 #: filtered documents view, and the compare is exact.
+#: r7: the final three exclusions joined the same protocol —
+#: ``minhash_accuracy_report`` / ``embedding_near_dup`` at mod 8
+#: (their quadratic ground-truth oracles drop 64×; 229,606 and 33,536
+#: compared rows respectively) and ``neardup_components_sql`` at
+#: mod 16 (its SPARK-side recursion enumerates 2^|clique| downhill
+#: walks and still trips the 50M row limit at mod 8 on the shuffled
+#: corpus — the documented engine boundary; at mod 16 the walk
+#: completes and compares exactly).
 SUBGRAPH = [
     "neardup_triangle_count",
     "neardup_triangle_estimate",
     "triangle_stats",
+]
+
+#: the r7 trio gets its own chunk (recursion + two bulk compares)
+SUBGRAPH_R7 = [
+    "minhash_accuracy_report",
+    "embedding_near_dup",
+    "neardup_components_sql",
 ]
 
 #: checked by scripts/invariant_check.py instead of the registry
@@ -111,7 +121,7 @@ def main() -> int:
     light = [
         n for n in REGISTRY
         if n not in EXCLUDE and n not in HEAVY and n not in REPLAY
-        and n not in SUBGRAPH
+        and n not in SUBGRAPH and n not in SUBGRAPH_R7
     ]
     heavy = [n for n in REGISTRY if n in HEAVY]
     # the staged-fixpoint replay entries share one Spark/pair build:
@@ -130,6 +140,9 @@ def main() -> int:
         # triangle trio: exact induced-subgraph replay (shares one
         # filtered pair-graph build inside invariant_check)
         ("invariant_check.py", SUBGRAPH),
+        # r7 trio: the former exclusions, induced-subgraph replays
+        # (two bulk pair compares + the bounded recursion walk)
+        ("invariant_check.py", SUBGRAPH_R7),
         ("invariant_check.py", [n for n in REPLAY if n in graph_trio]),
         ("invariant_check.py", ["dedup_ladder_report"]),
     ]
