@@ -623,8 +623,16 @@ def linear_interpolate(t) -> DataFrame:
     prev + (next - prev) * ratio is the same IEEE op sequence in
     Spark and DuckDB (see tfidf_top_terms for the libm rationale).
 
-    Scale: two window frames over the same (user_id, ts) sort — one
-    shuffle, one sort, no join against a non-null subset."""
+    Scale: one shuffle on user_id, two in-partition sorts (forward and
+    reversed).  The forward-neighbor lookup is a RUNNING ``last`` over
+    the REVERSED sort, not ``first`` over a
+    [currentRow, unboundedFollowing] frame: Spark's unbounded-following
+    frame re-evaluates its aggregate from scratch at every row —
+    O(rows²) per partition, measured 5.3 s of window CPU on the sf0.1
+    events table — while the two running [unboundedPreceding,
+    currentRow] frames are O(rows) each, and "first non-null at or
+    after the current row in (ts, event_id) order" is by definition
+    "last non-null at or before it in the exact reverse order"."""
     masked = F.when(F.col("event_type") != "error", F.col("value"))
     masked_ts = F.when(F.col("event_type") != "error", F.unix_micros(F.col("ts")))
     wb = (
@@ -634,13 +642,13 @@ def linear_interpolate(t) -> DataFrame:
     )
     wf = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev_v = F.last(masked, ignorenulls=True).over(wb)
-    next_v = F.first(masked, ignorenulls=True).over(wf)
+    next_v = F.last(masked, ignorenulls=True).over(wf)
     prev_t = F.last(masked_ts, ignorenulls=True).over(wb)
-    next_t = F.first(masked_ts, ignorenulls=True).over(wf)
+    next_t = F.last(masked_ts, ignorenulls=True).over(wf)
     ratio = (F.unix_micros(F.col("ts")) - prev_t) / (next_t - prev_t)
     interp = (
         F.when(masked.isNotNull(), masked)

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from storm_data_etl_service_spark.operators.text import tokens_col
+from storm_data_etl_service_spark.operators.text import min_tokens_pred, tokens_col
 
 #: MinHash configuration: 12 permutations in 4 bands of 3.
 MINHASH_SEEDS = 12
@@ -72,15 +72,19 @@ def dedup_exact(t) -> DataFrame:
 
 
 def _doc_shingles(t) -> DataFrame:
-    # Filter on the cheap token-count predicate, NOT on
-    # size(shingles) > 0: Catalyst pushes the filter below the staging
-    # projection and would inline the whole shingle expression into it
-    # (re-tokenizing per row — measured 20× slower).  < 3 tokens ⇔ no
-    # shingles, so the predicates are equivalent.
+    # Filter on the pushdown-cheap token-count predicate
+    # (``min_tokens_pred``), NOT on the staged ``_toks`` (or on
+    # size(shingles) > 0): Catalyst pushes the staging filter below
+    # the post-scan repartition, so a predicate referencing the staged
+    # column gets the whole interpreted tokenize tree inlined into the
+    # SERIAL single-row-group scan task (measured 1.4–2 s of
+    # single-task CPU per scan branch at sf0.1; 20× for the shingle
+    # form).  < 3 tokens ⇔ no shingles, so the predicates are
+    # equivalent.
     return (
         t["documents"]
+        .filter(min_tokens_pred(F.col("text"), 3))
         .select("doc_id", tokens_col(F.col("text")).alias("_toks"))
-        .filter(F.size("_toks") >= 3)
         .select("doc_id", shingles_col(F.col("_toks")).alias("shingles"))
     )
 
@@ -268,11 +272,24 @@ def _ranked_shingles(sh: DataFrame) -> DataFrame:
     candidates, the super side, verification arrays — the physical
     planner computes the expensive map side (tokenize → shingle →
     explode → df annotate) once and replaces every other occurrence
-    with a ReusedExchange over the same shuffle files."""
+    with a ReusedExchange over the same shuffle files.
+
+    The document frequency is a COUNT WINDOW over the exploded table,
+    not a groupBy + join back: the aggregate's column pruning dropped
+    ``doc_id`` from its branch, which de-canonicalized the two scan
+    subtrees and made the planner run the scan → tokenize → shingle →
+    explode map work TWICE (plus broadcast the full exploded relation
+    back for the annotate join — 40 MB at sf0.1).  The window keeps
+    one scan subtree and turns the annotate into the same single
+    shuffle on ``s`` the aggregate needed anyway (plan: 2 Generate ×
+    260 k rows + BroadcastExchange 40 MB → 1 Generate, no broadcast;
+    identical (df, s) output — the window count equals the joined
+    groupBy count row-for-row)."""
+    from pyspark.sql.window import Window
+
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    df_freq = ex.groupBy("s").agg(F.count("*").alias("df"))
     return (
-        ex.join(df_freq, "s")
+        ex.withColumn("df", F.count("*").over(Window.partitionBy("s")))
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("ordered"))
     )
@@ -349,8 +366,8 @@ def duplicated_span_report(t) -> DataFrame:
         )
     staged = (
         t["documents"]
+        .filter(min_tokens_pred(F.col("text"), SPAN_TOKENS))
         .select("doc_id", tokens_col(F.col("text")).alias("_toks"))
-        .filter(F.size("_toks") >= SPAN_TOKENS)
         .select("doc_id", grams.alias("spans"))
     )
     ex = staged.select("doc_id", F.posexplode("spans").alias("pos", "span"))
@@ -579,8 +596,8 @@ def dedup_simhash(t) -> DataFrame:
 
     staged = (
         t["documents"]
+        .filter(min_tokens_pred(F.col("text"), 1))
         .select("doc_id", tokens_col(F.col("text")).alias("_toks"))
-        .filter(F.size("_toks") > 0)
         .withColumns({"_h1": token_half(1), "_h2": token_half(9)})
     )
     nibbles = []

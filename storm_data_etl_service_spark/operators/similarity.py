@@ -1348,8 +1348,19 @@ def matryoshka_truncation_audit(t) -> DataFrame:
     # one (vec_id, bucket, v) table, self-joined on bucket — identical
     # subplans on both sides, so the bucket-keyed exchange is computed
     # once and reused (the shared-staging pattern test_plans asserts
-    # for the dedup rungs)
-    bv = ann_lsh_buckets(t).join(emb, "vec_id")
+    # for the dedup rungs).  The bucket is computed INLINE on the same
+    # scan (the ``ann_lsh_search`` idiom) instead of joining
+    # ``ann_lsh_buckets`` back on vec_id — the join form scanned the
+    # embeddings table twice and paid a vec_id-keyed join purely to
+    # reunite columns that one projection produces.
+    bits = knn_auto_bits(emb.count())
+    bv = emb.select(
+        "vec_id",
+        "v",
+        F.substring(
+            lsh_bucket_col(F.col("v"), n_planes=max(LSH_PLANES, bits)), 1, bits
+        ).alias("bucket"),
+    )
     pairs = (
         bv.select(
             F.col("vec_id").alias("id_a"), "bucket", F.col("v").alias("va")

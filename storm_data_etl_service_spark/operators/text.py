@@ -42,6 +42,29 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != "")
 
 
+def min_tokens_pred(text: Column, n: int) -> Column:
+    """Pushdown-CHEAP predicate equivalent to
+    ``size(tokens_col(text)) >= n`` (n >= 1).
+
+    Catalyst pushes staging filters below the post-scan repartition
+    exchange — on the single-row-group bench files that stage is ONE
+    task, so whatever the predicate references is evaluated serially
+    for the whole table.  A filter phrased on the staged ``_toks``
+    column gets the full tokenize tree (an INTERPRETED higher-order
+    ``filter``) inlined into that serial scan — measured 1.4–9 s of
+    single-task CPU per scan branch at sf0.1.  This form is pure
+    codegen: ``trim != ''`` for n = 1, ``size(split(trim, \\s+)) >= n``
+    for n >= 2 — equivalent because after ``trim`` the split yields no
+    boundary empties (the lone ``['']`` of empty text has size 1 < 2,
+    and n = 1 uses the trim test directly), so the empty-token filter
+    can never change the count across the >= n threshold."""
+    if n <= 0:
+        return F.lit(True)
+    if n == 1:
+        return F.trim(text) != ""
+    return F.size(F.split(F.trim(text), r"\s+")) >= n
+
+
 def text_stats(t) -> DataFrame:
     """Quality-scoring metrics per document: token count, char count,
     average token length, punctuation ratio, stopword ratio.
@@ -173,8 +196,8 @@ def text_repetition_stats(t) -> DataFrame:
     both engines agree bit-for-bit."""
     staged = (
         t["documents"]
+        .filter(min_tokens_pred(F.col("text"), 1))
         .select("doc_id", tokens_col(F.col("text")).alias("_toks"))
-        .filter(F.size("_toks") > 0)
     )
     freq = (
         staged.select("doc_id", F.explode("_toks").alias("tok"))
