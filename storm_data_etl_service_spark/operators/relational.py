@@ -427,14 +427,29 @@ def tpch_q4_priority_semijoin(t) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
         & (F.col("o_orderdate") < F.lit("1996-04-01"))
     )
-    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    # EXISTS(lineitem with l_shipdate > o_orderdate) ⇔ the ORDER'S MAX
+    # l_shipdate > o_orderdate, so the probe side pre-aggregates to one
+    # (l_orderkey, max_shipdate) row per order with map-side combine
+    # BEFORE any join (guide: aggregate before you shuffle).  The raw
+    # semi-join form made the planner build a 33 MB broadcast of the
+    # 600 k-row lineitem projection (the non-equi residual kept it from
+    # shrinking); the pre-agg is ~1/4 the rows and 2 narrow columns,
+    # and at cluster scale it replaces the full fact semi-join shuffle
+    # with a partial-aggregated one.  The join is 1:1 (agg key unique),
+    # so inner-join + residual ≡ the semi join exactly.
+    # l_shipdate > o_orderdate ≥ window-start, so lineitems shipping at
+    # or before the window start can never witness the EXISTS — the
+    # date filter is pushed into the parquet scan and shrinks the agg
+    # input before the shuffle.
+    li_max = (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") > F.lit("1996-01-01"))
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("_max_shipdate"))
+    )
     return (
-        orders.join(
-            li,
-            (F.col("o_orderkey") == F.col("l_orderkey"))
-            & (F.col("l_shipdate") > F.col("o_orderdate")),
-            "left_semi",
-        )
+        orders.join(li_max, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("_max_shipdate") > F.col("o_orderdate"))
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )

@@ -112,6 +112,23 @@ _NANO_TS_COLUMNS = {"events": ("ts",)}
 #: Dimension tables that never benefit from a bench-mode fan-out.
 _SMALL_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
+#: Fan-out key per fact table: hash-repartitioning on a deterministic
+#: key instead of round-robin (a) skips the per-row local sort every
+#: round-robin exchange pays (``spark.sql.execution.sortBeforeRepartition``
+#: — needed there so retried map tasks reproduce the same row→partition
+#: assignment; hash of a stored column is retry-deterministic for free),
+#: which runs in the SERIAL single-row-group scan stage of the bench
+#: files, and (b) leaves the table hash-clustered on its natural key so
+#: downstream aggregations/joins/windows keyed the same way satisfy
+#: their distribution requirement without a second exchange.
+_REPARTITION_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "user_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
 
 def _read_table(spark, sf_dir: str, name: str):
     import os
@@ -136,7 +153,8 @@ def _read_table(spark, sf_dir: str, name: str):
     # scan and don't need (or want) this extra shuffle.
     scan_parts = int(os.environ.get("SPARK_GRAFT_SCAN_PARTITIONS", "0"))
     if scan_parts > 0 and name not in _SMALL_TABLES:
-        df = df.repartition(scan_parts)
+        key = _REPARTITION_KEYS.get(name)
+        df = df.repartition(scan_parts, F.col(key)) if key else df.repartition(scan_parts)
     return df
 
 
