@@ -292,6 +292,17 @@ def _ranked_shingles(sh: DataFrame) -> DataFrame:
         ex.withColumn("df", F.count("*").over(Window.partitionBy("s")))
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("ordered"))
+        # Lazy localCheckpoint (the ccnet/dsir staging pattern): the
+        # shared exchange dedups the SHUFFLE, but each of the 3-5
+        # consumers still re-runs the post-shuffle collect_list +
+        # sort_array aggregate (~150 ms each at sf0.1) and adds an AQE
+        # stage.  The checkpoint materializes the doc-level (doc_id,
+        # ordered) relation once per query run — corpus-sized rows but
+        # one per DOCUMENT, tiny next to the shingle stream.  Same
+        # lineage-recovery trade as the other staged pipelines
+        # (executor loss ⇒ query retry), documented in VERDICT r6 as
+        # acceptable.
+        .localCheckpoint(eager=False)
     )
 
 

@@ -106,8 +106,13 @@ def test_semi_and_anti_joins_stay_semi(spark, sf_dir):
     """EXISTS / NOT EXISTS re-expressions must compile to semi/anti
     hash joins (no row expansion), and the Q22 anti join against
     filtered orders should broadcast the date-filtered build side."""
+    # q4's EXISTS is decorrelated one step further than a semi join:
+    # max(l_shipdate) per order (map-side-combined pre-agg, scan-pushed
+    # l_shipdate bound) joined 1:1 — no 33 MB fact broadcast, no row
+    # expansion (the agg key is unique).
     plan = plan_of("tpch_q4_priority_semijoin", spark, sf_dir)
-    assert "LeftSemi" in plan, plan[:1500]
+    assert "max(l_shipdate" in plan, plan[:1500]
+    assert "1996-01-01" in plan.split("Scan parquet")[1][:900], plan[:1500]
     plan = plan_of("tpch_q22_idle_customers", spark, sf_dir)
     assert "LeftAnti" in plan, plan[:1500]
 
@@ -562,33 +567,44 @@ def test_dedup_family_reuses_staging_exchange(spark, sf_dir):
     # every reused plan_id maps to EXACTLY ONE computed exchange, and
     # "the ranked-shingles exchange is shared across consumers" means
     # SOME computed exchange carries >= 2 reuse references.
-    for q, multi_consumer in [
-        ("dedup_minhash_lsh", False),          # self-join's second side
-        ("dedup_jaccard_prefix_join", True),   # ranked staging: b-side + ha + hb
-        ("dedup_containment", True),           # ranked staging: super + ha + hb
-        ("dedup_incremental_minhash", False),  # batch probe side
-        ("dedup_ladder_report", True),         # rungs 2+3 share one ranked exchange
+    # The `_ranked_shingles` relation is now a lazy localCheckpoint
+    # (the ccnet/dsir staging pattern): its multi-consumer queries must
+    # read the checkpointed RDD on every side and contain ZERO
+    # instances of the tokenize pipeline above it (a `split(` in the
+    # final plan would betray a recompute).  The non-checkpointed
+    # signature staging (explicit repartition(band, key)) must still
+    # compile its second consumer to a ReusedExchange.
+    for q, staging in [
+        ("dedup_minhash_lsh", "reuse"),          # self-join's second side
+        ("dedup_jaccard_prefix_join", "ckpt"),   # ranked ckpt: prefix ×2 + ha + hb
+        ("dedup_containment", "ckpt"),           # ranked ckpt: sub + super + ha + hb
+        ("dedup_incremental_minhash", "reuse"),  # batch probe side
+        ("dedup_ladder_report", "ckpt+reuse"),   # ranked ckpt + rung-3 band reuse
     ]:
         df = REGISTRY[q].build(spark, sf_dir)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("isFinalPlan=true") >= 1, plan[:500]
         plan = plan.split("== Initial Plan ==")[0]
-        assert plan.count("ReusedExchange") >= 1, (
-            f"{q} lost its staging-exchange reuse:\n{plan[:3000]}"
-        )
+        if "ckpt" in staging:
+            assert plan.count("Scan ExistingRDD") >= 2, (
+                f"{q}: ranked-shingles checkpoint not shared across "
+                f"consumers:\n{plan[:3000]}"
+            )
+            assert "split(" not in plan, (
+                f"{q}: tokenize pipeline recomputed above the "
+                f"ranked-shingles checkpoint:\n{plan[:3000]}"
+            )
+        if "reuse" in staging:
+            assert plan.count("ReusedExchange") >= 1, (
+                f"{q} lost its staging-exchange reuse:\n{plan[:3000]}"
+            )
         computed, reused = _exchange_pids(plan)
         for pid in set(reused):
             n = computed.count(pid)
             assert n == 1, (
                 f"{q}: reused exchange plan_id={pid} computed {n} times "
                 f"(shared staging must materialize once):\n{plan[:3000]}"
-            )
-        if multi_consumer:
-            shared = [pid for pid in set(reused) if reused.count(pid) >= 2]
-            assert shared, (
-                f"{q}: no exchange is reused by >=2 consumers — the "
-                f"ranked-shingles staging share is gone:\n{plan[:3000]}"
             )
 
 
