@@ -235,7 +235,19 @@ def triangle_census(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") ->
     CLOSED neighborhood by definition, and same-class pairs are
     filtered) — no pre-dedup pass is needed on multigraph-ish pair
     sources."""
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Lazy localCheckpoints at the three fan-out points (the ranked-
+    # shingles staging pattern): the edge list feeds sym/qe/the census
+    # output, cls_map feeds node_cls+weights (consumed 3x/4x below),
+    # and qe feeds qsym + the x<y<z three-way enumeration (5 plan
+    # references).  Without them every reference re-inlines the whole
+    # upstream subtree — for the LSH candidate graph that is the full
+    # MinHash pair build, measured 4+ copies and a >250-codegen-unit
+    # plan whose AQE/scheduling overhead dominated the wall clock.
+    # All three relations are pair- or class-cardinality (never
+    # corpus-sized), so the materialization is small by construction.
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=False
+    )
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     closed = (
         sym.groupBy(F.col("a").alias("n"))
@@ -246,7 +258,7 @@ def triangle_census(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") ->
         F.min("n").alias("cls"),
         F.collect_list("n").alias("members"),
         F.count("*").alias("w"),
-    )
+    ).localCheckpoint(eager=False)
     node_cls = cls_map.select(F.explode("members").alias("node"), "cls")
     weights = cls_map.select("cls", "w")
 
@@ -256,6 +268,7 @@ def triangle_census(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") ->
         .filter(F.col("ca") != F.col("cb"))
         .select(F.least("ca", "cb").alias("qa"), F.greatest("ca", "cb").alias("qb"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
 
     # weighted neighbor sums over the quotient: s = Σ w_B, s2 = Σ C(w_B, 2)
@@ -372,6 +385,10 @@ def _triangle_estimate_edges(e: DataFrame, sample_mod: int) -> DataFrame:
         1,
     )
     kept = e if sample_mod == 1 else e.filter(nibble.isin(*allowed))
+    # the census AND the n_edges_kept count both consume the kept
+    # edges; staging them lazily (materialized inside the first timed
+    # action) runs the upstream pair build once instead of per branch
+    kept = kept.localCheckpoint(eager=False)
     census = triangle_census(kept, "doc_a", "doc_b")
     totals = census.agg(
         F.coalesce((F.sum("n_triangles") / 3).cast("long"), F.lit(0).cast("long")).alias(
