@@ -366,22 +366,35 @@ def duplicated_span_report(t) -> DataFrame:
     # inline the token tree into every element access (see
     # shingles_col), which made this window builder O(tokens²) per doc
     # — measured 13× at sf0.1 (25.8 s → 2.0 s), identical rows.
+    # arrays_zip of the 10 shifted slices + ONE transform, not a
+    # 9-round zip_with fold: zip_with is interpreted, so the fold paid
+    # 9 lambda invocations and 54 token-copies per output span (2+3+
+    # ...+10 progressive concats); the single-pass form pays 1 and 10.
+    # Each slice child is evaluated exactly once per row, same as
+    # zip_with children — no per-element re-evaluation risk.
     size = F.size("_toks")
     m = size - (SPAN_TOKENS - 1)
-    grams = F.slice(F.col("_toks"), 1, m)
-    for k in range(1, SPAN_TOKENS):
-        grams = F.zip_with(
-            grams,
-            F.slice(F.col("_toks"), k + 1, m),
-            lambda acc, x: F.concat_ws(" ", acc, x),
-        )
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("_toks"), k + 1, m) for k in range(SPAN_TOKENS)]
+    )
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(SPAN_TOKENS)])
+    )
     staged = (
         t["documents"]
         .filter(min_tokens_pred(F.col("text"), SPAN_TOKENS))
         .select("doc_id", tokens_col(F.col("text")).alias("_toks"))
         .select("doc_id", grams.alias("spans"))
     )
-    ex = staged.select("doc_id", F.posexplode("spans").alias("pos", "span"))
+    # posexplode_OUTER, deliberately: plain posexplode makes Catalyst
+    # infer `size(spans) > 0 AND isnotnull(spans)` and push it below
+    # the repartition exchange into the serial scan stage, where the
+    # condition re-evaluates the ENTIRE tokenize+zip+transform span
+    # pipeline one-task (measured 2.9 s of the query's 3.5 s at
+    # sf0.1).  The min_tokens_pred staging filter already guarantees
+    # size(spans) = size(_toks) - 9 >= 1 and spans non-null, so the
+    # outer form emits the identical row set with no inferred filter.
+    ex = staged.select("doc_id", F.posexplode_outer("spans").alias("pos", "span"))
     first_key = F.min(F.col("doc_id") * 1000000 + F.col("pos") + 1).alias("first_key")
     return (
         ex.groupBy("span")
