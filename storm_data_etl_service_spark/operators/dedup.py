@@ -175,11 +175,17 @@ def dedup_containment(t, threshold: float = 0.9) -> DataFrame:
     # ReusedExchange'd into the other consumers, instead of re-running
     # the tokenize/shingle map work per plan occurrence.
     arr = F.transform("ordered", lambda x: x["s"])
+    # MERGE hint: left to estimates the planner broadcast THIS side —
+    # the full exploded shingle table (260 k rows / 40 MB at sf0.1,
+    # built single-threaded on the driver), and at corpus scale the
+    # candidate join cannot be a broadcast at all (both sides are
+    # shingle-stream-sized).  Sort-merge is the spill-safe at-scale
+    # strategy and measured 0.9× locally vs the serial broadcast build.
     sup_full = ranked.select(
         F.col("doc_id").alias("doc_super"),
         F.size("ordered").alias("n_super"),
         F.explode(arr).alias("s"),
-    )
+    ).hint("merge")
     cand = (
         sub_prefix.join(
             sup_full,
@@ -321,13 +327,21 @@ def _prefix_candidates(ranked: DataFrame) -> DataFrame:
     # prefix length = ns - ceil(0.8*ns) + 1; ceil(4n/5) = floor((4n+4)/5),
     # integer-exact (no 0.8 float multiply).
     plen = (ns - F.floor((4 * ns + 4) / F.lit(5)) + 1).cast("int")
+    # SHUFFLE_HASH hint: the planner broadcast this exploded prefix
+    # relation (55 k rows / 34 MB at sf0.1) and built the hash table
+    # single-threaded on the driver; a shuffled hash join partitions
+    # both sides on ``s`` (the self-join canonicalizes to ONE exchange
+    # + ReusedExchange) and builds per-partition tables in parallel —
+    # measured 0.79× locally.  At scale the build side per partition
+    # is the ~20% rarest-prefix stream slice, the "moderately small
+    # per partition" case shuffled hash is meant for.
     prefix = ranked.select(
         "doc_id",
         ns.alias("ns"),
         F.explode(
             F.transform(F.slice("ordered", F.lit(1), plen), lambda x: x["s"])
         ).alias("s"),
-    )
+    ).hint("shuffle_hash")
     a, b = prefix.alias("a"), prefix.alias("b")
     return (
         a.join(
