@@ -503,25 +503,43 @@ def bm25_doc_ranking(t, terms=BM25_QUERY_TERMS) -> DataFrame:
 
     Scale: scoring runs over the (doc, term) count table filtered to
     the query's terms BEFORE any join — at most |terms| rows per doc.
-    df and corpus stats are 1-broadcast-each; the only fact-scale
-    shuffle is the doc-length join on doc_id, and the final top-k is
-    TakeOrderedAndProject (per-partition heaps, no global sort)."""
-    toks = t["documents"].select(
-        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    df and corpus stats are 1-broadcast-each; the final top-k is
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+
+    ONE tokenize branch (was four): an earlier form derived dl (per-doc
+    token count), tot_dl, and df each from their own
+    explode→groupBy(doc_id, token) subtree, so the plan tokenized and
+    aggregated the full corpus 4× (SQL-tab: four 270 k-row Generates,
+    the tf hash builds costing 1.6–9.6 s of task time at sf0.1).  Now:
+    dl ≡ size(tokens) is computed as a pure-codegen scan projection
+    (``trim != '' ? size(split(trim, \s+)) : 0`` — after trim the split
+    emits no boundary empties, so this equals the interpreted-HOF token
+    count exactly; docs with no tokens get dl = 0 where they previously
+    had no dl row, which is value-identical in both uses: they can never
+    match a query term, and they add 0 to tot_dl), carried THROUGH the
+    explode so no doc_id join is needed; df for the query terms is
+    counted from qtf itself (# of (doc, term) rows per term — the same
+    number the full-vocabulary df table gave after its isin filter);
+    and tot_dl/n_docs fold into one map-only aggregate over the scan."""
+    dl_col = (
+        F.when(F.coalesce(F.trim(F.col("text")), F.lit("")) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
     )
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    tot = (
-        t["documents"]
-        .agg(F.count("*").alias("n_docs"))
-        .crossJoin(dl.agg(F.sum("dl").alias("tot_dl")))
-        .select(
-            "n_docs",
-            (F.col("tot_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
-        )
+    base = t["documents"].select("doc_id", dl_col.alias("dl"), "text")
+    tot = base.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("tot_dl")
+    ).select(
+        "n_docs",
+        (F.col("tot_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
     )
-    qtf = tf.filter(F.col("token").isin(*terms))
+    qtf = (
+        base.select("doc_id", "dl", F.explode(tokens_col(F.col("text"))).alias("token"))
+        .filter(F.col("token").isin(*terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
+    )
+    dfreq = qtf.groupBy("token").agg(F.count("*").alias("df"))
     idf = (
         F.floor(
             F.log(
@@ -539,8 +557,7 @@ def bm25_doc_ranking(t, terms=BM25_QUERY_TERMS) -> DataFrame:
     )
     contrib = idf * tf_part
     scored = (
-        qtf.join(F.broadcast(dfreq.filter(F.col("token").isin(*terms))), "token")
-        .join(dl, "doc_id")
+        qtf.join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
