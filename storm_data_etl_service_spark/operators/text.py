@@ -38,8 +38,23 @@ FP_MOD = 2147483647
 
 
 def tokens_col(text: Column) -> Column:
-    """Whitespace tokens with empties dropped ('' → 0 tokens)."""
-    return F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != "")
+    """Whitespace tokens with empties dropped ('' → 0 tokens).
+
+    Pure codegen, no higher-order function: boundary whitespace is
+    stripped with one regexp_replace (unlike ``trim``, which removes
+    only the space character), after which a ``\\s+`` split can emit
+    no empty tokens — interior empties are impossible with a greedy
+    whitespace class, and the only boundary case left is the lone
+    ``['']`` of fully-empty text, mapped to ``array()`` explicitly.
+    Provably element-identical to the previous
+    ``filter(split(trim(text)), x != '')`` for every input (the HOF
+    filter existed only to drop boundary empties), but the interpreted
+    per-element lambda is gone: the old form cost ~0.7 s of a 1.2 s
+    tokenize-and-explode bench query at sf0.1 on its own."""
+    stripped = F.regexp_replace(text, r"^\s+|\s+$", "")
+    return F.when(stripped == "", F.array().cast("array<string>")).otherwise(
+        F.split(stripped, r"\s+")
+    )
 
 
 def min_tokens_pred(text: Column, n: int) -> Column:
@@ -50,19 +65,19 @@ def min_tokens_pred(text: Column, n: int) -> Column:
     exchange — on the single-row-group bench files that stage is ONE
     task, so whatever the predicate references is evaluated serially
     for the whole table.  A filter phrased on the staged ``_toks``
-    column gets the full tokenize tree (an INTERPRETED higher-order
-    ``filter``) inlined into that serial scan — measured 1.4–9 s of
-    single-task CPU per scan branch at sf0.1.  This form is pure
-    codegen: ``trim != ''`` for n = 1, ``size(split(trim, \\s+)) >= n``
-    for n >= 2 — equivalent because after ``trim`` the split yields no
-    boundary empties (the lone ``['']`` of empty text has size 1 < 2,
-    and n = 1 uses the trim test directly), so the empty-token filter
-    can never change the count across the >= n threshold."""
+    column used to get the full tokenize tree (then an INTERPRETED
+    higher-order ``filter``) inlined into that serial scan — measured
+    1.4–9 s of single-task CPU per scan branch at sf0.1.  This form is
+    pure codegen and EXACTLY ``size(tokens_col(text)) >= n``: the same
+    regexp boundary-strip as ``tokens_col`` (so non-space boundary
+    whitespace cannot leave a counted empty token), then
+    ``stripped != ''`` for n = 1 and ``size(split) >= n`` for n >= 2."""
     if n <= 0:
         return F.lit(True)
+    stripped = F.regexp_replace(text, r"^\s+|\s+$", "")
     if n == 1:
-        return F.trim(text) != ""
-    return F.size(F.split(F.trim(text), r"\s+")) >= n
+        return stripped != ""
+    return (stripped != "") & (F.size(F.split(stripped, r"\s+")) >= n)
 
 
 def text_stats(t) -> DataFrame:
@@ -521,9 +536,10 @@ def bm25_doc_ranking(t, terms=BM25_QUERY_TERMS) -> DataFrame:
     counted from qtf itself (# of (doc, term) rows per term — the same
     number the full-vocabulary df table gave after its isin filter);
     and tot_dl/n_docs fold into one map-only aggregate over the scan."""
+    _stripped = F.regexp_replace(F.col("text"), r"^\s+|\s+$", "")
     dl_col = (
-        F.when(F.coalesce(F.trim(F.col("text")), F.lit("")) == "", F.lit(0))
-        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        F.when(F.coalesce(_stripped, F.lit("")) == "", F.lit(0))
+        .otherwise(F.size(F.split(_stripped, r"\s+")))
         .cast("bigint")
     )
     base = t["documents"].select("doc_id", dl_col.alias("dl"), "text")
@@ -647,7 +663,19 @@ def heavy_hitter_bigrams(t) -> DataFrame:
         .select(F.explode(bigrams_col(F.col("_toks"))).alias("token"))
     )
     candidates = bigrams.mapInPandas(_mg_candidates, schema="token string").distinct()
-    total = bigrams.agg(F.count("*").alias("n_total"))
+    # n_total ≡ Σ_doc max(n_tokens − 1, 0): counting bigram INSTANCES
+    # needs no explode at all — a pure-codegen scan projection (the
+    # bm25 dl recipe: after trim the \s+ split emits no boundary
+    # empties, so its size equals the HOF token count) summed map-only.
+    # This removes the third Generate branch (265 k rows re-tokenized
+    # and re-exploded just to be counted) from the plan.
+    _stripped = F.regexp_replace(F.col("text"), r"^\s+|\s+$", "")
+    n_toks = F.when(F.coalesce(_stripped, F.lit("")) == "", F.lit(0)).otherwise(
+        F.size(F.split(_stripped, r"\s+"))
+    )
+    total = t["documents"].agg(
+        F.sum(F.greatest(n_toks - 1, F.lit(0)).cast("bigint")).alias("n_total")
+    )
     return (
         bigrams.join(F.broadcast(candidates), "token", "left_semi")
         .groupBy("token")
@@ -714,7 +742,20 @@ def bigram_surprisal_scores(t) -> DataFrame:
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
     tf = pairs.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("c"))
-    bg = tf.groupBy("w1", "w2").agg(F.sum("c").alias("c_bigram"))
+    # Lazy localCheckpoint on the bigram model: its two consumers (the
+    # probe join and the ``starts`` re-aggregation) would otherwise
+    # each re-inline the whole explode→tf→bg subtree — the SQL tab
+    # showed the 29 k-row (w1,w2) exchange and its 6–10 s aggregation
+    # task time running TWICE (stages planned separately; column
+    # pruning de-canonicalizes the copies, so ReusedExchange cannot
+    # fire).  The checkpointed relation is the MODEL — vocabulary²-
+    # bounded by construction (the docstring's scale contract), never
+    # corpus-sized — so this is the cheapest of the staged pipelines.
+    bg = (
+        tf.groupBy("w1", "w2")
+        .agg(F.sum("c").alias("c_bigram"))
+        .localCheckpoint(eager=False)
+    )
     starts = bg.groupBy("w1").agg(F.sum("c_bigram").alias("c_start"))
     vocab = (
         t["documents"]

@@ -2247,3 +2247,43 @@ def test_label_fid_python_model(spark):
     assert got[(0, 1)]["fid_diag"] > 0.01
     # and far-mean pairs must dominate it
     assert got[(0, 2)]["fid_diag"] > got[(0, 1)]["fid_diag"]
+
+
+def test_codegen_tokenizer_equals_hof_form(spark):
+    """tokens_col (regexp boundary-strip + split, pure codegen) must be
+    element-identical to the interpreted-HOF form it replaced —
+    filter(split(trim(text), \\s+), x != '') — including the cases the
+    plain ``trim`` form gets wrong (non-space boundary whitespace) and
+    the degenerate empties.  min_tokens_pred must equal
+    size(tokens_col) >= n on the same inputs."""
+    from storm_data_etl_service_spark.operators.text import (
+        min_tokens_pred,
+        tokens_col,
+    )
+
+    cases = [
+        "plain text tokens",
+        "  leading spaces",
+        "trailing spaces   ",
+        "\tleading tab",
+        "trailing newline\n",
+        "\t mixed \n whitespace \r inside\ttoo \n",
+        "single",
+        "",
+        "   ",
+        "\t\n\r",
+        None,
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    hof = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    rows = df.select(
+        tokens_col(F.col("text")).alias("new"),
+        hof.alias("old"),
+        *[min_tokens_pred(F.col("text"), n).alias(f"p{n}") for n in (1, 2, 3)],
+    ).collect()
+    for case, r in zip(cases, rows):
+        assert r["new"] == r["old"], (case, r["new"], r["old"])
+        n_tok = len(r["new"] or [])
+        for n in (1, 2, 3):
+            want = n_tok >= n if r["new"] is not None else None
+            assert r[f"p{n}"] == want, (case, n, r[f"p{n}"], want)
