@@ -92,6 +92,24 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor (default 1m) merges post-shuffle
+        # partitions by BYTES — a poor proxy for CPU when rows carry
+        # shingle/embedding arrays fed to per-row set operations: the
+        # PPJoin verification stage (410 KiB of pairs, ~80 µs/row of
+        # array_intersect) was coalesced to 2 tasks and serialized the
+        # whole dedup family (measured 5× on dedup_jaccard_prefix_join,
+        # 2× on dedup_ladder_report at sf0.1).  Coalescing only MERGES
+        # partitions — it can never exceed the data-adaptively seeded
+        # shuffle.partitions (bytes // 2 MiB, capped) — so a low floor
+        # simply preserves the seeded parallelism for small-byte/
+        # high-CPU exchanges, while at 100 TB every real exchange is
+        # orders of magnitude above ANY floor and the setting is inert.
+        # Env-tunable for clusters whose scheduling latency makes
+        # small tasks expensive.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "16k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
