@@ -137,9 +137,25 @@ def main():
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
+    # "closure" (default, r8+): the timer covers build() + the noop
+    # write, because build() is NOT metadata-cheap — under AQE even a
+    # LAZY localCheckpoint materializes every upstream query stage
+    # (Dataset.checkpoint calls queryExecution.toRdd, and
+    # AdaptiveSparkPlanExec.doExecute executes the stages), so the
+    # staged pipelines ran their whole map/shuffle work at build()
+    # time, outside the r1-r7 timed region; auto-K count()s and probe
+    # scalars were likewise untimed (VERDICT r7 item 3/4).  "write"
+    # reproduces the legacy r1-r7 region for round-over-round
+    # comparison (BENCH_local_r08_writeonly.json).
+    timed_region = os.environ.get("SPARK_GRAFT_TIMED_REGION", "closure")
+
     def run_once(name: str) -> float:
-        df = REGISTRY[name].build(spark, sf_dir)
-        t0 = time.perf_counter()
+        if timed_region == "closure":
+            t0 = time.perf_counter()
+            df = REGISTRY[name].build(spark, sf_dir)
+        else:
+            df = REGISTRY[name].build(spark, sf_dir)
+            t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
@@ -151,7 +167,16 @@ def main():
         # can demand a MEDIAN regression before flagging — r2→r3
         # produced a spurious flag on byte-identical code from a
         # single tail sample.
-        return sorted(run_once(name) for _ in range(3))
+        samples = sorted(run_once(name) for _ in range(3))
+        # Measurement hygiene, OUTSIDE the timed region: the staged
+        # pipelines' localCheckpoint blocks are cleaned by Spark's
+        # ContextCleaner only after a JVM GC collects their weak refs;
+        # a 32g heap can go the whole 66-query run without a full GC,
+        # so storage accumulates and late-list queries measure eviction
+        # + GC pressure instead of their plans (r8 baseline:
+        # dsir_importance_weights min 0.65→1.78 s on identical code).
+        spark.sparkContext._jvm.System.gc()
+        return samples
 
     # Warm up every plan shape at the smallest SF first: whole-stage
     # codegen compiles per unique generated source, so the sf-target
@@ -184,7 +209,13 @@ def main():
             "samples_per_query": 3,
             "statistic": "min",
             "warmup": "all plans once at sf0.001",
-            "timed_action": "noop write (no driver collect)",
+            "timed_action": (
+                "build() + noop write (no driver collect); r8 change: timer covers build-time Spark jobs (staged-pipeline stages, auto-K counts, probe scalars) that r1-r7 excluded"
+                if timed_region == "closure"
+                else "noop write only (legacy r1-r7 region, SPARK_GRAFT_TIMED_REGION=write)"
+            ),
+            "fanout_layout": os.environ.get("SPARK_GRAFT_FANOUT", "key"),
+            "fanout_note": "bench-mode fact-table fan-out: 'key' = hash-clustered on each table's natural key (assumes production tables are written key-clustered); 'roundrobin' = unclustered",
             "caveat": "cross-session totals drift 1.2-1.7x with host load; same-session diffs only",
         },
     }

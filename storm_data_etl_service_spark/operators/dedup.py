@@ -818,7 +818,6 @@ def dedup_ladder_report(t) -> DataFrame:
     unions of tiny pair sets, nothing rescans the corpus.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     from storm_data_etl_service_spark.operators.similarity import (
         semdedup_pairs,
@@ -831,16 +830,21 @@ def dedup_ladder_report(t) -> DataFrame:
             .distinct()
         )
 
-    norm_docs = (
+    # Rung 1 needs only the COUNT of docs in duplicated normalized-hash
+    # groups.  doc_id is unique per row, so that count is Σ n over hash
+    # groups with n > 1 — a map-side-combined groupBy(h) + filter + sum
+    # (guide §2.3 "aggregate before you shuffle").  The previous form
+    # ran a count window partitioned by h over the WHOLE document table
+    # (a sort-based window shuffling every doc row) followed by a
+    # distinct on doc_id — two corpus-sized exchanges for one number.
+    norm_count = (
         t["documents"]
-        .select(
-            "doc_id",
-            F.sha2(normalized_text_col(F.col("text")), 256).alias("h"),
-        )
-        .withColumn("n", F.count("*").over(Window.partitionBy("h")))
+        .groupBy(F.sha2(normalized_text_col(F.col("text")), 256).alias("h"))
+        .agg(F.count("*").alias("n"))
         .filter(F.col("n") > 1)
-        .select("doc_id")
-        .distinct()
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_docs_flagged")
+        )
     )
     # Rungs 2 and 3 both start from the tokenize→shingle map work.
     # Rung 2 consumes it through the `_ranked_shingles` exchange; rung
@@ -854,16 +858,29 @@ def dedup_ladder_report(t) -> DataFrame:
         "doc_id", F.transform("ordered", lambda x: x["s"]).alias("shingles")
     )
     rungs = [
-        ("1_exact_normalized", norm_docs),
-        ("2_ngram_jaccard", pair_docs(_jaccard_pairs_from_ranked(ranked), "doc_a", "doc_b")),
-        ("3_minhash_lsh", pair_docs(dedup_minhash_lsh(t, sh=sh_from_ranked), "doc_a", "doc_b")),
-        ("4_semdedup_cosine", pair_docs(semdedup_pairs(t), "id_a", "id_b")),
+        ("1_exact_normalized", norm_count),
+        (
+            "2_ngram_jaccard",
+            pair_docs(_jaccard_pairs_from_ranked(ranked), "doc_a", "doc_b").agg(
+                F.count("*").alias("n_docs_flagged")
+            ),
+        ),
+        (
+            "3_minhash_lsh",
+            pair_docs(dedup_minhash_lsh(t, sh=sh_from_ranked), "doc_a", "doc_b").agg(
+                F.count("*").alias("n_docs_flagged")
+            ),
+        ),
+        (
+            "4_semdedup_cosine",
+            pair_docs(semdedup_pairs(t), "id_a", "id_b").agg(
+                F.count("*").alias("n_docs_flagged")
+            ),
+        ),
     ]
     out = None
-    for name, docs in rungs:
-        row = docs.agg(F.count("*").alias("n_docs_flagged")).select(
-            F.lit(name).alias("rung"), "n_docs_flagged"
-        )
+    for name, counted in rungs:
+        row = counted.select(F.lit(name).alias("rung"), "n_docs_flagged")
         out = row if out is None else out.unionByName(row)
     return out
 

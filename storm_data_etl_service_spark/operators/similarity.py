@@ -271,17 +271,36 @@ def _l2sq(a: Column, b: Column) -> Column:
 
 
 def _assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the K-row centroid table
-    across the vector scan, argmin by (distance, cid).  Map-side only
-    except the per-vector argmin window."""
-    d = emb.crossJoin(F.broadcast(cent)).withColumn(
-        "_d", _l2sq(F.col("v"), F.col("cv"))
+    """Nearest-centroid assignment: argmin by (distance, cid), 100%
+    map-only.  The K-row centroid table collapses to ONE
+    array-of-structs row, broadcast across the vector scan, and each
+    vector takes ``array_min`` over the per-centroid (distance, cid)
+    structs — struct ordering compares distance first, cid second, so
+    this is exactly the old window's argmin by (asc _d, asc cid).
+
+    The previous form fanned every vector out to K rows (crossJoin)
+    and ran a row_number window partitioned by vec_id — a full
+    shuffle + sort of n·K rows each carrying the d-dim vector, per
+    assignment pass (and k-means runs one per Lloyd round).  The
+    distance fold itself (``_l2sq``, the sequential left fold both
+    engines reproduce bit-for-bit) is unchanged, so every distance —
+    and therefore every assignment — is bit-identical; only the
+    argmin mechanism moved from a shuffle to a per-row fold.  At any
+    corpus size this stage now pipelines with the scan."""
+    cents = cent.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("cv")))).alias(
+            "_cents"
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("cid"))
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            _l2sq(F.col("v"), c["cv"]).alias("d"), c["cid"].alias("cid")
+        ),
+    )
     return (
-        d.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select("vec_id", "v", "cid")
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", F.array_min(scored)["cid"].alias("cid"))
     )
 
 
@@ -1361,51 +1380,119 @@ def matryoshka_truncation_audit(t) -> DataFrame:
             lsh_bucket_col(F.col("v"), n_planes=max(LSH_PLANES, bits)), 1, bits
         ).alias("bucket"),
     )
-    pairs = (
-        bv.select(
-            F.col("vec_id").alias("id_a"), "bucket", F.col("v").alias("va")
-        )
-        .join(
-            bv.select(
-                F.col("vec_id").alias("id_b"), "bucket", F.col("v").alias("vb")
-            ),
-            ["bucket"],
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
+    # Per-bucket blocked Arrow kernel (the _cell_pairs_kernel /
+    # _bucket_topk_kernel contract: dim loop outside the numpy
+    # broadcast, so every scalar follows the sequential fold order of
+    # the Column-expression cosine() and the DuckDB twin — results are
+    # bit-identical).  The previous form self-joined the bucketed table
+    # (materializing every candidate pair with BOTH 64-dim vectors in
+    # the join output), crossJoined ×4 widths, and evaluated three
+    # interpreted HOF folds per (pair, width) row; here only the m×d
+    # bucket members cross the cid shuffle, the width cosines are
+    # snapshots of ONE incremental dim loop, and each bucket emits 4
+    # partial-sum rows — pair rows never materialize anywhere.
+    partials = bv.groupBy("bucket").applyInPandas(
+        _matryoshka_bucket_kernel(),
+        schema="d int, n bigint, sad bigint, win bigint, scq bigint",
+    )
+    n = F.sum("n")
+    return partials.groupBy("d").agg(
+        n.alias("n_pairs"),
+        (F.sum("sad").cast("double") / (n * F.lit(1e9))).alias("mean_abs_delta"),
+        (F.sum("win").cast("double") / n).alias("within_tol_share"),
+        (F.sum("scq").cast("double") / (n * F.lit(1e9))).alias("mean_cosine"),
     )
 
-    spark = t["embeddings"].sparkSession
-    dims = spark.createDataFrame([(d,) for d in MATRYOSHKA_DIMS], "d int")
-    cos_full = cosine(F.col("va"), F.col("vb"))
-    cos_d = cosine(
-        F.slice(F.col("va"), F.lit(1), F.col("d")),
-        F.slice(F.col("vb"), F.lit(1), F.col("d")),
-    )
-    graded = (
-        pairs.withColumn("cos_full", cos_full)
-        .crossJoin(F.broadcast(dims))
-        .select(
-            "d",
-            F.floor(F.abs(cos_d - F.col("cos_full")) * 1e9)
-            .cast("long")
-            .alias("absdelta_q"),
-            F.floor(cos_d * 1e9).cast("long").alias("cos_q"),
+
+def _matryoshka_bucket_kernel(
+    dims: tuple = MATRYOSHKA_DIMS, tol_q: int = MATRYOSHKA_TOL_Q, block: int = None
+):
+    """Factory for the per-bucket Matryoshka audit kernel: all
+    within-bucket pairs (id_a < id_b after the vec_id sort), cosine at
+    every prefix width as SNAPSHOTS of one incremental dimension loop
+    (the sequential fold over the first d elements is by definition the
+    fold over the first d' < d elements continued, so each snapshot is
+    bit-identical to the Column twin's ``cosine(slice(v, 1, d), ...)``),
+    floor-1e-9 quantization exactly as the expression form, and ONE
+    output row per (bucket, width) carrying exact BIGINT partial sums.
+    Blocked on both axes like ``_cell_pairs_kernel`` so the working set
+    stays ≤ B²·8 B regardless of bucket size; zero-norm vectors are
+    rejected loudly (the Column twin's ANSI DIVIDE_BY_ZERO contract).
+    Closure-shipped via cloudpickle."""
+    widths = tuple(sorted(dims))
+    B = SEMDEDUP_CELL_BLOCK if block is None else block
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        V = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        m, d = V.shape
+        if m < 2:
+            return pd.DataFrame(
+                {"d": pd.Series([], dtype="int32"), "n": [], "sad": [], "win": [], "scq": []}
+            ).astype({"n": "int64", "sad": "int64", "win": "int64", "scq": "int64"})
+
+        def prefix_norms(X):
+            acc = np.zeros(X.shape[0])
+            snaps = {}
+            for i in range(d):
+                acc = acc + X[:, i] * X[:, i]
+                if i + 1 in widths:
+                    if not acc.all():
+                        bad = ids[order][acc == 0]
+                        raise ValueError(
+                            f"zero-norm embedding prefix vec_id={bad[:5].tolist()}: "
+                            "cosine is undefined (ANSI twin raises DIVIDE_BY_ZERO)"
+                        )
+                    snaps[i + 1] = np.sqrt(acc)
+            return snaps
+
+        nrm = prefix_norms(V)
+        acc = {w: [0, 0, 0] for w in widths}  # sad, win, scq per width
+        n_pairs = 0
+        full = widths[-1]
+        for r0 in range(0, m, B):
+            r1 = min(r0 + B, m)
+            for c0 in range(r0, m, B):
+                c1 = min(c0 + B, m)
+                dot = np.zeros((r1 - r0, c1 - c0))
+                cos_w = {}
+                for i in range(d):
+                    dot = dot + V[r0:r1, i][:, None] * V[c0:c1, i][None, :]
+                    if i + 1 in widths:
+                        w = i + 1
+                        cos_w[w] = dot / (nrm[w][r0:r1][:, None] * nrm[w][c0:c1][None, :])
+                ra, ca = np.nonzero(np.ones((r1 - r0, c1 - c0), dtype=bool))
+                keep = (ra + r0) < (ca + c0)  # upper triangle: id_a < id_b
+                ra, ca = ra[keep], ca[keep]
+                if not len(ra):
+                    continue
+                n_pairs += len(ra)
+                cf = cos_w[full][ra, ca]
+                for w in widths:
+                    cw = cos_w[w][ra, ca]
+                    adq = np.floor(np.abs(cw - cf) * 1e9).astype(np.int64)
+                    acc[w][0] += int(adq.sum())
+                    acc[w][1] += int((adq <= tol_q).sum())
+                    acc[w][2] += int(np.floor(cw * 1e9).astype(np.int64).sum())
+        if not n_pairs:
+            return pd.DataFrame(
+                {"d": pd.Series([], dtype="int32"), "n": [], "sad": [], "win": [], "scq": []}
+            ).astype({"n": "int64", "sad": "int64", "win": "int64", "scq": "int64"})
+        return pd.DataFrame(
+            {
+                "d": np.array(widths, dtype=np.int32),
+                "n": np.full(len(widths), n_pairs, dtype=np.int64),
+                "sad": np.array([acc[w][0] for w in widths], dtype=np.int64),
+                "win": np.array([acc[w][1] for w in widths], dtype=np.int64),
+                "scq": np.array([acc[w][2] for w in widths], dtype=np.int64),
+            }
         )
-    )
-    n = F.count("*")
-    return graded.groupBy("d").agg(
-        n.alias("n_pairs"),
-        (F.sum("absdelta_q").cast("double") / (n * F.lit(1e9))).alias(
-            "mean_abs_delta"
-        ),
-        (
-            F.sum((F.col("absdelta_q") <= MATRYOSHKA_TOL_Q).cast("long")).cast(
-                "double"
-            )
-            / n
-        ).alias("within_tol_share"),
-        (F.sum("cos_q").cast("double") / (n * F.lit(1e9))).alias("mean_cosine"),
-    )
+
+    return kernel
 
 
 def label_embedding_fid(t) -> DataFrame:

@@ -504,7 +504,7 @@ BM25_QUERY_TERMS = ("join", "vector", "stream")
 
 
 def bm25_doc_ranking(t, terms=BM25_QUERY_TERMS) -> DataFrame:
-    """Top-10 documents for a fixed query by BM25 — the canonical
+    r"""Top-10 documents for a fixed query by BM25 — the canonical
     retrieval scorer (k1=1.2, b=0.75) behind corpus search and
     RAG-style training-data selection.
 
@@ -1093,6 +1093,27 @@ def quality_linear_score(t) -> DataFrame:
     anyway) make the fold order-independent — no float-sum drift
     between engines or partitionings.
     """
+    staged = (
+        t["documents"]
+        .withColumn("_toks", tokens_col(F.col("text")))
+        .withColumn("_feats", F.concat(F.col("_toks"), bigrams_col(F.col("_toks"))))
+    )
+    n_feats, logit, score, verdict = _linear_gate_exprs()
+    return staged.select(
+        "doc_id",
+        n_feats.alias("n_feats"),
+        logit.alias("logit"),
+        score.alias("quality_score"),
+        verdict.alias("verdict"),
+    )
+
+
+def _linear_gate_exprs() -> tuple[Column, Column, Column, Column]:
+    """(n_feats, logit, score, verdict) expressions over a staged
+    ``_feats`` feature array — shared by ``quality_linear_score`` and
+    ``quality_gate_agreement`` (which evaluates the linear gate and the
+    Gopher rules in ONE projection instead of two scans + a join)."""
+
     def weight(x: Column) -> Column:
         bucket = (
             F.conv(
@@ -1111,13 +1132,6 @@ def quality_linear_score(t) -> DataFrame:
             % QUALITY_WEIGHT_SPAN
         ) - (QUALITY_WEIGHT_SPAN // 2)
 
-    toks = F.col("_toks")
-    feats = F.concat(toks, bigrams_col(toks))
-    staged = (
-        t["documents"]
-        .withColumn("_toks", tokens_col(F.col("text")))
-        .withColumn("_feats", feats)
-    )
     n_feats = F.size("_feats").cast("long")
     logit = F.aggregate(
         F.col("_feats"), F.lit(0).cast("long"), lambda acc, x: acc + weight(x)
@@ -1125,16 +1139,12 @@ def quality_linear_score(t) -> DataFrame:
     score = F.when(
         n_feats > 0, logit.cast("double") / n_feats.cast("double")
     ).otherwise(F.lit(0.0))
-    return staged.select(
-        "doc_id",
-        n_feats.alias("n_feats"),
-        logit.alias("logit"),
-        score.alias("quality_score"),
+    verdict = (
         F.when(score >= 0.5, F.lit("keep"))
         .when(score <= -0.5, F.lit("drop"))
         .otherwise(F.lit("review"))
-        .alias("verdict"),
     )
+    return n_feats, logit, score, verdict
 
 
 # --- Gopher/MassiveText heuristic quality filters (Rae et al. 2021,
@@ -1195,7 +1205,23 @@ def gopher_doc_flags(t) -> DataFrame:
     """Per-document Gopher rule flags — the map-only evaluation stage
     shared by ``gopher_quality_flags`` (per-source aggregate) and
     ``quality_gate_agreement`` (cross-gate calibration)."""
-    toks = tokens_col(F.col("text"))
+    flags = _gopher_flag_exprs()
+    return (
+        t["documents"]
+        .withColumn("_toks", tokens_col(F.col("text")))
+        .select(
+            "doc_id",
+            "source",
+            *[expr.alias(name) for name, expr in flags.items()],
+        )
+    )
+
+
+def _gopher_flag_exprs() -> dict[str, Column]:
+    """The Gopher rule expressions (f_words…f_stop, keep) over a staged
+    ``_toks`` token array plus the raw ``text`` column — shared by
+    ``gopher_doc_flags`` and ``quality_gate_agreement``'s fused
+    single-scan projection."""
     n = F.size("_toks").cast("long")
     sum_len = F.aggregate(
         F.col("_toks"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
@@ -1223,17 +1249,14 @@ def gopher_doc_flags(t) -> DataFrame:
     f_alpha = n_alpha * hi < n * lo
     f_stop = n_stop < GOPHER_MIN_STOPWORDS
     keep = ~(f_words | f_mean | f_sym | f_alpha | f_stop)
-
-    return t["documents"].withColumn("_toks", toks).select(
-        "doc_id",
-        "source",
-        f_words.alias("f_words"),
-        f_mean.alias("f_mean"),
-        f_sym.alias("f_sym"),
-        f_alpha.alias("f_alpha"),
-        f_stop.alias("f_stop"),
-        keep.alias("keep"),
-    )
+    return {
+        "f_words": f_words,
+        "f_mean": f_mean,
+        "f_sym": f_sym,
+        "f_alpha": f_alpha,
+        "f_stop": f_stop,
+        "keep": keep,
+    }
 
 
 #: CCNet (Wenzek et al. 2020) splits each language's corpus into
@@ -1497,6 +1520,12 @@ def bpe_first_merges(t) -> DataFrame:
     expands to ``length - 1`` two-char substrings weighted by the
     word's corpus count — at trillion-token scale the expensive
     explode is proportional to |vocab|, not corpus size.
+
+    The ranking window runs over the ``limit(BPE_TOP_PAIRS)`` output
+    only — a TakeOrderedAndProject (per-partition heaps) bounds the
+    window input at 20 rows at ANY corpus size, so its single
+    partition is provably tiny, never pair-table-sized
+    (tests/test_plans.py::test_topk_windows_are_limit_bounded).
     """
     words = (
         t["documents"]
@@ -1681,9 +1710,29 @@ def quality_gate_agreement(t) -> DataFrame:
     cc = ccnet_perplexity_buckets(t).select(
         "doc_id", "ppl_bin", F.col("bucket").alias("ppl_bucket")
     )
-    gd = gopher_doc_flags(t).select("doc_id", F.col("keep").alias("gopher_keep"))
-    qs = quality_linear_score(t).select("doc_id", "n_feats", "logit", "verdict")
-    j = cc.join(gd, "doc_id").join(qs, "doc_id")
+    # The Gopher rules and the linear gate are both map-only functions
+    # of the SAME staged token array, so they are evaluated in ONE
+    # projection over one scan (guide §2.4): the previous form ran two
+    # separate scan+tokenize subtrees and paid a doc_id equi-join just
+    # to reunite per-doc columns that one projection produces.  The
+    # flag/score expressions are the exact ones gopher_doc_flags /
+    # quality_linear_score emit (shared helpers), so the joined row
+    # set is value-identical.
+    keep = _gopher_flag_exprs()["keep"]
+    n_feats, logit, _score, verdict = _linear_gate_exprs()
+    gq = (
+        t["documents"]
+        .withColumn("_toks", tokens_col(F.col("text")))
+        .withColumn("_feats", F.concat(F.col("_toks"), bigrams_col(F.col("_toks"))))
+        .select(
+            "doc_id",
+            keep.alias("gopher_keep"),
+            n_feats.alias("n_feats"),
+            logit.alias("logit"),
+            verdict.alias("verdict"),
+        )
+    )
+    j = cc.join(gq, "doc_id")
     return j.groupBy("ppl_bucket", "gopher_keep").agg(
         F.count("*").alias("n_docs"),
         (F.sum("ppl_bin").cast("double") / F.count("*")).alias("avg_ppl_bin"),

@@ -79,6 +79,11 @@ INTENTIONAL_PYTHON_OPS = [
     # Same kernel (k=1) keyed on LSH bucket for eval-vs-train nearest
     # search; the Arrow boundary is shared with knn_graph_lsh.
     "eval_semantic_contamination",
+    # Matryoshka audit's per-bucket prefix-cosine kernel
+    # (_matryoshka_bucket_kernel): snapshots of one incremental dim
+    # loop, fold-order bit-identical to the Column twin; pair rows and
+    # the ×4 width crossJoin never materialize.
+    "matryoshka_truncation_audit",
 ]
 
 
@@ -639,3 +644,21 @@ def test_dsir_doc_bucket_table_computed_once(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") >= 3, plan[:1500]
     assert "split(" not in plan, plan[:1500]
+
+
+def test_topk_windows_are_limit_bounded(spark, sf_dir):
+    """The three single-partition ranking windows the bench tail warns
+    about (zipf_slope_fit, bpe_first_merges, join_skew_report) must
+    take their input from a TakeOrderedAndProject limit — K rows at
+    any corpus size — never from the unbounded vocabulary/pair/key
+    table.  In the plan string the Window node must sit ABOVE the
+    TakeOrdered (parents print before children), proving the window
+    consumes the limit output, not the other way round."""
+    for q in ["zipf_slope_fit", "bpe_first_merges", "join_skew_report"]:
+        plan = plan_of(q, spark, sf_dir)
+        w = plan.find("Window")
+        tk = plan.find("TakeOrderedAndProject")
+        assert w != -1 and tk != -1, f"{q}: missing node:\n{plan[:1500]}"
+        assert w < tk, (
+            f"{q}: Window is not fed by the TakeOrdered limit:\n{plan[:1500]}"
+        )
