@@ -291,11 +291,21 @@ def _ranked_shingles(sh: DataFrame) -> DataFrame:
     260 k rows + BroadcastExchange 40 MB → 1 Generate, no broadcast;
     identical (df, s) output — the window count equals the joined
     groupBy count row-for-row)."""
-    from pyspark.sql.window import Window
-
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # The df annotate is an explicit repartition("s") consumed TWICE —
+    # once by the count aggregate, once as the probe side of a
+    # shuffled-hash annotate join — so the expensive map side
+    # (tokenize → shingle → explode) runs once and the second consumer
+    # is a ReusedExchange (the dedup_minhash_lsh trick).  Versus the
+    # previous count-window form this removes the SORT of the full
+    # exploded shingle stream (sort-based WindowExec) that ran inside
+    # the same stage: the aggregate hashes, the join probes a
+    # per-partition hash table of the (distinct-shingle)-sized counts,
+    # and nothing orders the stream until the per-doc sort_array —
+    # identical (df, s) values row-for-row.
+    ex = sh.select("doc_id", F.explode("shingles").alias("s")).repartition("s")
+    counts = ex.groupBy("s").agg(F.count("*").alias("df")).hint("shuffle_hash")
     return (
-        ex.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+        ex.join(counts, "s")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("ordered"))
         # Lazy localCheckpoint (the ccnet/dsir staging pattern): the

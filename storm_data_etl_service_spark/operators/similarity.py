@@ -1227,22 +1227,27 @@ def knn_graph_lsh(t, bits: int | None = None) -> DataFrame:
             lsh_bucket_col(F.col("v"), n_planes=max(LSH_PLANES, bits)), 1, bits
         ).alias("pfx"),
     )
-    members = bucketed.select(
-        F.col("pfx").alias("bkey"),
-        "vec_id",
-        "v",
-        F.lit(True).alias("is_member"),
-        F.lit(False).alias("is_prober"),
-    )
-    probers = bucketed.select(
-        F.explode(_probe_prefixes(F.col("pfx"), bits)).alias("bkey"),
-        "vec_id",
-        "v",
-        F.lit(False).alias("is_member"),
-        F.lit(True).alias("is_prober"),
+    # ONE exploded projection instead of a members ∪ probers union: the
+    # union form inlined ``bucketed`` into both branches, so the plane
+    # projections (``bits`` interpreted 64-element folds per vector —
+    # the dominant map cost) and the parquet scan each ran TWICE
+    # (optimizedPlan showed 16 aggregate( folds and 2 relations for 8
+    # planes).  ``_probe_prefixes`` already leads with the vector's own
+    # prefix, so element 0 doubles as the member row (is_member AND
+    # is_prober — the kernel selects by flag, so the member set and
+    # prober set are unchanged) and the flips are prober-only.  Same
+    # row multiset into the bkey shuffle, half the fold work, one scan.
+    entries = F.transform(
+        _probe_prefixes(F.col("pfx"), bits),
+        lambda p, i: F.struct(
+            p.alias("bkey"),
+            (i == 0).alias("is_member"),
+            F.lit(True).alias("is_prober"),
+        ),
     )
     partials = (
-        members.unionByName(probers)
+        bucketed.select("vec_id", "v", F.explode(entries).alias("e"))
+        .select("vec_id", "v", "e.bkey", "e.is_member", "e.is_prober")
         .groupBy("bkey")
         .applyInPandas(
             _bucket_topk_kernel(),
@@ -1293,23 +1298,34 @@ def eval_semantic_contamination(t, bits: int | None = None) -> DataFrame:
             lsh_bucket_col(F.col("v"), n_planes=max(LSH_PLANES, bits)), 1, bits
         ).alias("pfx"),
     )
-    members = bucketed.filter(F.col("vec_id") < F.col("t0")).select(
-        F.col("pfx").alias("bkey"),
-        "vec_id",
-        "v",
-        F.lit(True).alias("is_member"),
-        F.lit(False).alias("is_prober"),
+    # ONE exploded projection instead of a members ∪ probers union
+    # (the knn_graph_lsh rationale: the union inlined ``bucketed`` into
+    # both branches, running the plane folds and the scan twice).
+    # Train vectors contribute one member row in their own bucket; eval
+    # vectors contribute prober rows in their own + hamming-1 buckets.
+    entries = F.when(
+        F.col("vec_id") < F.col("t0"),
+        F.array(
+            F.struct(
+                F.col("pfx").alias("bkey"),
+                F.lit(True).alias("is_member"),
+                F.lit(False).alias("is_prober"),
+            )
+        ),
+    ).otherwise(
+        F.transform(
+            _probe_prefixes(F.col("pfx"), bits),
+            lambda p: F.struct(
+                p.alias("bkey"),
+                F.lit(False).alias("is_member"),
+                F.lit(True).alias("is_prober"),
+            ),
+        )
     )
     evals = bucketed.filter(F.col("vec_id") >= F.col("t0"))
-    probers = evals.select(
-        F.explode(_probe_prefixes(F.col("pfx"), bits)).alias("bkey"),
-        "vec_id",
-        "v",
-        F.lit(False).alias("is_member"),
-        F.lit(True).alias("is_prober"),
-    )
     partials = (
-        members.unionByName(probers)
+        bucketed.select("vec_id", "v", F.explode(entries).alias("e"))
+        .select("vec_id", "v", "e.bkey", "e.is_member", "e.is_prober")
         .groupBy("bkey")
         .applyInPandas(
             _bucket_topk_kernel(k=1),
